@@ -51,21 +51,24 @@ def _headline(rng: random.Random, site: str) -> str:
     return head
 
 
-def _fact_sentence(rng: random.Random, by_type: dict[str, list[W.Entity]]):
+def _fact_sentence(rng: random.Random, world: W.World):
     pred, template, st, ot = rng.choice(W.TRIPLE_TEMPLATES)
-    subj = rng.choice(by_type[st])
-    obj = rng.choice(by_type[ot])
+    subj = W.zipf_choice(rng, world.by_type[st])
+    obj = W.zipf_choice(rng, world.by_type[ot])
     while obj.entity_id == subj.entity_id:
-        obj = rng.choice(by_type[ot])
+        obj = W.zipf_choice(rng, world.by_type[ot])
     s_surface = rng.choice(subj.surfaces)
     o_surface = rng.choice(obj.surfaces)
     sentence = template.format(subj=s_surface, obj=o_surface)
+    gold = world.gold_clusters
     return sentence, {
         "subj_surface": s_surface,
         "pred": pred,
         "obj_surface": o_surface,
         "subj_id": subj.entity_id,
         "obj_id": obj.entity_id,
+        "subj_root": gold[subj.entity_id],
+        "obj_root": gold[obj.entity_id],
     }
 
 
@@ -84,7 +87,7 @@ def _boilerplate_aside(rng: random.Random) -> str:
     return f'<aside class="sidebar">{items}</aside>'
 
 
-def gen_page_row(seed: int, doc_id: int, entities: list[W.Entity]) -> tuple[dict, list[dict]]:
+def gen_page_row(seed: int, doc_id: int, world: W.World) -> tuple[dict, list[dict]]:
     """One deterministic page + its planted triples."""
     rng = random.Random((seed << 32) ^ doc_id)
     site = f"site{doc_id % 97}.example"
@@ -94,10 +97,6 @@ def gen_page_row(seed: int, doc_id: int, entities: list[W.Entity]) -> tuple[dict
     lang = "en" if r < 0.88 else ("de" if r < 0.93 else ("fr" if r < 0.97 else "es"))
 
     title = _headline(rng, site.split(".")[0].title())
-    by_type: dict[str, list[W.Entity]] = {"person": [], "org": [], "place": []}
-    for e in entities:
-        by_type[e.etype].append(e)
-
     triples: list[dict] = []
     paragraphs: list[str] = []
     n_paras = rng.randint(3, 8)
@@ -106,7 +105,7 @@ def gen_page_row(seed: int, doc_id: int, entities: list[W.Entity]) -> tuple[dict
         sents = []
         for _ in range(n_sent):
             if lang == "en" and rng.random() < 0.35:
-                sentence, t = _fact_sentence(rng, by_type)
+                sentence, t = _fact_sentence(rng, world)
                 t["url"] = url
                 triples.append(t)
                 sents.append(sentence)
@@ -164,17 +163,28 @@ TRIPLES_EXPECTED_SCHEMA = pa.schema(
         ("obj_surface", pa.string()),
         ("subj_id", pa.string()),
         ("obj_id", pa.string()),
+        ("subj_root", pa.string()),
+        ("obj_root", pa.string()),
     ]
 )
 
 
-def gen_batch(doc_ids, seed: int = 42, entities: list[W.Entity] | None = None):
+_WORLD_CACHE: dict[int, W.World] = {}
+
+
+def get_world(seed: int = 42) -> W.World:
+    if seed not in _WORLD_CACHE:
+        _WORLD_CACHE[seed] = W.build_world(seed)
+    return _WORLD_CACHE[seed]
+
+
+def gen_batch(doc_ids, seed: int = 42, world: W.World | None = None):
     """Generate a batch of page rows (+expected triples) for the given ids.
     Returns (pages pa.Table, triples pa.Table)."""
-    entities = entities or W.build_world(seed)
+    world = world or get_world(seed)
     rows, all_triples = [], []
     for doc_id in doc_ids:
-        row, triples = gen_page_row(seed, int(doc_id), entities)
+        row, triples = gen_page_row(seed, int(doc_id), world)
         rows.append(row)
         all_triples.extend(triples)
     pages = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
@@ -189,12 +199,12 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, shard_size: int = 20
 
     import pyarrow.parquet as pq
 
-    entities = W.build_world(seed)
+    world = get_world(seed)
     os.makedirs(f"{out_dir}/pages", exist_ok=True)
     os.makedirs(f"{out_dir}/triples_expected", exist_ok=True)
     for shard_start in range(0, n_docs, shard_size):
         ids = range(shard_start, min(shard_start + shard_size, n_docs))
-        pages, triples = gen_batch(ids, seed, entities)
+        pages, triples = gen_batch(ids, seed, world)
         pq.write_table(pages, f"{out_dir}/pages/part-{shard_start:08d}.parquet")
         pq.write_table(triples, f"{out_dir}/triples_expected/part-{shard_start:08d}.parquet")
 

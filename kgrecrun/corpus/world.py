@@ -1,22 +1,35 @@
-"""Deterministic entity world: entities with aliases, predicates with
-sentence templates, and noise sentence material.
+"""Deterministic entity world: entities with aliases, duplicate "twin"
+records, predicates with sentence templates, and noise material.
 
 Shared by two consumers with a deliberate boundary between them:
 
 * ``corpus.synthgen`` uses it to PLANT fact sentences in generated pages
-  (and records the planted (subj, pred, obj) ground truth);
-* the KG pipeline uses :func:`alias_dictionary` as its entity-linking
-  resource (in production this would be an external gazetteer shipped to
-  every node via ``ray.put``).
+  (recording planted (subj, pred, obj) ground truth at both the surface
+  level and the canonical-cluster level);
+* the KG pipeline uses :func:`World.alias_dictionary` as its
+  entity-linking resource (in production an external gazetteer shipped
+  to every node once via ``ray.put``).
 
-Everything is seeded and pure — no I/O, no randomness outside
-``random.Random`` instances created from explicit seeds.
+Design choices that matter for the evaluation:
+
+* **Twins** — a fraction of org entities exist twice under different ids
+  with near-duplicate names ("Granite Holdings" / "Granite Holdings
+  Inc."). The canonicalization stage (minhash-LSH blocking + union-find)
+  must merge them; ``gold_clusters`` maps every id to its cluster root.
+* **Unambiguous aliases** — each surface form maps to exactly one
+  entity id (org stems unique, bare last names only when unique), so
+  linking accuracy is measurable independently of canonicalization.
+  The linker still handles multi-candidate surfaces generically.
+* **Zipf skew** — synthgen samples entities with a Zipf prior, so a few
+  entities are hot keys; the shuffle stages must handle that skew.
+
+Everything is seeded and pure — no I/O, no global randomness.
 """
 
 from __future__ import annotations
 
 import random
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 FIRST_NAMES = (
     "Ada Alan Amara Anders Beatriz Boris Carla Chen Dalia Dmitri Elena Emeka "
@@ -25,11 +38,11 @@ FIRST_NAMES = (
     "Xiomara Yusuf Zara Niamh"
 ).split()
 LAST_NAMES = (
-    "Abara Bergström Castillo Dvorak Eriksen Fontaine Grigoryan Haddad "
+    "Abara Bergstrom Castillo Dvorak Eriksen Fontaine Grigoryan Haddad "
     "Iwata Jansson Kowalski Lindqvist Moreau Novak Okafor Petrov Quispe "
     "Rossi Sato Tanaka Ueda Vargas Weber Xu Yamamoto Zhang Keita Osei "
     "Nakamura Fischer Silva Costa Meyer Andersen Popescu Horvat Virtanen "
-    "Nilsen Duarte Björk"
+    "Nilsen Duarte Bjork"
 ).split()
 ORG_STEMS = (
     "Helix Vertex Quanta Borealis Cinder Aurora Granite Meridian Atlas "
@@ -53,63 +66,135 @@ class Entity:
     entity_id: str
     etype: str  # person | org | place
     canonical: str
-    aliases: tuple[str, ...]  # includes canonical
+    aliases: tuple[str, ...]  # includes canonical; globally unambiguous
 
     @property
     def surfaces(self) -> tuple[str, ...]:
         return self.aliases
 
 
-def _org_aliases(rng: random.Random, name: str) -> list[str]:
-    stem, suffix = name.rsplit(" ", 1)
-    aliases = [name, stem]
-    abbrev = "".join(w[0] for w in name.split()).upper()
-    if len(abbrev) >= 2:
-        aliases.append(abbrev)
-    if rng.random() < 0.5:
-        aliases.append(f"{stem} {suffix[:-1]}" if suffix.endswith("s") else f"{stem} Group")
-    return aliases
+@dataclass
+class World:
+    seed: int
+    entities: list[Entity]
+    gold_clusters: dict[str, str]  # entity_id -> cluster root id
+    by_type: dict[str, list[Entity]] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.by_type:
+            for e in self.entities:
+                self.by_type.setdefault(e.etype, []).append(e)
+
+    def alias_dictionary(self) -> dict[str, list[str]]:
+        """surface form (lowercased) → candidate entity ids."""
+        d: dict[str, list[str]] = {}
+        for e in self.entities:
+            for a in e.aliases:
+                d.setdefault(a.lower(), []).append(e.entity_id)
+        return d
+
+    def entity_table(self):
+        """entities as a pyarrow table (input to canonicalization)."""
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "entity_id": [e.entity_id for e in self.entities],
+                "etype": [e.etype for e in self.entities],
+                "canonical": [e.canonical for e in self.entities],
+                "aliases": [list(e.aliases) for e in self.entities],
+            }
+        )
 
 
-def _person_aliases(rng: random.Random, first: str, last: str) -> list[str]:
-    full = f"{first} {last}"
-    aliases = [full, last]
-    if rng.random() < 0.4:
-        aliases.append(f"{first[0]}. {last}")
-    return aliases
+def _twin_variant(rng: random.Random, name: str) -> str:
+    kind = rng.random()
+    if kind < 0.4:
+        return name + " Inc."
+    if kind < 0.7:
+        return name + " Incorporated"
+    # typo variant: drop one interior character of the longest word
+    words = name.split()
+    w = max(words, key=len)
+    i = rng.randrange(1, len(w) - 1)
+    return name.replace(w, w[:i] + w[i + 1:], 1)
 
 
-def build_world(seed: int = 42, n_people: int = 120, n_orgs: int = 60, n_places: int = 40) -> list[Entity]:
+def build_world(seed: int = 42, n_people: int = 80, n_orgs: int = 24, n_places: int = 40) -> World:
     rng = random.Random(seed)
     entities: list[Entity] = []
-    used: set[str] = set()
-    i = 0
-    while len([e for e in entities if e.etype == "person"]) < n_people:
-        first = rng.choice(FIRST_NAMES)
-        last = rng.choice(LAST_NAMES)
+    gold: dict[str, str] = {}
+
+    def next_id(prefix: str) -> str:
+        return f"{prefix}{len(entities):05d}"
+
+    # people — unique full names; bare-surname / initials aliases only
+    # when globally unique (keeps every surface unambiguous)
+    fulls: list[tuple[str, str]] = []
+    seen = set()
+    while len(fulls) < n_people:
+        pair = (rng.choice(FIRST_NAMES), rng.choice(LAST_NAMES))
+        full = f"{pair[0]} {pair[1]}"
+        if full not in seen:
+            seen.add(full)
+            fulls.append(pair)
+    last_counts: dict[str, int] = {}
+    for _, last in fulls:
+        last_counts[last] = last_counts.get(last, 0) + 1
+    for first, last in fulls:
         full = f"{first} {last}"
-        if full in used:
-            i += 1
-            continue
-        used.add(full)
-        entities.append(
-            Entity(f"P{len(entities):05d}", "person", full, tuple(_person_aliases(rng, first, last)))
-        )
-    while len([e for e in entities if e.etype == "org"]) < n_orgs:
-        name = f"{rng.choice(ORG_STEMS)} {rng.choice(ORG_SUFFIXES)}"
-        if name in used:
-            continue
-        used.add(name)
-        entities.append(Entity(f"O{len(entities):05d}", "org", name, tuple(_org_aliases(rng, name))))
-    places = CITIES + COUNTRIES
-    for name in places[: n_places]:
-        entities.append(Entity(f"L{len(entities):05d}", "place", name, (name,)))
-    return entities
+        aliases = [full]
+        if last_counts[last] == 1:
+            aliases.append(last)
+            if rng.random() < 0.5:
+                aliases.append(f"{first[0]}. {last}")
+        eid = next_id("P")
+        entities.append(Entity(eid, "person", full, tuple(aliases)))
+        gold[eid] = eid
+
+    # orgs — unique stems so the bare-stem alias is unambiguous; every
+    # 4th org gets a near-duplicate twin record for canonicalization
+    stems = list(ORG_STEMS)
+    rng.shuffle(stems)
+    org_names = [f"{stems[k]} {rng.choice(ORG_SUFFIXES)}" for k in range(n_orgs)]
+    abbrevs = ["".join(w[0] for w in n.split()).upper() for n in org_names]
+    abbrev_counts: dict[str, int] = {}
+    for a in abbrevs:
+        abbrev_counts[a] = abbrev_counts.get(a, 0) + 1
+    for k, name in enumerate(org_names):
+        aliases = [name, stems[k]]
+        # abbreviation alias only when globally unique (no ambiguity)
+        if len(abbrevs[k]) >= 2 and abbrev_counts[abbrevs[k]] == 1:
+            aliases.append(abbrevs[k])
+        eid = next_id("O")
+        entities.append(Entity(eid, "org", name, tuple(aliases)))
+        gold[eid] = eid
+        if k % 4 == 0:
+            twin_name = _twin_variant(rng, name)
+            twin_id = next_id("O")
+            entities.append(Entity(twin_id, "org", twin_name, (twin_name,)))
+            gold[twin_id] = eid  # twin's cluster root is the original
+
+    for name in (CITIES + COUNTRIES)[:n_places]:
+        eid = next_id("L")
+        entities.append(Entity(eid, "place", name, (name,)))
+        gold[eid] = eid
+
+    return World(seed=seed, entities=entities, gold_clusters=gold)
 
 
-# Predicate templates. Each instantiates one sentence carrying exactly one
-# (subj, pred, obj) fact; the OpenIE stage recognizes the same patterns.
-# (pred, template, subj_type, obj_type)
+def zipf_choice(rng: random.Random, items: list, s: float = 1.1):
+    """Zipf-skewed choice — creates hot entities (skewed shuffle keys)."""
+    n = len(items)
+    # inverse-CDF sampling over 1/rank^s without materializing weights
+    # per call would be nicer; n is small so cumulative weights are fine
+    weights = [1.0 / (r + 1) ** s for r in range(n)]
+    return rng.choices(items, weights=weights, k=1)[0]
+
+
+# Predicate templates: each instantiates one sentence carrying exactly one
+# (subj, pred, obj) fact; the OpenIE stage recognizes the same verb
+# patterns (and only validated entity arguments, for precision).
 TRIPLE_TEMPLATES: list[tuple[str, str, str, str]] = [
     ("founded", "{subj} founded {obj}.", "person", "org"),
     ("acquired", "{subj} acquired {obj}.", "org", "org"),
@@ -153,13 +238,3 @@ NON_EN_SENTENCES = {
         "Muchos visitantes llegaron a pesar del mal tiempo.",
     ),
 }
-
-
-def alias_dictionary(entities: list[Entity]) -> dict[str, list[str]]:
-    """surface form (lowercased) → candidate entity ids. This is the
-    entity-linking resource broadcast to workers via ``ray.put``."""
-    d: dict[str, list[str]] = {}
-    for e in entities:
-        for a in e.aliases:
-            d.setdefault(a.lower(), []).append(e.entity_id)
-    return d

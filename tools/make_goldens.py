@@ -41,10 +41,10 @@ def main() -> None:
         "\n".join(json.dumps(r) for r in run_reference(fixture_docs)) + "\n"
     )
 
-    entities = world.build_world(CORPUS_SAMPLE_SEED)
+    w = world.build_world(CORPUS_SAMPLE_SEED)
     corpus_docs = {}
     for doc_id in range(CORPUS_SAMPLE_N):
-        row, _ = synthgen.gen_page_row(CORPUS_SAMPLE_SEED, doc_id, entities)
+        row, _ = synthgen.gen_page_row(CORPUS_SAMPLE_SEED, doc_id, w)
         corpus_docs[row["url"]] = html_to_events(row["html"])
     (out_dir / "corpus_sample.jsonl").write_text(
         "\n".join(json.dumps(r) for r in run_reference(corpus_docs)) + "\n"
