@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines, over a
+``documents(doc_id, text, lang, ...)`` table: token counting, quality
+scoring, language identification, and document fingerprinting.
+
+All are stateless ``map_batches`` stages; the per-batch functions are
+vectorized with pyarrow.compute where the kernel exists and fall back to
+tight Python loops only for the n-gram language profiles (compiled once
+at module import).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ws_token_counts(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace token count per row (0 for empty/whitespace-only),
+    matching DuckDB ``len(regexp_split_to_array(trim(text), '\\s+'))``
+    except that the empty string yields 0, not 1."""
+    trimmed = pc.utf8_trim_whitespace(texts)
+    split = pc.split_pattern_regex(trimmed, r"\s+")
+    n = pc.list_value_length(split)
+    empty = pc.equal(pc.utf8_length(trimmed), 0)
+    return pc.if_else(empty, pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
+
+
+def token_counts(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    return pa.table({id_col: batch[id_col], "n_tokens": _ws_token_counts(batch[text_col])})
+
+
+_PUNCT_RE = r"[^.,;:!?]"
+_STOPWORDS = frozenset(
+    "the a an and or of to in on for with is are was were be been it this "
+    "that as at by from but not they he she we you i his her its their".split()
+)
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-document quality features: length, punctuation density,
+    stopword ratio, mean word length. The first two are SQL-checkable;
+    all four feed a simple keep/drop quality gate."""
+    texts = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+    punct = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(texts, _PUNCT_RE, "")), pa.int64()
+    )
+    n_tokens = _ws_token_counts(texts)
+    punct_ratio = pc.if_else(
+        pc.greater(n_chars, 0),
+        pc.divide(pc.cast(punct, pa.float64()), pc.cast(n_chars, pa.float64())),
+        pa.scalar(0.0),
+    )
+    # stopword ratio needs tokenized comparison — plain loop over small lists
+    stop_ratios = []
+    for t in texts.to_pylist():
+        words = (t or "").lower().split()
+        stop_ratios.append(sum(1 for w in words if w in _STOPWORDS) / len(words) if words else 0.0)
+    mean_wlen = pc.if_else(
+        pc.greater(n_tokens, 0),
+        pc.divide(
+            pc.cast(pc.subtract(n_chars, n_tokens), pa.float64()),
+            pc.cast(pc.max_element_wise(n_tokens, 1), pa.float64()),
+        ),
+        pa.scalar(0.0),
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_chars_text": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": pa.array(stop_ratios, pa.float64()),
+            "mean_word_len": mean_wlen,
+        }
+    )
+
+
+# language-ID: tiny per-language stopword profiles (n-gram heuristic —
+# deliberately closed-world over the corpus languages; unknown → 'en')
+_LANG_PROFILES = {
+    "en": "the and of to in is was for with that this are on as at it by".split(),
+    "de": "der die das und ist war für mit den dem ein eine nicht auf im zu".split(),
+    "fr": "le la les et est était pour avec que dans un une des du au sur".split(),
+    "es": "el la los las y es era para con que en un una del al se por".split(),
+}
+_LANG_SETS = {lang: frozenset(ws) for lang, ws in _LANG_PROFILES.items()}
+
+
+def lang_id_text(text: str) -> str:
+    words = text.lower().split()
+    if not words:
+        return "und"
+    best, best_hits = "en", -1
+    for lang, ws in _LANG_SETS.items():
+        hits = sum(1 for w in words if w in ws)
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
+
+
+def lang_id(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    preds = [lang_id_text(t or "") for t in batch[text_col].to_pylist()]
+    return pa.table({id_col: batch[id_col], "lang_pred": pa.array(preds, pa.string())})
+
+
+def fingerprints(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """md5 of whitespace-normalized lowercased text — the exact-dedup
+    key, and SQL-checkable (md5(lower(regexp_replace(...)))."""
+    out = []
+    for t in batch[text_col].to_pylist():
+        norm = " ".join((t or "").lower().split())
+        out.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
+    return pa.table({id_col: batch[id_col], "fingerprint": pa.array(out, pa.string())})
