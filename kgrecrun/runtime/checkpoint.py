@@ -1,0 +1,142 @@
+"""Checkpointed, resumable execution of the flagship KG pipeline.
+
+Layout decision (SURVEY.md §7.6): the corpus is processed in input
+partitions (groups of input Parquet files). All *map-side* work —
+extraction, NER, OpenIE, linking, canonical-id application — is
+checkpointed per partition: each partition writes its canonical linked
+triples (and mention counts) under ``out_dir/<output>/part-<pid>/`` and
+then publishes a manifest. The *global* aggregation (exact triple
+dedup + n_sources) re-runs on resume but reads only the compact
+per-partition intermediates, never the raw pages — so a killed run
+resumes by re-doing at most one partition of heavy work plus a cheap
+reduce.
+
+Each partition's pipeline is a streaming Ray Data job (read →
+map_batches chain → write_parquet); partitions bound the re-work unit,
+streaming inside a partition keeps the executor pipelined. On a real
+cluster partition size is chosen so one partition ≈ tens of input
+files (≈100 GB), far above per-task granularity.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+
+from ..extract.stage import extract_articles
+from ..kg import canon
+from ..kg.link import link_triples
+from ..kg.ner import detect_mentions
+from ..kg.openie import extract_triples
+from ..kg.resources import KGResources, broadcast
+from . import manifest as mf
+from .pipeline import english_texts
+
+
+def _partition(files: list[str], files_per_partition: int) -> list[tuple[str, list[str]]]:
+    files = sorted(files)
+    return [
+        (f"{i // files_per_partition:05d}", files[i:i + files_per_partition])
+        for i in range(0, len(files), files_per_partition)
+    ]
+
+
+def run_checkpointed(
+    input_files: list[str],
+    entities_table: pa.Table,
+    out_dir: str,
+    *,
+    files_per_partition: int = 4,
+    concurrency=(1, 8),
+    config: dict | None = None,
+) -> dict:
+    """Run (or resume) the flagship pipeline over the given page files.
+
+    Returns summary: partitions run/skipped and the final deduplicated
+    triples output path.
+    """
+    import ray.data
+
+    config = dict(config or {})
+    config.setdefault("pipeline", "kg_v1")
+    cfg_hash = mf.config_hash(config)
+
+    resources = KGResources.from_entity_table(entities_table)
+    res_ref = broadcast(resources)
+
+    # global canonical map: entity table is a global resource, its
+    # clustering is independent of the page corpus
+    entities_ds = ray.data.from_arrow(entities_table.select(["entity_id", "canonical"]))
+    mapping = canon.canonicalize(entities_ds)
+    mapping_ref = broadcast(mapping)
+
+    partitions = _partition(input_files, files_per_partition)
+    ran, skipped = [], []
+    for pid, files in partitions:
+        if mf.is_complete(out_dir, pid, files, cfg_hash):
+            skipped.append(pid)
+            continue
+        t0 = time.time()
+        pages = ray.data.read_parquet(files)
+        articles = extract_articles(pages, emit_html=False)
+        texts = english_texts(articles)
+        linked = link_triples(
+            extract_triples(texts, res_ref, concurrency=concurrency),
+            res_ref,
+            concurrency=concurrency,
+        )
+        canonical = canon.canonical_triples(linked, mapping_ref)
+        mentions = detect_mentions(texts, res_ref, concurrency=concurrency)
+
+        triples_dir = os.path.join(out_dir, "triples_linked", f"part-{pid}")
+        mentions_dir = os.path.join(out_dir, "mentions", f"part-{pid}")
+        # a partition without a manifest may hold partial output from an
+        # interrupted run — clear it before rewriting (write-then-publish)
+        import shutil
+
+        for d in (triples_dir, mentions_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        canonical.write_parquet(triples_dir)
+        mentions.write_parquet(mentions_dir)
+
+        import pyarrow.dataset as pads
+
+        n_pages = pages.count()
+        n_triples = pads.dataset(triples_dir).count_rows()
+        n_mentions = pads.dataset(mentions_dir).count_rows()
+        wall = time.time() - t0
+        mf.write_manifest(
+            out_dir,
+            mf.PartitionManifest(
+                partition_id=pid,
+                input_files=files,
+                input_fingerprint=mf.fingerprint_files(files),
+                config_hash=cfg_hash,
+                row_counts={"pages": n_pages, "triples_linked": n_triples, "mentions": n_mentions},
+                metrics={"wall_s": wall, "pages_per_s": n_pages / wall if wall > 0 else 0.0},
+                lineage=[f"pages:{os.path.basename(f)}" for f in files],
+            ),
+        )
+        ran.append(pid)
+
+    # global reduce over compact per-partition intermediates; the final
+    # table is derived output — rebuilt (not appended) on every run
+    import shutil
+
+    triples_root = os.path.join(out_dir, "triples_linked")
+    all_triples = ray.data.read_parquet(triples_root)
+    final = canon.dedup_triples(all_triples)
+    final_dir = os.path.join(out_dir, "triples")
+    if os.path.isdir(final_dir):
+        shutil.rmtree(final_dir)
+    final.write_parquet(final_dir)
+
+    return {
+        "partitions_run": ran,
+        "partitions_skipped": skipped,
+        "triples_dir": final_dir,
+        "config_hash": cfg_hash,
+    }

@@ -1,0 +1,67 @@
+"""Resumability: a run killed after some partitions resumes from the
+per-partition manifests, skips completed work, and produces output
+identical to an uninterrupted run.
+"""
+
+import pyarrow.dataset as pads
+import pytest
+
+from kgrecrun.corpus import synthgen
+from kgrecrun.runtime import manifest as mf
+from kgrecrun.runtime.checkpoint import run_checkpointed
+
+
+def _triples_set(path):
+    t = pads.dataset(path).to_table()
+    return set(
+        zip(t["subj"].to_pylist(), t["pred"].to_pylist(), t["obj"].to_pylist(), t["n_sources"].to_pylist())
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_from_manifests(tmp_path):
+    import glob
+
+    corpus = tmp_path / "corpus"
+    synthgen.write_corpus(str(corpus), n_docs=120, seed=42, shard_size=20)
+    w = synthgen.get_world(42)
+    files = sorted(glob.glob(str(corpus / "pages" / "*.parquet")))
+    assert len(files) == 6
+
+    # clean full run (reference output)
+    out_a = str(tmp_path / "out_a")
+    res_a = run_checkpointed(files, w.entity_table(), out_a, files_per_partition=2)
+    assert res_a["partitions_run"] == ["00000", "00001", "00002"]
+    assert res_a["partitions_skipped"] == []
+
+    # "killed" run: only the first 2 partitions' inputs processed
+    out_b = str(tmp_path / "out_b")
+    run_checkpointed(files[:4], w.entity_table(), out_b, files_per_partition=2)
+    manifests = mf.load_manifests(out_b)
+    assert set(manifests) == {"00000", "00001"}
+    for m in manifests.values():
+        assert m.row_counts["pages"] == 40
+        assert m.metrics["wall_s"] > 0
+        assert m.lineage
+
+    # resume with the full input: completed partitions are skipped
+    res_b = run_checkpointed(files, w.entity_table(), out_b, files_per_partition=2)
+    assert res_b["partitions_skipped"] == ["00000", "00001"]
+    assert res_b["partitions_run"] == ["00002"]
+
+    assert _triples_set(out_a + "/triples") == _triples_set(out_b + "/triples")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_config_change_invalidates(tmp_path):
+    import glob
+
+    corpus = tmp_path / "corpus"
+    synthgen.write_corpus(str(corpus), n_docs=40, seed=42, shard_size=20)
+    w = synthgen.get_world(42)
+    files = sorted(glob.glob(str(corpus / "pages" / "*.parquet")))
+    out = str(tmp_path / "out")
+    run_checkpointed(files, w.entity_table(), out, files_per_partition=2)
+    res = run_checkpointed(files, w.entity_table(), out, files_per_partition=2,
+                           config={"pipeline": "kg_v2"})
+    assert res["partitions_skipped"] == []  # config hash changed → re-run
