@@ -1,0 +1,335 @@
+"""Deduplication operators for training-data pipelines, over a
+``documents(doc_id, text)``-shaped Dataset (and an embeddings variant).
+
+Five family members, all with the same scale shape — per-row sketch in
+``map_batches`` → LSH/band blocking ``groupby`` → in-block verification
+→ driver union-find over the (small) verified edge list → broadcast
+cluster map applied in one final ``map_batches``:
+
+* exact          — md5 of normalized text, hash-partition + min-id
+* minhash        — word-shingle MinHash, banded LSH, signature-estimate verify
+* simhash        — 64-bit SimHash, 4×16-bit band blocking, hamming verify
+* ngram_jaccard  — bottom-k shingle sketch, exact jaccard on sketches
+* embedding      — random-hyperplane LSH over an embedding column, cosine verify
+
+Every variant returns a Dataset ``(doc_id, root_id)`` where
+``root_id`` is the smallest doc_id of the duplicate cluster (root_id ==
+doc_id for uniques); ``kept(ds)`` filters to cluster roots.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kg.minhash import MinHasher, word_shingles
+from ..kg.unionfind import UnionFind
+
+
+# ---------- shared helpers ----------
+
+def _edges_to_mapping(edges_ds) -> dict:
+    """Collect verified edges (small relative to corpus) → union-find →
+    {doc_id: root}."""
+    uf = UnionFind()
+    for batch in edges_ds.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
+            uf.union(a, b)
+    return uf.components()
+
+
+def _apply_mapping(docs_ds, mapping, id_col: str = "doc_id"):
+    from ..kg.resources import broadcast, resolve
+
+    try:
+        ref = broadcast(mapping)
+    except Exception:
+        ref = mapping
+
+    class Apply:
+        def __init__(self, mapping_ref):
+            self.mapping = resolve(mapping_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            roots = [self.mapping.get(i, i) for i in ids]
+            return pa.table({id_col: batch[id_col], "root_id": pa.array(roots, batch[id_col].type)})
+
+    return docs_ds.map_batches(
+        Apply,
+        fn_constructor_kwargs={"mapping_ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def kept(cluster_ds, id_col: str = "doc_id"):
+    """Filter a (doc_id, root_id) Dataset to the cluster roots."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch[id_col], batch["root_id"])).select([id_col])
+
+    return cluster_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_text(t: str) -> str:
+    return " ".join((t or "").lower().split())
+
+
+# ---------- exact ----------
+
+def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, root_id) via content-hash grouping: the global shuffle
+    carries only (hash, id) pairs, never text."""
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table({"h": pa.array(hs, pa.string()), id_col: batch[id_col]})
+
+    hashed = docs_ds.map_batches(to_hashes, batch_format="pyarrow", zero_copy_batch=True)
+    roots = hashed.groupby("h").min(id_col)  # (h, min(doc_id))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["h", "root_id"])
+
+    roots = roots.map_batches(rename, batch_format="pyarrow")
+    joined = hashed.join(roots, "inner", num_partitions=8, on=("h",))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, "root_id"])
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+# ---------- minhash LSH ----------
+
+class _MinhashBands:
+    def __init__(self, num_perm: int, bands: int, k: int, text_col: str, id_col: str):
+        self.hasher = MinHasher(num_perm)
+        self.bands = bands
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, ids, sigs = [], [], []
+        for i, t in enumerate(batch[self.text_col].to_pylist()):
+            sig = self.hasher.signature(word_shingles(t or "", self.k))
+            doc = batch[self.id_col][i].as_py()
+            sig_bytes = sig.tobytes()
+            for bk in self.hasher.band_keys(sig, self.bands):
+                keys.append(bk)
+                ids.append(doc)
+                sigs.append(sig_bytes)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(ids),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+def _verify_sig_block(block: pa.Table, threshold: float, window: int) -> pa.Table:
+    ids = block["doc_id"].to_pylist()
+    sigs = [np.frombuffer(s, dtype=np.uint64) for s in block["sig"].to_pylist()]
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    srcs, dsts = [], []
+    for pos in range(len(order)):
+        i = order[pos]
+        for pos2 in range(pos + 1, min(pos + 1 + window, len(order))):
+            j = order[pos2]
+            if ids[i] == ids[j]:
+                continue
+            est = float(np.mean(sigs[i] == sigs[j]))  # unbiased jaccard estimate
+            if est >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                srcs.append(a)
+                dsts.append(b)
+    return pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+
+
+def minhash_dedup(docs_ds, *, threshold: float = 0.7, num_perm: int = 128, bands: int = 32,
+                  shingle_k: int = 5, window: int = 32, text_col: str = "text", id_col: str = "doc_id"):
+    banded = docs_ds.map_batches(
+        _MinhashBands(num_perm, bands, shingle_k, text_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=256,
+    )
+    edges = banded.groupby("band_key").map_groups(
+        lambda g: _verify_sig_block(g, threshold, window), batch_format="pyarrow"
+    )
+    return _apply_mapping(docs_ds, _edges_to_mapping(edges), id_col)
+
+
+# ---------- simhash ----------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word hashes (md5-derived, deterministic)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for w in normalize_text(text).split():
+        hb = hashlib.md5(w.encode("utf-8")).digest()[:8]
+        bits = np.unpackbits(np.frombuffer(hb, dtype=np.uint8), bitorder="little")
+        acc += bits.astype(np.int64) * 2 - 1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def simhash_dedup(docs_ds, *, max_hamming: int = 3, window: int = 64,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """SimHash near-dup: 4×16-bit band blocking guarantees that any pair
+    within hamming distance 3 shares at least one exact band
+    (pigeonhole); verification checks the true distance."""
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        keys, ids, hashes = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            sh = simhash64(t or "")
+            doc = batch[id_col][i].as_py()
+            for b in range(4):
+                band = (sh >> (16 * b)) & 0xFFFF
+                keys.append((b << 16) | band)
+                ids.append(doc)
+                hashes.append(sh)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(ids),
+                "simhash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    def verify(block: pa.Table) -> pa.Table:
+        ids = block["doc_id"].to_pylist()
+        hs = block["simhash"].to_pylist()
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        srcs, dsts = [], []
+        for pos in range(len(order)):
+            i = order[pos]
+            for pos2 in range(pos + 1, min(pos + 1 + window, len(order))):
+                j = order[pos2]
+                if ids[i] == ids[j]:
+                    continue
+                if bin(hs[i] ^ hs[j]).count("1") <= max_hamming:
+                    a, b = sorted((ids[i], ids[j]))
+                    srcs.append(a)
+                    dsts.append(b)
+        return pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+
+    banded = docs_ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+    edges = banded.groupby("band_key").map_groups(verify, batch_format="pyarrow")
+    return _apply_mapping(docs_ds, _edges_to_mapping(edges), id_col)
+
+
+# ---------- n-gram jaccard via bottom-k sketches ----------
+
+def ngram_jaccard_dedup(docs_ds, *, threshold: float = 0.7, sketch_k: int = 200,
+                        shingle_k: int = 4, bands: int = 16, num_perm: int = 64,
+                        window: int = 32, text_col: str = "text", id_col: str = "doc_id"):
+    """Jaccard on bottom-k shingle sketches (exact on the sketch, an
+    unbiased estimator of the true jaccard); minhash-band blocking."""
+    hasher = MinHasher(num_perm)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        keys, ids, sketches = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            sh = word_shingles(t or "", shingle_k)
+            sketch = np.array(sorted(sh)[:sketch_k], dtype=np.uint64)
+            sig = hasher.signature(sh)
+            doc = batch[id_col][i].as_py()
+            for bk in hasher.band_keys(sig, bands):
+                keys.append(bk)
+                ids.append(doc)
+                sketches.append(sketch.tobytes())
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(ids),
+                "sketch": pa.array(sketches, pa.binary()),
+            }
+        )
+
+    def verify(block: pa.Table) -> pa.Table:
+        ids = block["doc_id"].to_pylist()
+        sk = [set(np.frombuffer(s, dtype=np.uint64).tolist()) for s in block["sketch"].to_pylist()]
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        srcs, dsts = [], []
+        for pos in range(len(order)):
+            i = order[pos]
+            for pos2 in range(pos + 1, min(pos + 1 + window, len(order))):
+                j = order[pos2]
+                if ids[i] == ids[j]:
+                    continue
+                inter = len(sk[i] & sk[j])
+                union = len(sk[i] | sk[j])
+                if union and inter / union >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    srcs.append(a)
+                    dsts.append(b)
+        return pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+
+    banded = docs_ds.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
+    edges = banded.groupby("band_key").map_groups(verify, batch_format="pyarrow")
+    return _apply_mapping(docs_ds, _edges_to_mapping(edges), id_col)
+
+
+# ---------- embedding cosine ----------
+
+def embedding_dedup(embeds_ds, *, threshold: float = 0.95, n_planes: int = 12,
+                    window: int = 64, vec_col: str = "embedding", id_col: str = "vec_id",
+                    seed: int = 13):
+    """Near-dup by embedding cosine: random-hyperplane LSH bucket →
+    in-bucket cosine verify. Planes are seeded → deterministic buckets."""
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def get_planes(dim: int) -> np.ndarray:
+        if dim not in planes_by_dim:
+            rng = np.random.RandomState(seed)
+            planes_by_dim[dim] = rng.standard_normal((n_planes, dim))
+        return planes_by_dim[dim]
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        ids = batch[id_col].to_pylist()
+        planes = get_planes(vecs.shape[1])
+        signs = (vecs @ planes.T) > 0
+        keys = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(ids),
+                "vec": pa.array([v.tobytes() for v in vecs], pa.binary()),
+            }
+        )
+
+    def verify(block: pa.Table) -> pa.Table:
+        ids = block["doc_id"].to_pylist()
+        vecs = [np.frombuffer(v, dtype=np.float64) for v in block["vec"].to_pylist()]
+        norms = [np.linalg.norm(v) for v in vecs]
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        srcs, dsts = [], []
+        for pos in range(len(order)):
+            i = order[pos]
+            for pos2 in range(pos + 1, min(pos + 1 + window, len(order))):
+                j = order[pos2]
+                if ids[i] == ids[j]:
+                    continue
+                denom = norms[i] * norms[j]
+                if denom > 0 and float(vecs[i] @ vecs[j]) / denom >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    srcs.append(a)
+                    dsts.append(b)
+        return pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+
+    bucketed = embeds_ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+    edges = bucketed.groupby("band_key").map_groups(verify, batch_format="pyarrow")
+    return _apply_mapping(embeds_ds, _edges_to_mapping(edges), id_col)

@@ -1,0 +1,174 @@
+"""Training-data ops: text analysis, the dedup family, similarity
+search, multimodal stubs. Behavioral tests use planted duplicates; the
+driver's read-only testdata tables are used where real data helps.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kgrecrun.ops import ann, dedup, media, text as optext
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the committee "
+    "reviews the annual report on river levels and infrastructure funding "
+    "across twelve districts during the third consecutive year of decline "
+    "with observers from neighbouring regions filing written remarks before "
+    "the deadline and several agencies preparing corrected bulletins for "
+    "publication in the spring alongside revised gauge calibration tables"
+)
+NEAR = BASE.replace("annual report", "yearly report")
+FAR = (
+    "completely different content about orchestras rehearsing symphonies "
+    "in the concert hall every evening with brass woodwind and string "
+    "sections preparing for the winter festival season program"
+)
+
+
+def test_token_counts_and_fingerprints():
+    t = _docs_table(["a b  c", "", "  ", "one"])
+    out = optext.token_counts(t)
+    assert out["n_tokens"].to_pylist() == [3, 0, 0, 1]
+    fp = optext.fingerprints(_docs_table(["Hello  World", "hello world", "other"]))
+    fps = fp["fingerprint"].to_pylist()
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_quality_scores():
+    out = optext.quality_scores(_docs_table(["Short, sharp. Sentence!", ""]))
+    assert out["n_chars_text"].to_pylist()[0] == 23
+    assert out["punct_ratio"].to_pylist()[0] == pytest.approx(3 / 23)
+    assert out["punct_ratio"].to_pylist()[1] == 0.0
+
+
+def test_lang_id_on_corpus():
+    from kgrecrun.corpus import synthgen
+
+    pages, _ = synthgen.gen_batch(range(200), 42)
+    correct = sum(
+        1
+        for t, lang in zip(pages["text"].to_pylist(), pages["lang"].to_pylist())
+        if optext.lang_id_text(t) == lang
+    )
+    assert correct / pages.num_rows >= 0.97
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup():
+    import ray.data
+
+    t = _docs_table([BASE, FAR, BASE, "  " + BASE + " ", NEAR], ids=[10, 11, 12, 13, 14])
+    result = dedup.exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    m = dict(zip(result["doc_id"], result["root_id"]))
+    assert m[10] == m[12] == m[13] == 10  # normalization folds whitespace
+    assert m[11] == 11 and m[14] == 14
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("fn", [dedup.minhash_dedup, dedup.simhash_dedup, dedup.ngram_jaccard_dedup])
+def test_near_dedup_variants(fn):
+    import ray.data
+
+    t = _docs_table([BASE, NEAR, FAR, BASE + " extra trailing words here"], ids=[0, 1, 2, 3])
+    result = fn(ray.data.from_arrow(t)).to_pandas()
+    m = dict(zip(result["doc_id"], result["root_id"]))
+    assert m[1] == 0, f"near-dup not merged by {fn.__name__}: {m}"
+    assert m[2] == 2, f"distinct doc merged by {fn.__name__}: {m}"
+    kept_ids = set(dedup.kept(fn(ray.data.from_arrow(t))).to_pandas()["doc_id"])
+    assert 2 in kept_ids and 0 in kept_ids and 1 not in kept_ids
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dedup():
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((20, 16))
+    vecs = list(base) + [base[0] + 1e-3 * rng.standard_normal(16)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(21), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    result = dedup.embedding_dedup(ray.data.from_arrow(t)).to_pandas()
+    m = dict(zip(result["vec_id"], result["root_id"]))
+    assert m[20] == 0
+    assert sum(1 for k, v in m.items() if k != v) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brute_force_topk_matches_numpy():
+    import ray.data
+
+    embeds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    table = embeds.to_pandas()
+    mat = np.array(table["embedding"].tolist(), dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = mat[:3]
+    result = ann.brute_force_topk(
+        ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"), queries, [0, 1, 2], k=10
+    ).to_pandas()
+    for qi in range(3):
+        scores = mat_n @ (queries[qi] / np.linalg.norm(queries[qi]))
+        order = np.lexsort((table["vec_id"].to_numpy(), -scores))[:10]
+        expected = [int(table["vec_id"].iloc[j]) for j in order]
+        got = list(
+            result[result["query_id"] == qi].sort_values("rank")["vec_id"]
+        )
+        assert got == expected, f"query {qi}: {got} != {expected}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall():
+    import ray.data
+
+    embeds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    sample = np.array(embeds.take_batch(200, batch_format="pyarrow")["embedding"].to_pylist())
+    index = ann.IVFIndex(n_centroids=8, n_iters=5).fit(sample)
+    assigned = index.assign_stage(ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"))
+    queries = sample[:3]
+    approx = index.search(assigned, queries, [0, 1, 2], k=10, n_probe=3).to_pandas()
+    exact = ann.brute_force_topk(
+        ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"), queries, [0, 1, 2], k=10
+    ).to_pandas()
+    recalls = []
+    for qi in range(3):
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_stage():
+    import ray.data
+
+    t = media.synth_media_batch(range(30))
+    out = media.decode_media(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 30
+    assert out["error"].isna().all()
+    assert set(out["kind"]) == {"image", "audio"}
+    assert all(len(f) == 64 for f in out["features"])
+    # a real-format payload is a clearly-marked stub, not a crash
+    bad = pa.table(
+        {
+            "media_id": pa.array([99], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([b"\x89PNG\r\n\x1a\n....."], pa.large_binary()),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+            "sample_rate": pa.array([0], pa.int32()),
+            "url": pa.array(["x"], pa.string()),
+        }
+    )
+    out_bad = media.decode_media(ray.data.from_arrow(bad)).to_pandas()
+    assert "codecs" in out_bad["error"].iloc[0]
