@@ -1,16 +1,24 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline; ``queries()``
+exposes one callable per implemented operator family (SURVEY.md §2 +
+training-data ops) and ``oracle_sql()`` the DuckDB-checkable subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Column-name / value-hash contract: every computed column is named
+identically in the Ray pipeline and the SQL; money/value sums are
+integer cents (one deterministic ``round(x*100)`` per row, then an
+order-independent int64 sum) and remaining float outputs are rounded
+half-away-from-zero to 6 decimals on BOTH sides, so hashes are exact.
+
+KG pipelines (extraction → NER → OpenIE → linking → canonicalization)
+run over the deterministic synthetic Common-Crawl-style ``pages`` corpus
+(BASELINE.json input_hint shape; kgrecrun.corpus.synthgen) — they are
+not SQL-expressible, so those entries have no oracle and get the
+driver's rows-only check; their real gate is the P/R + byte-parity
+pytest suite (tests/test_parity.py, tests/test_kg.py).
 """
 
 from __future__ import annotations
@@ -18,27 +26,366 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_SF_DOCS = {"sf0.001": 400, "sf0.01": 1500, "sf0.1": 8000}
+
+
+def _n_docs(sf_dir: str) -> int:
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return _SF_DOCS.get(name, 1000)
+
+
+def _synth_pages(sf_dir: str):
+    from kgrecrun.corpus.synthgen import pages_dataset
+
+    return pages_dataset(_n_docs(sf_dir), seed=42)
+
+
+def _kg(sf_dir: str) -> dict:
+    from kgrecrun.corpus.synthgen import get_world
+    from kgrecrun.runtime.pipeline import kg_pipeline
+
+    world = get_world(42)
+    return kg_pipeline(_synth_pages(sf_dir), world.entity_table())
+
+
+def _round6(tbl: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        i = tbl.column_names.index(c)
+        tbl = tbl.set_column(
+            i, c, pc.round(pc.cast(tbl[c], pa.float64()), ndigits=6,
+                           round_mode="half_towards_infinity")
+        )
+    return tbl
+
+
+# ---------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic CC-style pages (input_hint shape) UNIONed with
+    pages wrapped from the sf0.001 documents table → extraction → NER →
+    OpenIE → linking → canonicalization → deduplicated triples."""
+    import ray.data
 
+    from kgrecrun.corpus.synthgen import get_world
+    from kgrecrun.runtime.pipeline import kg_pipeline
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        rows = []
+        for did, text, lang in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            body = "".join(f"<p>{p}</p>" for p in (text or "").split("\n") if p)
+            html = (
+                f"<html><head><title>Document {did}</title></head><body>"
+                f"<nav><ul><li><a href=\"/home\">Home</a></li></ul></nav>"
+                f"<div class=\"story-body\">{body}</div>"
+                f"<footer><a href=\"/about\">About</a></footer></body></html>"
+            )
+            rows.append(
+                {
+                    "url": f"https://docs.example/{did}",
+                    "warc_ts": 1735689600000000 + did,
+                    "html": html.encode("utf-8"),
+                    "text": text or "",
+                    "lang": lang or "en",
+                }
+            )
+        from kgrecrun.corpus.synthgen import PAGES_SCHEMA
+
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    doc_pages = docs.map_batches(wrap, batch_format="pyarrow")
+    pages = _synth_pages(sf_dir).union(doc_pages)
+    world = get_world(42)
+    return kg_pipeline(pages, world.entity_table())["triples"]
+
+
+# -------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kgrecrun.ops import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_articles(sf_dir: str):
+        from kgrecrun.extract.stage import extract_articles
+
+        arts = extract_articles(_synth_pages(sf_dir), emit_html=False)
+        return arts.map_batches(
+            lambda b: b.select(["url", "title", "text_length", "score"]),
+            batch_format="pyarrow",
+        )
+
+    def kg_mentions(sf_dir: str):
+        return _kg(sf_dir)["mentions"]
+
+    def kg_triples(sf_dir: str):
+        return _kg(sf_dir)["triples"]
+
+    def doc_token_counts(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.text import token_counts
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def doc_quality(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.text import quality_scores
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        scored = ds.map_batches(quality_scores, batch_format="pyarrow", zero_copy_batch=True)
+        return scored.map_batches(
+            lambda b: _round6(b, ["punct_ratio", "stopword_ratio", "mean_word_len"]),
+            batch_format="pyarrow",
+        )
+
+    def doc_fingerprints(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.text import fingerprints
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(fingerprints, batch_format="pyarrow", zero_copy_batch=True)
+
+    def doc_lang_pred(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.text import lang_id
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
+
+    def exact_dedup(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.dedup import exact_dedup as ed
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ed(ds)
+
+    def minhash_dedup(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.dedup import minhash_dedup as md
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return md(ds)
+
+    def simhash_dedup(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.dedup import simhash_dedup as sd
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return sd(ds)
+
+    def ngram_jaccard_dedup(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.dedup import ngram_jaccard_dedup as nd
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return nd(ds)
+
+    def embedding_dedup(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.dedup import embedding_dedup as bd
+
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return bd(ds)
+
+    def _query_vectors(sf_dir: str):
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        mask = pc.is_in(tbl["vec_id"], value_set=pa.array([0, 1, 2, 3]))
+        qt = tbl.filter(mask)
+        order = pc.sort_indices(qt, sort_keys=[("vec_id", "ascending")])
+        qt = qt.take(order)
+        return np.array(qt["embedding"].to_pylist(), dtype=np.float64), qt["vec_id"].to_pylist()
+
+    def ann_topk(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.ann import brute_force_topk
+
+        q, qids = _query_vectors(sf_dir)
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        top = brute_force_topk(ds, q, qids, k=10)
+        return top.map_batches(lambda b: _round6(b, ["score"]), batch_format="pyarrow")
+
+    def ann_ivf(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.ann import IVFIndex
+
+        q, qids = _query_vectors(sf_dir)
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        sample = np.array(tbl["embedding"].to_pylist()[:256], dtype=np.float64)
+        index = IVFIndex(n_centroids=16, n_iters=8).fit(sample)
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        res = index.search(index.assign_stage(ds), q, qids, k=10, n_probe=4)
+        return res.map_batches(lambda b: _round6(b, ["score"]), batch_format="pyarrow")
+
+    def media_features(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.media import decode_media, synth_media_batch
+
+        n = max(60, _n_docs(sf_dir) // 10)
+
+        def gen(batch: pa.Table) -> pa.Table:
+            return synth_media_batch(batch["id"].to_pylist())
+
+        media = ray.data.range(n).map_batches(gen, batch_format="pyarrow", batch_size=32)
+        feats = decode_media(media)
+        return feats.map_batches(
+            lambda b: pa.table(
+                {
+                    "media_id": b["media_id"],
+                    "kind": b["kind"],
+                    "checksum": b["checksum"],
+                    "n_features": pc.cast(pc.list_value_length(b["features"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return {
+        # --- KG flagship (rows-only; gated by pytest P/R + byte parity) ---
+        "kg_articles": kg_articles,
+        "kg_mentions": kg_mentions,
+        "kg_triples": kg_triples,
+        # --- text analysis (SQL-checkable) ---
+        "docs_by_lang": R.docs_by_lang,
+        "doc_token_counts": doc_token_counts,
+        "doc_quality": doc_quality,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_lang_pred": doc_lang_pred,
+        # --- dedup family ---
+        "exact_dedup": exact_dedup,
+        "minhash_dedup": minhash_dedup,
+        "simhash_dedup": simhash_dedup,
+        "ngram_jaccard_dedup": ngram_jaccard_dedup,
+        "embedding_dedup": embedding_dedup,
+        # --- similarity search ---
+        "ann_topk": ann_topk,
+        "ann_ivf": ann_ivf,
+        # --- multimodal plumbing (stub codecs; rows-only) ---
+        "media_features": media_features,
+        # --- relational core (SQL-checkable) ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "top_customers": R.top_customers,
+        "events_daily": R.events_daily,
+        "part_topk": R.part_topk,
+        "supplier_region": R.supplier_region,
+    }
+
+
+# ------------------------------------------------------------- oracles
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_NTOK = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
+)
+_STOPWORDS_SQL = (
+    "['the','a','an','and','or','of','to','in','on','for','with','is','are',"
+    "'was','were','be','been','it','this','that','as','at','by','from','but',"
+    "'not','they','he','she','we','you','i','his','her','its','their']"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "docs_by_lang": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "doc_token_counts": f"SELECT doc_id, {_NTOK} AS n_tokens FROM documents",
+        "doc_quality": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars_text,
+                       {_NTOK} AS n_tokens,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id, n_chars_text, n_tokens,
+                   CASE WHEN n_chars_text = 0 THEN 0.0
+                        ELSE round(n_punct * 1.0 / n_chars_text, 6) END AS punct_ratio,
+                   CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE round(len(list_filter(toks,
+                                 x -> list_contains({_STOPWORDS_SQL}, x))) * 1.0
+                             / n_tokens, 6) END AS stopword_ratio,
+                   CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE round((n_chars_text - n_tokens) * 1.0 / n_tokens, 6)
+                        END AS mean_word_len
+            FROM base
+        """,
+        "doc_fingerprints": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "exact_dedup": (
+            f"SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS root_id "
+            "FROM documents"
+        ),
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   COUNT(*) AS count_order,
+                   round(SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*), 6) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            WITH agg AS (
+                SELECT o_custkey,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+                ORDER BY revenue_cents DESC, o_custkey ASC LIMIT 10
+            )
+            SELECT c.c_custkey, c.c_name, agg.revenue_cents, agg.n_orders
+            FROM agg JOIN customer c ON c.c_custkey = agg.o_custkey
+        """,
+        "events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "part_topk": """
+            SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_size > 25
+            ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 20
+        """,
+        "supplier_region": """
+            SELECT r.r_name, COUNT(*) AS n_suppliers,
+                   SUM(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS sum_acctbal_cents
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+            ), s AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS raw
+                FROM q CROSS JOIN embeddings e
+            ), r AS (
+                SELECT query_id, vec_id, raw,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY raw DESC, vec_id ASC) AS rn
+                FROM s
+            )
+            SELECT query_id, vec_id, round(raw, 6) AS score, rn AS "rank"
+            FROM r WHERE rn <= 10
+        """,
+    }

@@ -1,0 +1,139 @@
+"""Benchmark driver. Prints ONE JSON line with per-pipeline wall times.
+
+Default mode: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32).
+
+--scaling: run the flagship KG pipeline twice in FRESH subprocesses at
+num_cpus=8 (N) and num_cpus=32 (4N) over the same synthetic corpus and
+report docs/sec at both plus efficiency = T32 / (4 * T8)  (sandbox
+protocol for the north rule's two-cluster-size criterion, BASELINE.md).
+
+--kg-once --cpus C --docs D: internal child mode for --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, log_to_driver=False)
+
+
+def _consume(ds) -> int:
+    """Force full streaming execution; returns row count."""
+    import ray.data
+
+    if isinstance(ds, ray.data.Dataset):
+        return ds.count()
+    return len(ds)
+
+
+def run_kg(n_docs: int) -> int:
+    """Flagship: synthetic pages → extract → NER/OpenIE → link → canon →
+    dedup triples. Returns triple count."""
+    from kgrecrun.corpus.synthgen import get_world, pages_dataset
+    from kgrecrun.runtime.pipeline import kg_pipeline
+
+    stages = kg_pipeline(pages_dataset(n_docs, seed=42), get_world(42).entity_table())
+    return _consume(stages["triples"])
+
+
+def bench_main() -> None:
+    _init(NUM_CPUS)
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    names = [
+        "kg_articles", "kg_triples",
+        "doc_quality", "doc_fingerprints",
+        "exact_dedup", "minhash_dedup", "simhash_dedup",
+        "ann_topk",
+        "q1_pricing_summary", "events_daily", "top_customers",
+    ]
+    times: dict[str, float] = {}
+    total0 = time.time()
+    kg_docs = 8000  # _SF_DOCS["sf0.1"] — flagship corpus size at bench scale
+    for name in names:
+        t0 = time.time()
+        n = _consume(qs[name](SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+        print(f"{name}: {n} rows in {times[name]}s", file=sys.stderr)
+    total = round(time.time() - total0, 3)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "kg_docs_per_sec": round(kg_docs / (times["kg_articles"] + times["kg_triples"]), 2),
+    }))
+
+
+def kg_once(cpus: int, docs: int) -> None:
+    _init(cpus)
+    t0 = time.time()
+    n = run_kg(docs)
+    print(json.dumps({"elapsed": time.time() - t0, "docs": docs, "triples": n,
+                      "docs_per_sec": docs / (time.time() - t0)}))
+
+
+def scaling(docs: int, reps: int) -> None:
+    """N vs 4N in fresh processes; medians over `reps` runs each."""
+    results: dict[int, list[float]] = {8: [], 32: []}
+    for rep in range(reps):
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--kg-once",
+                 "--cpus", str(cpus), "--docs", str(docs)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            results[cpus].append(r["docs_per_sec"])
+            print(f"rep {rep} cpus={cpus}: {r['docs_per_sec']:.1f} docs/s "
+                  f"({r['elapsed']:.1f}s, {r['triples']} triples)", file=sys.stderr)
+    med = {c: sorted(v)[len(v) // 2] for c, v in results.items()}
+    eff = med[32] / (4 * med[8])
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs": docs,
+        "docs_per_sec_cpus8": round(med[8], 2),
+        "docs_per_sec_cpus32": round(med[32], 2),
+        "all_runs": {str(k): [round(x, 2) for x in v] for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--kg-once", action="store_true")
+    p.add_argument("--cpus", type=int, default=NUM_CPUS)
+    p.add_argument("--docs", type=int, default=12000)
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+    if args.kg_once:
+        kg_once(args.cpus, args.docs)
+    elif args.scaling:
+        scaling(args.docs, args.reps)
+    else:
+        bench_main()

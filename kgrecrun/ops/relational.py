@@ -1,0 +1,243 @@
+"""Relational pipelines over the driver's TPC-H-ish tables, expressed
+Ray-Data-first: column-pruned ``read_parquet``, per-batch partial
+aggregation (combiner) before every global ``groupby``, broadcast
+lookup for small dimension tables instead of shuffle joins, and
+``sort().limit()`` only on already-reduced data.
+
+Money columns are summed as integer cents (``round(x*100)`` per row is
+one deterministic double op, then an order-independent int64 sum) so
+results are bit-exact against any SQL engine regardless of float
+summation order — the oracle SQL in ``__ray_entry__.py`` mirrors this.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _cents(col) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(pc.cast(col, pa.float64()), 100.0)), pa.int64())
+
+
+def docs_by_lang(sf_dir: str):
+    """documents → (lang, n): global count per language."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang"]).aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "n_local"])
+
+    agg = ds.map_batches(pre, batch_format="pyarrow").groupby("lang").sum("n_local")
+    return agg.map_batches(
+        lambda b: b.rename_columns(["lang", "n"]), batch_format="pyarrow"
+    )
+
+
+def q1_pricing_summary(sf_dir: str):
+    """lineitem → per (returnflag, linestatus): qty/price sums + counts.
+    Partial-aggregate inside each batch so the shuffle carries one row
+    per group per block (SURVEY.md §7.3)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                "price_cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n_local"]
+        )
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_price_cents", "n_local"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "count_order"]
+        )
+        avg = pc.round(
+            pc.divide(
+                pc.cast(b["sum_qty"], pa.float64()),
+                pc.cast(b["count_order"], pa.float64()),
+            ),
+            ndigits=6,
+        )
+        return b.append_column("avg_qty", avg)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """orders → top-k customers by total order value (cents), with names
+    attached from the small customer table via broadcast lookup — no
+    shuffle join for a dimension table."""
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "revenue_cents": _cents(batch["o_totalprice"]),
+                "n_local": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("revenue_cents", "sum"), ("n_local", "sum")]
+        )
+        return g.rename_columns(["o_custkey", "revenue_cents", "n_local"])
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum(["revenue_cents", "n_local"])
+    )
+    top = (
+        agg.map_batches(
+            lambda b: b.rename_columns(["o_custkey", "revenue_cents", "n_orders"]),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+    names_tbl = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    names_ref = ray.put(
+        dict(zip(names_tbl["c_custkey"].to_pylist(), names_tbl["c_name"].to_pylist()))
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        c_name = [names.get(ck) for ck in batch["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "c_name": pa.array(c_name, pa.string()),
+                "revenue_cents": batch["revenue_cents"],
+                "n_orders": batch["n_orders"],
+            }
+        )
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+def events_daily(sf_dir: str):
+    """events → per (day, event_type): count + value sum (cents)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+                "event_type": batch["event_type"],
+                "value_cents": _cents(batch["value"]),
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        g = t.group_by(["day", "event_type"]).aggregate(
+            [("one", "sum"), ("value_cents", "sum")]
+        )
+        return g.rename_columns(["day", "event_type", "n_local", "cents_local"])
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .sum(["n_local", "cents_local"])
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["day", "event_type", "n_events", "sum_value_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+def part_topk(sf_dir: str, min_size: int = 25, k: int = 20):
+    """part → filter at the read (column prune + predicate) → top-k by
+    retail price. Sort happens on the filtered subset only."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_size", "p_retailprice"],
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch["p_size"], min_size))
+        return kept.select(["p_partkey", "p_name", "p_retailprice"])
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def supplier_region(sf_dir: str):
+    """supplier ⋈ nation ⋈ region → per region: supplier count + acctbal
+    sum. The two dimension tables are tiny: composed driver-side into a
+    nationkey→region map and broadcast once (SURVEY.md §7.3 broadcast
+    join), so the only shuffle is the final 5-row groupby."""
+    import ray
+    import ray.data
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    r_by_key = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    region_of_nation = {
+        nk: r_by_key[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    map_ref = ray.put(region_of_nation)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        r_name = [m.get(nk) for nk in batch["s_nationkey"].to_pylist()]
+        t = pa.table(
+            {
+                "r_name": pa.array(r_name, pa.string()),
+                "acctbal_cents": _cents(batch["s_acctbal"]),
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        g = t.group_by(["r_name"]).aggregate([("one", "sum"), ("acctbal_cents", "sum")])
+        return g.rename_columns(["r_name", "n_local", "cents_local"])
+
+    agg = ds.map_batches(pre, batch_format="pyarrow").groupby("r_name").sum(
+        ["n_local", "cents_local"]
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["r_name", "n_suppliers", "sum_acctbal_cents"]),
+        batch_format="pyarrow",
+    )
