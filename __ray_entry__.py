@@ -112,6 +112,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from kgrecrun.ops import relational as R
+    from kgrecrun.ops import window as W
 
     def kg_articles(sf_dir: str):
         from kgrecrun.extract.stage import extract_articles
@@ -281,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,
         # --- multimodal plumbing (stub codecs; rows-only) ---
         "media_features": media_features,
+        # --- windowed / per-group-ordered (SQL-checkable) ---
+        "sessionize_events": W.sessionize_events,
+        "top_parts_per_brand": W.top_parts_per_brand,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_customers": R.top_customers,
@@ -334,6 +338,33 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS root_id "
             "FROM documents"
         ),
+        "sessionize_events": """
+            WITH ordered AS (
+                SELECT user_id, event_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM ordered
+            )
+            SELECT user_id, session_no, COUNT(*) AS n_events,
+                   SUM(cents) AS sum_value_cents,
+                   (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
+            FROM numbered GROUP BY user_id, session_no
+        """,
+        "top_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       row_number() OVER (PARTITION BY p_brand
+                                          ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+                FROM part
+            ) WHERE rnk <= 3
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,

@@ -128,7 +128,7 @@ if __name__ == "__main__":
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--kg-once", action="store_true")
     p.add_argument("--cpus", type=int, default=NUM_CPUS)
-    p.add_argument("--docs", type=int, default=12000)
+    p.add_argument("--docs", type=int, default=300_000)
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
     if args.kg_once:

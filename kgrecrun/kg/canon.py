@@ -143,6 +143,32 @@ def canonicalize(entities_ds, **kwargs) -> dict[str, str]:
     return uf.components()
 
 
+def canonicalize_table(entities: pa.Table, *, num_perm: int = 64, bands: int = 32,
+                       window: int = 16) -> dict[str, str]:
+    """In-process fast path for a driver-resident entity table (same
+    blocking + verification as :func:`canonicalize`, no Ray job). The
+    entity catalog is orders of magnitude smaller than the corpus; below
+    ~10^5 rows a distributed pass is pure fixed overhead, so the
+    pipeline uses this and falls back to the Dataset path above only for
+    huge catalogs (SURVEY.md §7.3 driver-side union-find fallback)."""
+    banded = BandEmitter(num_perm, bands)(entities)
+    uf = UnionFind()
+    by_band: dict[int, list[int]] = {}
+    for i, k in enumerate(banded["band_key"].to_pylist()):
+        by_band.setdefault(k, []).append(i)
+    seen = set()
+    for rows in by_band.values():
+        if len(rows) < 2:
+            continue
+        block = banded.take(pa.array(rows))
+        edges = _verify_block(block, window)
+        for a, b in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
+            if (a, b) not in seen:
+                seen.add((a, b))
+                uf.union(a, b)
+    return uf.components()
+
+
 TRIPLES_SCHEMA = pa.schema(
     [
         ("subj", pa.string()),

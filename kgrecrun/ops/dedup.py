@@ -83,8 +83,10 @@ def normalize_text(t: str) -> str:
 # ---------- exact ----------
 
 def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
-    """(doc_id, root_id) via content-hash grouping: the global shuffle
-    carries only (hash, id) pairs, never text."""
+    """(doc_id, root_id) via content-hash grouping: ONE shuffle keyed by
+    the md5 (carrying only (hash, id) pairs, never text); each hash
+    group emits every member labeled with the group's min id. No join
+    and no driver-side state, so it holds at any corpus size."""
 
     def to_hashes(batch: pa.Table) -> pa.Table:
         hs = [
@@ -94,18 +96,17 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({"h": pa.array(hs, pa.string()), id_col: batch[id_col]})
 
     hashed = docs_ds.map_batches(to_hashes, batch_format="pyarrow", zero_copy_batch=True)
-    roots = hashed.groupby("h").min(id_col)  # (h, min(doc_id))
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["h", "root_id"])
+    def label_group(group: pa.Table) -> pa.Table:
+        root = pc.min(group[id_col])
+        return pa.table(
+            {
+                id_col: group[id_col],
+                "root_id": pa.array([root.as_py()] * group.num_rows, group[id_col].type),
+            }
+        )
 
-    roots = roots.map_batches(rename, batch_format="pyarrow")
-    joined = hashed.join(roots, "inner", num_partitions=8, on=("h",))
-
-    def project(batch: pa.Table) -> pa.Table:
-        return batch.select([id_col, "root_id"])
-
-    return joined.map_batches(project, batch_format="pyarrow")
+    return hashed.groupby("h").map_groups(label_group, batch_format="pyarrow")
 
 
 # ---------- minhash LSH ----------

@@ -11,10 +11,10 @@ import pyarrow.compute as pc
 
 from ..extract.stage import extract_articles
 from ..kg import canon
-from ..kg.link import link_triples
+from ..kg.link import EntityLinker, link_triples
 from ..kg.ner import detect_mentions
-from ..kg.openie import extract_triples
-from ..kg.resources import KGResources, broadcast
+from ..kg.openie import TripleExtractor, extract_triples
+from ..kg.resources import KGResources, broadcast, resolve
 
 
 def english_texts(articles_ds):
@@ -35,7 +35,45 @@ def english_texts(articles_ds):
     return articles_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def kg_pipeline(pages_ds, entities_table: pa.Table, *, concurrency=(1, 8)):
+class TripleMill:
+    """Fused per-document stage: OpenIE pattern extraction → entity
+    linking → canonical-id substitution in ONE actor pool. Chaining
+    three separate actor pools costs two extra pool spin-ups and two
+    block handoffs per batch while the real per-doc work is tiny; the
+    fused pool keeps the streaming executor's resources on the extract
+    tasks and emits shuffle-ready (subj, pred, obj, url) directly."""
+
+    def __init__(self, resources, mapping):
+        self.extractor = TripleExtractor(resources)
+        self.linker = EntityLinker(resolve(resources))
+        self.mapping = resolve(mapping)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subjs, preds, objs, urls = [], [], [], []
+        m = self.mapping
+        for url, text in zip(batch["url"].to_pylist(), batch["text"].to_pylist()):
+            if not text:
+                continue
+            for _, s_surface, pred, o_surface, _conf in self.extractor.extract_from_text(url, text):
+                sid, _ = self.linker.link(s_surface.lower())
+                oid, _ = self.linker.link(o_surface.lower())
+                if sid is None or oid is None:
+                    continue
+                subjs.append(m.get(sid, sid))
+                preds.append(pred)
+                objs.append(m.get(oid, oid))
+                urls.append(url)
+        return pa.table(
+            {
+                "subj": pa.array(subjs, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+
+def kg_pipeline(pages_ds, entities_table: pa.Table, *, concurrency=None):
     """Returns a dict of named Datasets (all lazy until consumed):
 
     articles  — extraction output (url, title, text, …)
@@ -44,7 +82,15 @@ def kg_pipeline(pages_ds, entities_table: pa.Table, *, concurrency=(1, 8)):
     triples   — deduplicated canonical (subj, pred, obj, n_sources)
     plus 'canonical_map' (entity_id → cluster root, driver dict).
     """
+    import ray
     import ray.data
+
+    if concurrency is None:
+        # size actor pools to the cluster: warm floor of ncpu/2 so short
+        # runs don't serialize on autoscaling ramp-up, ceiling of ncpu so
+        # the same code saturates an 8-CPU node and a 256-node cluster
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (max(1, ncpu // 2), max(4, ncpu))
 
     resources = KGResources.from_entity_table(entities_table)
     res_ref = broadcast(resources)
@@ -56,11 +102,21 @@ def kg_pipeline(pages_ds, entities_table: pa.Table, *, concurrency=(1, 8)):
     triples_raw = extract_triples(texts, res_ref, concurrency=concurrency)
     linked = link_triples(triples_raw, res_ref, concurrency=concurrency)
 
-    entities_ds = ray.data.from_arrow(entities_table.select(["entity_id", "canonical"]))
-    mapping = canon.canonicalize(entities_ds)
+    ent_cols = entities_table.select(["entity_id", "canonical"])
+    if ent_cols.num_rows < 100_000:
+        mapping = canon.canonicalize_table(ent_cols)
+    else:
+        mapping = canon.canonicalize(ray.data.from_arrow(ent_cols))
     mapping_ref = broadcast(mapping)
 
-    canonical = canon.canonical_triples(linked, mapping_ref)
+    canonical = texts.map_batches(
+        TripleMill,
+        fn_constructor_kwargs={"resources": res_ref, "mapping": mapping_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=concurrency,
+    )
     triples = canon.dedup_triples(canonical)
 
     return {

@@ -172,3 +172,57 @@ def test_media_stage():
     )
     out_bad = media.decode_media(ray.data.from_arrow(bad)).to_pandas()
     assert "codecs" in out_bad["error"].iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_events_matches_duckdb():
+    import duckdb
+
+    from kgrecrun.ops import window as W
+
+    got = (
+        W.sessionize_events(SF_DIR)
+        .to_pandas()
+        .sort_values(["user_id", "session_no"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, CAST(round(value*100) AS BIGINT) AS cents,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM ordered
+        )
+        SELECT user_id, session_no, COUNT(*) AS n_events, SUM(cents) AS sum_value_cents,
+               (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
+        FROM numbered GROUP BY user_id, session_no
+        ORDER BY user_id, session_no
+        """
+    ).fetchdf()
+    assert got["n_events"].sum() == want["n_events"].sum()
+    assert got[["user_id", "session_no", "n_events", "sum_value_cents", "duration_sec"]].equals(
+        want.astype({"user_id": "int64", "session_no": "int64", "n_events": "int64",
+                     "sum_value_cents": "int64", "duration_sec": "int64"})
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_parts_per_brand():
+    from kgrecrun.ops import window as W
+
+    got = W.top_parts_per_brand(SF_DIR, k=3).to_pandas()
+    assert set(got["rnk"]) == {1, 2, 3}
+    # every brand's rank-1 price >= rank-2 >= rank-3
+    for _, grp in got.groupby("p_brand"):
+        prices = grp.sort_values("rnk")["p_retailprice"].tolist()
+        assert prices == sorted(prices, reverse=True)
