@@ -126,6 +126,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_mentions(sf_dir: str):
         return _kg(sf_dir)["mentions"]
 
+    def kg_clean_html(sf_dir: str):
+        from kgrecrun.extract.stage import extract_articles
+        from kgrecrun.sanitize.stage import sanitize_articles
+
+        arts = extract_articles(_synth_pages(sf_dir), emit_html=True)
+        clean = sanitize_articles(arts)
+        return clean.map_batches(
+            lambda b: pa.table(
+                {
+                    "url": b["url"],
+                    "n_clean_chars": pc.cast(pc.utf8_length(b["clean_html"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def kg_crawl_frontier(sf_dir: str):
+        from kgrecrun.extract.crawl import crawl_frontier
+        from kgrecrun.extract.stage import extract_articles
+
+        arts = extract_articles(_synth_pages(sf_dir), emit_html=False)
+        seen = _synth_pages(sf_dir).map_batches(
+            lambda b: b.select(["url"]), batch_format="pyarrow"
+        )
+        return crawl_frontier(arts, seen)
+
     def kg_triples(sf_dir: str):
         return _kg(sf_dir)["triples"]
 
@@ -265,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_articles": kg_articles,
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
+        "kg_clean_html": kg_clean_html,
+        "kg_crawl_frontier": kg_crawl_frontier,
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,
         "doc_token_counts": doc_token_counts,

@@ -47,10 +47,16 @@ def _consume(ds) -> int:
 def run_kg(n_docs: int) -> int:
     """Flagship: synthetic pages → extract → NER/OpenIE → link → canon →
     dedup triples. Returns triple count."""
+    import ray
+
     from kgrecrun.corpus.synthgen import get_world, pages_dataset
     from kgrecrun.runtime.pipeline import kg_pipeline
 
-    stages = kg_pipeline(pages_dataset(n_docs, seed=42), get_world(42).entity_table())
+    # ~4 blocks per CPU: fine enough for good wave-packing, coarse
+    # enough that per-task overhead stays negligible
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    pages = pages_dataset(n_docs, seed=42, override_num_blocks=max(64, 4 * ncpu))
+    stages = kg_pipeline(pages, get_world(42).entity_table())
     return _consume(stages["triples"])
 
 

@@ -37,11 +37,11 @@ def english_texts(articles_ds):
 
 class TripleMill:
     """Fused per-document stage: OpenIE pattern extraction → entity
-    linking → canonical-id substitution in ONE actor pool. Chaining
-    three separate actor pools costs two extra pool spin-ups and two
-    block handoffs per batch while the real per-doc work is tiny; the
-    fused pool keeps the streaming executor's resources on the extract
-    tasks and emits shuffle-ready (subj, pred, obj, url) directly."""
+    linking → canonical-id substitution in ONE stage. Chaining three
+    separate actor pools costs two extra pool spin-ups and two block
+    handoffs per batch while the real per-doc work is tiny; fusing
+    keeps the streaming executor's resources on the extract tasks and
+    emits shuffle-ready (subj, pred, obj, url) directly."""
 
     def __init__(self, resources, mapping):
         self.extractor = TripleExtractor(resources)
@@ -71,6 +71,26 @@ class TripleMill:
                 "url": pa.array(urls, pa.string()),
             }
         )
+
+
+# per-worker-process cache for the fused stage's state: running the mill
+# as plain TASKS (not an actor pool) lets the streaming executor fuse it
+# with generation/extraction and start at full width instantly — an
+# autoscaling actor pool ramps over many seconds and reserves CPUs the
+# upstream tasks need. Worker processes persist across tasks, so the
+# state (pattern bank, linker, canonical map) is still built once per
+# worker, which is the property actor pools exist to provide.
+_MILL_CACHE: dict = {}
+
+
+def _mill_batch(batch: pa.Table, resources, mapping) -> pa.Table:
+    key = (str(resources), str(mapping))
+    mill = _MILL_CACHE.get(key)
+    if mill is None:
+        _MILL_CACHE.clear()  # at most one live bundle per worker
+        mill = TripleMill(resources, mapping)
+        _MILL_CACHE[key] = mill
+    return mill(batch)
 
 
 def kg_pipeline(pages_ds, entities_table: pa.Table, *, concurrency=None):
@@ -110,12 +130,11 @@ def kg_pipeline(pages_ds, entities_table: pa.Table, *, concurrency=None):
     mapping_ref = broadcast(mapping)
 
     canonical = texts.map_batches(
-        TripleMill,
-        fn_constructor_kwargs={"resources": res_ref, "mapping": mapping_ref},
+        _mill_batch,
+        fn_kwargs={"resources": res_ref, "mapping": mapping_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=256,
-        concurrency=concurrency,
     )
     triples = canon.dedup_triples(canonical)
 

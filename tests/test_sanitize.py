@@ -1,0 +1,100 @@
+"""Sanitizer (iframe.js:91-206 semantics) + crawl-frontier anti-join."""
+
+import pyarrow as pa
+import pytest
+
+from kgrecrun.sanitize.stage import resolve_url, sanitize_html
+
+BASE = "http://a/b/c/d;p?q"
+
+
+# vectors follow the reference CODE's behavior (iframe.js:153-178) —
+# note it does NOT collapse ./ or ../ segments, unlike full RFC 3986
+@pytest.mark.parametrize(
+    "val,expected",
+    [
+        ("g:h", "g:h"),
+        ("g", "http://a/b/c/g"),
+        ("./g", "http://a/b/c/./g"),
+        ("g/", "http://a/b/c/g/"),
+        ("/g", "http://a/g"),
+        ("//g", "http://g"),
+        ("?y", "http://a/b/c/d;p?y"),
+        ("g?y", "http://a/b/c/g?y"),
+        ("#s", "http://a/b/c/d;p?q#s"),
+        ("g#s", "http://a/b/c/g#s"),
+        ("http://x/y", "http://x/y"),
+    ],
+)
+def test_resolve_url(val, expected):
+    assert resolve_url(val, BASE) == expected
+
+
+def test_sanitize_unwraps_disallowed_and_filters_attrs():
+    html = (
+        "<html><body><nav><p>kept from nav</p></nav>"
+        '<div class="x" onclick="evil()"><p style="color:red" id="p1">text</p></div>'
+        "<script>alert(1)</script></body></html>"
+    )
+    out = sanitize_html(html)
+    # nav unwrapped (child <p> kept), div kept but class/onclick dropped,
+    # p kept with style/id dropped; script has no allowed descendants but
+    # its TEXT unwraps through (the reference sanitizer keeps text nodes
+    # of disallowed elements — it operates post-extraction)
+    assert "<nav" not in out and "<p>kept from nav</p>" in out
+    assert "<div><p>text</p></div>" in out
+    assert "onclick" not in out and "class" not in out and "style" not in out
+
+
+def test_sanitize_a_img_video_rules():
+    html = (
+        '<html><body><a href="/x">link</a>'
+        '<video src="v.mp4"></video>'
+        '<p><img src="i.png" alt="pic" width="5"></p>'
+        '<a href="/y"><img src="j.png"></a>'
+        "<figure><img src='k.png'></figure></body></html>"
+    )
+    out = sanitize_html(html, "https://site.example/dir/page.html")
+    assert '<a href="https://site.example/x" target="_blank">' in out
+    assert '<video src="https://site.example/dir/v.mp4" controls="">' in out
+    # bare img → wrapped in figure, width dropped, src resolved
+    assert '<figure><img src="https://site.example/dir/i.png" alt="pic"/></figure>' in out
+    # img inside <a> or <figure> NOT double-wrapped
+    assert out.count("<figure>") == 2
+
+
+def test_sanitize_media_off():
+    html = "<html><body><p>t</p><img src='x.png'><video src='v'></video></body></html>"
+    out = sanitize_html(html, media=False)
+    assert "<img" not in out and "<video" not in out and "<p>t</p>" in out
+
+
+def test_sanitize_escapes_output():
+    html = "<html><body><p>a &lt; b &amp; c</p></body></html>"
+    out = sanitize_html(html)
+    # parser decoded entities; serializer re-escapes
+    assert "<p>a &lt; b &amp; c</p>" in out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sanitize_stage_and_crawl_frontier():
+    import ray.data
+
+    from kgrecrun.extract.crawl import crawl_frontier
+    from kgrecrun.sanitize.stage import sanitize_articles
+
+    articles = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": ["u1", "u2", "u3"],
+                "html": ['<div><p>a</p><nav><b>x</b></nav></div>', "<p>b</p>", ""],
+                "next_page": ["u2", "n1", None],
+            }
+        )
+    )
+    out = sanitize_articles(articles).to_pandas().set_index("url")
+    assert out.loc["u1", "clean_html"] == "<div><p>a</p><b>x</b></div>"
+
+    seen = ray.data.from_arrow(pa.table({"url": ["u1", "u2", "u3"]}))
+    frontier = sorted(crawl_frontier(articles, seen).to_pandas()["url"])
+    assert frontier == ["n1"]  # u2 already seen, null/empty dropped
