@@ -155,6 +155,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_triples(sf_dir: str):
         return _kg(sf_dir)["triples"]
 
+    def kg_materialize(sf_dir: str):
+        """Checkpointed graph materialization: partitioned Parquet triple
+        tables + per-partition manifests (lineage + metrics). A second
+        invocation over the same sf_dir skips completed partitions —
+        the north rule's resumability surface."""
+        import glob
+
+        from kgrecrun.corpus.synthgen import get_world, write_corpus
+        from kgrecrun.runtime.checkpoint import run_checkpointed
+        from kgrecrun.runtime.manifest import load_manifests
+
+        name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        out = f"/tmp/kgrecrun_materialize_{name}"
+        corpus = f"{out}/_input"
+        if not glob.glob(f"{corpus}/pages/*.parquet"):
+            write_corpus(corpus, _n_docs(sf_dir), seed=42, shard_size=500)
+        files = sorted(glob.glob(f"{corpus}/pages/*.parquet"))
+        run_checkpointed(files, get_world(42).entity_table(), out, files_per_partition=1)
+        rows = [
+            {
+                "partition_id": m.partition_id,
+                "n_pages": m.row_counts["pages"],
+                "n_triples_linked": m.row_counts["triples_linked"],
+                "n_mentions": m.row_counts["mentions"],
+            }
+            for m in load_manifests(out).values()
+        ]
+        return pa.Table.from_pylist(sorted(rows, key=lambda r: r["partition_id"]))
+
     def doc_token_counts(sf_dir: str):
         import ray.data
 
@@ -293,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples,
         "kg_clean_html": kg_clean_html,
         "kg_crawl_frontier": kg_crawl_frontier,
+        "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,
         "doc_token_counts": doc_token_counts,

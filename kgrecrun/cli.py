@@ -1,0 +1,69 @@
+"""`ray job submit`-style entry point (SURVEY.md §3.4): the batch
+replacement for the reference's service-worker orchestration
+(background.js:28-77) — config in, checkpointed streaming pipeline out.
+
+    python -m kgrecrun.cli --pages '/data/pages/*.parquet' \
+        --entities /data/entities.parquet --out /data/kg \
+        [--files-per-partition 4] [--synthetic-docs N]
+
+With ``--synthetic-docs N`` (no --pages), a deterministic CC-style
+corpus is generated first — the hermetic equivalent of pointing at a
+crawl dump. Owns its Ray session (guarded init; the library never
+calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kgrecrun")
+    p.add_argument("--pages", help="glob of input page parquet files")
+    p.add_argument("--entities", help="entity-catalog parquet (entity_id, etype, canonical, aliases)")
+    p.add_argument("--out", required=True, help="output root (triples/, mentions/, _manifests/)")
+    p.add_argument("--files-per-partition", type=int, default=4)
+    p.add_argument("--synthetic-docs", type=int, default=0,
+                   help="generate a deterministic synthetic corpus of N docs instead of --pages")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+    if not args.synthetic_docs and not (args.pages and args.entities):
+        p.error("provide --pages + --entities, or --synthetic-docs")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 **({"num_cpus": args.num_cpus} if args.num_cpus else {}))
+
+    import pyarrow.parquet as pq
+
+    from kgrecrun.corpus.synthgen import get_world, write_corpus
+    from kgrecrun.runtime.checkpoint import run_checkpointed
+
+    if args.synthetic_docs:
+        corpus_dir = f"{args.out}/_input"
+        write_corpus(corpus_dir, args.synthetic_docs, seed=args.seed)
+        files = sorted(glob.glob(f"{corpus_dir}/pages/*.parquet"))
+        entities = get_world(args.seed).entity_table()
+    elif args.pages and args.entities:
+        files = sorted(glob.glob(args.pages))
+        entities = pq.read_table(args.entities)
+    else:
+        p.error("provide --pages + --entities, or --synthetic-docs")
+        return 2
+
+    summary = run_checkpointed(
+        files, entities, args.out, files_per_partition=args.files_per_partition
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

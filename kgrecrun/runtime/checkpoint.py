@@ -27,12 +27,10 @@ import pyarrow as pa
 
 from ..extract.stage import extract_articles
 from ..kg import canon
-from ..kg.link import link_triples
 from ..kg.ner import detect_mentions
-from ..kg.openie import extract_triples
 from ..kg.resources import KGResources, broadcast
 from . import manifest as mf
-from .pipeline import english_texts
+from .pipeline import _mill_batch, english_texts
 
 
 def _partition(files: list[str], files_per_partition: int) -> list[tuple[str, list[str]]]:
@@ -67,9 +65,13 @@ def run_checkpointed(
     res_ref = broadcast(resources)
 
     # global canonical map: entity table is a global resource, its
-    # clustering is independent of the page corpus
-    entities_ds = ray.data.from_arrow(entities_table.select(["entity_id", "canonical"]))
-    mapping = canon.canonicalize(entities_ds)
+    # clustering is independent of the page corpus (in-process below the
+    # catalog-size threshold, Dataset path above — see canon)
+    ent_cols = entities_table.select(["entity_id", "canonical"])
+    if ent_cols.num_rows < 100_000:
+        mapping = canon.canonicalize_table(ent_cols)
+    else:
+        mapping = canon.canonicalize(ray.data.from_arrow(ent_cols))
     mapping_ref = broadcast(mapping)
 
     partitions = _partition(input_files, files_per_partition)
@@ -82,12 +84,13 @@ def run_checkpointed(
         pages = ray.data.read_parquet(files)
         articles = extract_articles(pages, emit_html=False)
         texts = english_texts(articles)
-        linked = link_triples(
-            extract_triples(texts, res_ref, concurrency=concurrency),
-            res_ref,
-            concurrency=concurrency,
+        canonical = texts.map_batches(
+            _mill_batch,
+            fn_kwargs={"resources": res_ref, "mapping": mapping_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=256,
         )
-        canonical = canon.canonical_triples(linked, mapping_ref)
         mentions = detect_mentions(texts, res_ref, concurrency=concurrency)
 
         triples_dir = os.path.join(out_dir, "triples_linked", f"part-{pid}")
