@@ -291,6 +291,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = index.search(index.assign_stage(ds), q, qids, k=10, n_probe=4)
         return res.map_batches(lambda b: _round6(b, ["score"]), batch_format="pyarrow")
 
+    def events_by_user_salted(sf_dir: str):
+        """Per-user event count + value sum via the two-phase SALTED
+        groupby (hot-key-safe shuffle; result equals a plain GROUP BY)."""
+        import ray.data
+
+        from kgrecrun.ops.skew import salted_count_sum
+
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+        def to_cents(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "value_cents": pc.cast(
+                        pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        cents = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        return salted_count_sum(
+            cents, "user_id", sum_col="value_cents", salts=16,
+            count_name="n_events", sum_name="sum_value_cents",
+        )
+
     def media_features(sf_dir: str):
         import ray.data
 
@@ -343,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windowed / per-group-ordered (SQL-checkable) ---
         "sessionize_events": W.sessionize_events,
         "top_parts_per_brand": W.top_parts_per_brand,
+        # --- skew-aware shuffle (SQL-checkable) ---
+        "events_by_user_salted": events_by_user_salted,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_customers": R.top_customers,
@@ -396,6 +424,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS root_id "
             "FROM documents"
         ),
+        "events_by_user_salted": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+            FROM events GROUP BY user_id
+        """,
         "sessionize_events": """
             WITH ordered AS (
                 SELECT user_id, event_id, ts,

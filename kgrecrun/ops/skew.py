@@ -1,0 +1,65 @@
+"""Skew-aware aggregation: two-phase salted groupby.
+
+A straight ``groupby(key)`` sends every row of a hot key to one
+reducer — at web scale a head entity ("United States") can be 10^6×
+the median and that reducer becomes the job. The standard fix
+(SURVEY.md §4.2): salt the key with a deterministic shard id, aggregate
+``(key, salt)`` partials, then aggregate the ≤S partials per key.
+Phase-1 reducers see at most ``1/S`` of a hot key; phase 2 touches only
+``distinct_keys × S`` rows, independent of row skew.
+
+Used for count/sum-style aggregates (decomposable); the same shape
+salts LSH band keys in blocking (band, hash(id) % S).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def salted_count_sum(ds, key: str, *, sum_col: str | None = None, salts: int = 16,
+                     count_name: str = "n", sum_name: str = "total"):
+    """→ Dataset(key, n[, total]): COUNT(*) (+ SUM(sum_col)) per key via
+    a salted two-phase shuffle. Output equals an unsalted groupby —
+    verified against a plain SQL GROUP BY oracle."""
+
+    def phase1_local(batch: pa.Table) -> pa.Table:
+        # deterministic salt from the row's key hash + row position so a
+        # single-key batch still spreads over shards
+        n = batch.num_rows
+        salt = pc.cast(
+            pc.bit_wise_and(
+                pa.array(range(n), pa.int64()), pa.scalar(salts - 1, pa.int64())
+            ),
+            pa.int64(),
+        )
+        cols = {key: batch[key], "_salt": salt, "_one": pa.array([1] * n, pa.int64())}
+        if sum_col is not None:
+            cols["_val"] = pc.cast(batch[sum_col], pa.int64())
+        t = pa.table(cols)
+        aggs = [("_one", "sum")] + ([("_val", "sum")] if sum_col is not None else [])
+        g = t.group_by([key, "_salt"]).aggregate(aggs)
+        names = [key, "_salt", "_n"] + (["_v"] if sum_col is not None else [])
+        return g.rename_columns(names)
+
+    pre = ds.map_batches(phase1_local, batch_format="pyarrow", zero_copy_batch=True)
+
+    # phase 1 shuffle: key × salt — a hot key spreads over `salts` groups
+    p1 = pre.groupby([key, "_salt"]).sum(["_n"] + (["_v"] if sum_col is not None else []))
+
+    def strip_salt(batch: pa.Table) -> pa.Table:
+        names = [key, "_salt", "_n"] + (["_v"] if sum_col is not None else [])
+        b = batch.rename_columns(names)
+        return b.drop_columns(["_salt"])
+
+    partials = p1.map_batches(strip_salt, batch_format="pyarrow")
+
+    # phase 2: ≤ salts rows per key
+    p2 = partials.groupby(key).sum(["_n"] + (["_v"] if sum_col is not None else []))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = [key, count_name] + ([sum_name] if sum_col is not None else [])
+        return batch.rename_columns(names)
+
+    return p2.map_batches(finish, batch_format="pyarrow")

@@ -226,3 +226,33 @@ def test_top_parts_per_brand():
     for _, grp in got.groupby("p_brand"):
         prices = grp.sort_values("rnk")["p_retailprice"].tolist()
         assert prices == sorted(prices, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_groupby_under_extreme_skew():
+    import ray.data
+
+    from kgrecrun.ops.skew import salted_count_sum
+
+    # one key owns 90% of rows — the salted two-phase result must equal
+    # a plain pandas groupby
+    n = 5000
+    keys = ["hot"] * (n - 500) + [f"k{i}" for i in range(500)]
+    vals = list(range(n))
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    got = (
+        salted_count_sum(ray.data.from_arrow(t), "k", sum_col="v", salts=8)
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    import pandas as pd
+
+    want = (
+        pd.DataFrame({"k": keys, "v": vals})
+        .groupby("k")
+        .agg(n=("v", "size"), total=("v", "sum"))
+        .sort_index()
+    )
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["total"].tolist() == want["total"].tolist()

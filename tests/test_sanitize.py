@@ -98,3 +98,38 @@ def test_sanitize_stage_and_crawl_frontier():
     seen = ray.data.from_arrow(pa.table({"url": ["u1", "u2", "u3"]}))
     frontier = sorted(crawl_frontier(articles, seen).to_pandas()["url"])
     assert frontier == ["n1"]  # u2 already seen, null/empty dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_remote_extract_stage_with_fake_transport():
+    import json
+
+    import ray.data
+
+    from kgrecrun.extract.remote import remote_extract
+
+    def fake_transport(url, html, token):
+        if url.endswith("boom"):
+            raise TimeoutError("simulated 40s timeout")
+        return json.dumps(
+            {"objects": [
+                {"type": "image", "url": url},
+                {"type": "article", "title": f"T:{url}", "text": "p1\np2"},
+            ]}
+        )
+
+    pages = ray.data.from_arrow(
+        pa.table({"url": ["https://a/1", "https://a/boom"], "html": [b"<p>x</p>", b""]})
+    )
+    out = remote_extract(pages, transport=fake_transport).to_pandas().set_index("url")
+    assert out.loc["https://a/1", "title"] == "T:https://a/1"
+    assert out.loc["https://a/1", "html"] == "<p>p1</p><p>p2</p>"
+    assert out.loc["https://a/1", "error"] is None
+    assert "TimeoutError" in out.loc["https://a/boom", "error"]
+
+
+def test_remote_extract_default_transport_is_stubbed():
+    from kgrecrun.extract.remote import RemoteExtract
+
+    out = RemoteExtract()(pa.table({"url": ["u"], "html": [b""]}))
+    assert "NotImplementedError" in out["error"][0].as_py()
