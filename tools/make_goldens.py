@@ -20,7 +20,7 @@ from kgrecrun.corpus.fixtures import FIXTURES  # noqa: E402
 from kgrecrun.extract.events import html_to_events  # noqa: E402
 
 CORPUS_SAMPLE_SEED = 42
-CORPUS_SAMPLE_N = 150
+CORPUS_SAMPLE_N = 500
 
 
 def run_reference(docs: dict[str, list]) -> list[dict]:
