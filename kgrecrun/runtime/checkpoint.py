@@ -132,10 +132,36 @@ def run_checkpointed(
     triples_root = os.path.join(out_dir, "triples_linked")
     all_triples = ray.data.read_parquet(triples_root)
     final = canon.dedup_triples(all_triples)
+
+    # adjacency layout (SURVEY.md §7.3): bucket by hash(subj) so all of
+    # an entity's edges co-locate in one partition directory — a reader
+    # doing per-entity traversal opens one bucket, not the whole table
+    n_buckets = 16
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        buckets = [
+            zlib.crc32(s.encode("utf-8")) % n_buckets for s in batch["subj"].to_pylist()
+        ]
+        return batch.append_column("subj_bucket", pa.array(buckets, pa.int32()))
+
     final_dir = os.path.join(out_dir, "triples")
     if os.path.isdir(final_dir):
         shutil.rmtree(final_dir)
-    final.write_parquet(final_dir)
+    final.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        final_dir, partition_cols=["subj_bucket"]
+    )
+
+    # the entity catalog + canonical map are part of the graph product
+    import pyarrow.parquet as pq
+
+    ent_out = entities_table.append_column(
+        "canonical_root",
+        pa.array([mapping.get(e, e) for e in entities_table["entity_id"].to_pylist()],
+                 pa.string()),
+    )
+    pq.write_table(ent_out, os.path.join(out_dir, "entities.parquet"))
 
     return {
         "partitions_run": ran,
