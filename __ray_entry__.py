@@ -155,6 +155,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_triples(sf_dir: str):
         return _kg(sf_dir)["triples"]
 
+    def kg_text_nodes(sf_dir: str):
+        from kgrecrun.extract.stage import explode_text_nodes
+
+        return explode_text_nodes(_synth_pages(sf_dir))
+
     def kg_materialize(sf_dir: str):
         """Checkpointed graph materialization: partitioned Parquet triple
         tables + per-partition manifests (lineage + metrics). A second
@@ -348,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples,
         "kg_clean_html": kg_clean_html,
         "kg_crawl_frontier": kg_crawl_frontier,
+        "kg_text_nodes": kg_text_nodes,
         "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,

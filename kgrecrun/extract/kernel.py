@@ -480,10 +480,12 @@ class Kernel:
         return jsre.RE_TEXT_NEWLINES.sub("", jsre.js_trim(node.get_formatted_text()))
 
     # -- orchestrator (readabilitySAX.js:767-808) --
-    def get_article(self, events) -> dict:
+    def get_article(self, events, include_nodes: bool = False) -> dict:
         """Run the kernel over one document's event stream; returns the
         fully-materialized article record (no lazy memoization — batch
-        mode always needs text+html)."""
+        mode always needs text+html). ``include_nodes`` adds the flat
+        nonempty text-node list (reference getNodes,
+        readabilitySAX.js:106-117)."""
         self._current = Element("document")
         self._top_candidate = None
         self._orig_title = ""
@@ -507,7 +509,7 @@ class Kernel:
                 onclose(ev[1])
 
         elem = self._get_candidate_node()
-        return {
+        article = {
             "title": self._header_title or self.get_title(),
             "next_page": self.get_next_page(),
             "text_length": elem.text_length,
@@ -515,3 +517,6 @@ class Kernel:
             "text": self.get_text(elem),
             "html": self.get_html(elem),
         }
+        if include_nodes:
+            article["nodes"] = [n.text for n in elem.get_text_nodes()]
+        return article

@@ -80,6 +80,48 @@ class ExtractArticles:
         )
 
 
+class ExplodeTextNodes:
+    """pages → one row per nonempty text node of the extracted article
+    (reference getNodes export, readabilitySAX.js:106-117, SURVEY.md §2
+    row 25): (url, node_idx, node_text). Parity of the node list is
+    byte-checked in tests/test_parity.py."""
+
+    def __init__(self, settings: Settings | None = None):
+        self.settings = settings or production_settings()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kernel = Kernel(self.settings)
+        urls, idxs, texts = [], [], []
+        for i in range(batch.num_rows):
+            url = batch["url"][i].as_py()
+            try:
+                nodes = kernel.get_article(
+                    html_to_events(batch["html"][i].as_py()), include_nodes=True
+                )["nodes"]
+            except Exception:
+                continue
+            for j, t in enumerate(nodes):
+                urls.append(url)
+                idxs.append(j)
+                texts.append(t)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "node_idx": pa.array(idxs, pa.int64()),
+                "node_text": pa.array(texts, pa.large_string()),
+            }
+        )
+
+
+def explode_text_nodes(pages, *, settings: Settings | None = None, batch_size: int = 256):
+    return pages.map_batches(
+        ExplodeTextNodes(settings),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
 def extract_articles(pages, *, settings: Settings | None = None, emit_html: bool = True,
                      batch_size: int = 256, concurrency=None):
     """pages Dataset → articles Dataset. batch_size is kept modest because

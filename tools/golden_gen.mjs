@@ -63,6 +63,7 @@ rl.on("line", (line) => {
       score: article.score,
       text: article.getText(),
       html: article.getHTML(),
+      nodes: article.getNodes().map((n) => n.textContent),
     })
   );
 });
