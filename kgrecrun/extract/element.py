@@ -165,7 +165,7 @@ class Element:
         out = []
         for child in self.children:
             if child.is_text:
-                out.append(jsre.RE_WHITESPACE.sub(" ", child.text))
+                out.append(jsre.collapse_ws(child.text))
             else:
                 if child.name == "p" or child.name in HEADER_TAGS:
                     out.append("\n")

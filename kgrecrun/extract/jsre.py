@@ -36,12 +36,23 @@ def js_trim(s: str) -> str:
 
 
 def js_len(s: str) -> int:
-    """``String.prototype.length`` — UTF-16 code units (astral chars count 2)."""
-    n = len(s)
-    for c in s:
-        if ord(c) > 0xFFFF:
-            n += 1
-    return n
+    """``String.prototype.length`` — UTF-16 code units (astral chars
+    count 2). ASCII fast path; otherwise the UTF-16 byte length / 2
+    (both C-speed, no per-char Python loop)."""
+    if s.isascii():
+        return len(s)
+    return len(s.encode("utf-16-le")) >> 1
+
+
+def collapse_ws(s: str) -> str:
+    """``RE_WHITESPACE.sub(" ", s)`` with a fast path: when an ASCII
+    string's only whitespace is single spaces the sub is an identity —
+    a few C-speed scans beat running the regex machine over every
+    space."""
+    if s.isascii() and "  " not in s and "\t" not in s and "\n" not in s \
+            and "\r" not in s and "\x0b" not in s and "\f" not in s:
+        return s
+    return RE_WHITESPACE.sub(" ", s)
 
 
 def js_split_limited(s: str, sep: str, limit: int) -> list[str]:
