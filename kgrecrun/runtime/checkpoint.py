@@ -126,8 +126,35 @@ def run_checkpointed(
         ran.append(pid)
 
     # global reduce over compact per-partition intermediates; the final
-    # table is derived output — rebuilt (not appended) on every run
+    # table is derived output. The reduce itself is checkpointed by a
+    # manifest fingerprinting the contributing partition set — a re-run
+    # after a completed reduce skips it entirely; a crash mid-reduce
+    # (or any partition change) re-runs it once.
+    import hashlib
+    import json as _json
     import shutil
+
+    all_manifests = mf.load_manifests(out_dir)
+    reduce_fp = hashlib.sha1(
+        _json.dumps(
+            sorted((pid, m.input_fingerprint) for pid, m in all_manifests.items())
+        ).encode()
+    ).hexdigest()
+    reduce_marker = os.path.join(out_dir, "_manifests", "_final_reduce.json")
+    final_dir_pre = os.path.join(out_dir, "triples")
+    if os.path.isfile(reduce_marker) and os.path.isdir(final_dir_pre):
+        try:
+            prev = _json.load(open(reduce_marker))
+        except Exception:
+            prev = {}
+        if prev.get("fingerprint") == reduce_fp and prev.get("config_hash") == cfg_hash:
+            return {
+                "partitions_run": ran,
+                "partitions_skipped": skipped,
+                "triples_dir": final_dir_pre,
+                "config_hash": cfg_hash,
+                "final_reduce": "skipped",
+            }
 
     triples_root = os.path.join(out_dir, "triples_linked")
     all_triples = ray.data.read_parquet(triples_root)
@@ -163,9 +190,17 @@ def run_checkpointed(
     )
     pq.write_table(ent_out, os.path.join(out_dir, "entities.parquet"))
 
+    # publish the reduce marker last (write-then-rename) — output durable first
+    os.makedirs(os.path.dirname(reduce_marker), exist_ok=True)
+    tmp = reduce_marker + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"fingerprint": reduce_fp, "config_hash": cfg_hash}, f)
+    os.replace(tmp, reduce_marker)
+
     return {
         "partitions_run": ran,
         "partitions_skipped": skipped,
         "triples_dir": final_dir,
         "config_hash": cfg_hash,
+        "final_reduce": "ran",
     }
