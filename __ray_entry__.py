@@ -155,6 +155,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_triples(sf_dir: str):
         return _kg(sf_dir)["triples"]
 
+    def kg_multipage(sf_dir: str):
+        """Multi-page crawl round: discover next-page links, anti-join
+        seen urls, fetch + extract continuations, stitch per article."""
+        from kgrecrun.corpus.synthgen import continuation_pages_dataset
+        from kgrecrun.extract.crawl import crawl_multipage
+
+        n = _n_docs(sf_dir)
+        stitched = crawl_multipage(
+            _synth_pages(sf_dir), continuation_pages_dataset(n, seed=42)
+        )
+        return stitched.map_batches(
+            lambda b: b.select(["url", "n_pages", "text_length_total"]),
+            batch_format="pyarrow",
+        )
+
     def kg_text_nodes(sf_dir: str):
         from kgrecrun.extract.stage import explode_text_nodes
 
@@ -353,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples,
         "kg_clean_html": kg_clean_html,
         "kg_crawl_frontier": kg_crawl_frontier,
+        "kg_multipage": kg_multipage,
         "kg_text_nodes": kg_text_nodes,
         "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---

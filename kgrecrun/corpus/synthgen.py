@@ -222,3 +222,50 @@ def pages_dataset(n_docs: int, seed: int = 42, *, override_num_blocks: int | Non
 
     ds = ray.data.range(n_docs, override_num_blocks=override_num_blocks)
     return ds.map_batches(_gen, batch_format="pyarrow", batch_size=512)
+
+
+# --- continuation pages (multi-page articles) -------------------------
+# Generated in a SEPARATE deterministic stream so the base corpus (and
+# every golden derived from it) is byte-unchanged. A page's pager links
+# point at /art-<id>/page-2 (see gen_page_row); the continuation for
+# doc_id d lives at exactly the url the kernel's pagination scanner
+# discovers and resolve_url() absolutizes.
+
+
+def gen_continuation_row(seed: int, doc_id: int) -> dict:
+    rng = random.Random((seed << 33) ^ (doc_id * 2 + 1))
+    site = f"site{doc_id % 97}.example"
+    url = f"https://{site}/art-{doc_id}/page-2"
+    paragraphs = [
+        " ".join(rng.choice(W.NOISE_SENTENCES) for _ in range(rng.randint(2, 4)))
+        for _ in range(rng.randint(2, 4))
+    ]
+    article = "".join(f"<p>{p}</p>" for p in paragraphs)
+    html = (
+        f"<html><head><title>Story {doc_id}, page 2</title></head><body>"
+        f'<nav><ul><li><a href="/home">Home</a></li></ul></nav>'
+        f'<div class="story-body">{article}</div>'
+        f"<footer><a href=\"/about\">About</a> Copyright {site}</footer>"
+        f"</body></html>"
+    )
+    return {
+        "url": url,
+        "warc_ts": BASE_TS + doc_id * 1_000_000 + 500_000,
+        "html": html.encode("utf-8"),
+        "text": "\n".join(paragraphs),
+        "lang": "en",
+    }
+
+
+def continuation_pages_dataset(n_docs: int, seed: int = 42,
+                               override_num_blocks: int | None = None):
+    """All continuation pages for doc ids [0, n_docs) as a lazy Dataset —
+    the hermetic stand-in for fetching discovered next-page urls."""
+    import ray.data
+
+    def _gen(batch):
+        rows = [gen_continuation_row(seed, int(i)) for i in batch["id"].to_pylist()]
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    ds = ray.data.range(n_docs, override_num_blocks=override_num_blocks)
+    return ds.map_batches(_gen, batch_format="pyarrow", batch_size=512)

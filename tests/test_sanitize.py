@@ -133,3 +133,23 @@ def test_remote_extract_default_transport_is_stubbed():
 
     out = RemoteExtract()(pa.table({"url": ["u"], "html": [b""]}))
     assert "NotImplementedError" in out["error"][0].as_py()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multipage_crawl_stitches_continuations():
+    from kgrecrun.corpus.synthgen import continuation_pages_dataset, pages_dataset
+    from kgrecrun.extract.crawl import crawl_multipage
+
+    stitched = crawl_multipage(
+        pages_dataset(120, seed=42), continuation_pages_dataset(120, seed=42)
+    ).to_pandas()
+    assert len(stitched) == 120  # every base article present exactly once
+    multi = stitched[stitched.n_pages > 1]
+    assert len(multi) > 0
+    # stitched text strictly longer than page 1 alone and ends with page-2 content
+    from kgrecrun.corpus.synthgen import gen_continuation_row
+
+    row = multi.iloc[0]
+    doc_id = int(row["url"].rsplit("art-", 1)[1].split("/")[0])
+    cont_text = gen_continuation_row(42, doc_id)["text"].split("\n")[-1]
+    assert row["text"].rstrip().endswith(cont_text.rstrip())
