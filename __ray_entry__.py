@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": R.events_daily,
         "part_topk": R.part_topk,
         "supplier_region": R.supplier_region,
+        "segment_revenue": R.segment_revenue,
     }
 
 
@@ -506,6 +507,13 @@ def oracle_sql() -> dict[str, str]:
         "part_topk": """
             SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_size > 25
             ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 20
+        """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment,
+                   SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
         """,
         "supplier_region": """
             SELECT r.r_name, COUNT(*) AS n_suppliers,

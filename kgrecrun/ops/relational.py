@@ -200,6 +200,52 @@ def part_topk(sf_dir: str, min_size: int = 25, k: int = 20):
     )
 
 
+def segment_revenue(sf_dir: str, num_partitions: int = 8):
+    """orders ⋈ customer via Ray Data's NATIVE hash join (both sides
+    partitioned on the key), then aggregate revenue per market segment.
+    The broadcast-lookup pattern (see supplier_region/top_customers) is
+    preferred when one side is tiny; this pipeline is the general path
+    for when both sides are large."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def order_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.map_batches(order_cents, batch_format="pyarrow").join(
+        customer,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["c_mktsegment"]).aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["c_mktsegment", "cents_local", "n_local"])
+
+    agg = (
+        joined.map_batches(pre, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .sum(["cents_local", "n_local"])
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["c_mktsegment", "revenue_cents", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
 def supplier_region(sf_dir: str):
     """supplier ⋈ nation ⋈ region → per region: supplier count + acctbal
     sum. The two dimension tables are tiny: composed driver-side into a
