@@ -66,11 +66,12 @@ def bench_main() -> None:
 
     qs = E.queries()
     names = [
-        "kg_articles", "kg_triples",
+        "kg_articles", "kg_triples", "kg_multipage",
         "doc_quality", "doc_fingerprints",
-        "exact_dedup", "minhash_dedup", "simhash_dedup",
-        "ann_topk",
-        "q1_pricing_summary", "events_daily", "top_customers",
+        "exact_dedup", "minhash_dedup", "simhash_dedup", "ngram_jaccard_dedup",
+        "embedding_dedup", "ann_topk", "media_features",
+        "sessionize_events", "events_by_user_salted",
+        "q1_pricing_summary", "events_daily", "top_customers", "segment_revenue",
     ]
     times: dict[str, float] = {}
     total0 = time.time()
