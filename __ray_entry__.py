@@ -311,6 +311,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = index.search(index.assign_stage(ds), q, qids, k=10, n_probe=4)
         return res.map_batches(lambda b: _round6(b, ["score"]), batch_format="pyarrow")
 
+    def training_mix_q(sf_dir: str):
+        from kgrecrun.ops.funnel import training_mix
+
+        return training_mix(sf_dir)
+
     def events_by_user_salted(sf_dir: str):
         """Per-user event count + value sum via the two-phase SALTED
         groupby (hot-key-safe shuffle; result equals a plain GROUP BY)."""
@@ -391,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windowed / per-group-ordered (SQL-checkable) ---
         "sessionize_events": W.sessionize_events,
         "top_parts_per_brand": W.top_parts_per_brand,
+        # --- composed training-data funnel (SQL-checkable) ---
+        "training_mix": training_mix_q,
         # --- skew-aware shuffle (SQL-checkable) ---
         "events_by_user_salted": events_by_user_salted,
         # --- relational core (SQL-checkable) ---
@@ -447,6 +454,21 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS root_id "
             "FROM documents"
         ),
+        "training_mix": f"""
+            WITH gated AS (
+                SELECT doc_id, text, {_NTOK} AS n_tokens
+                FROM documents
+                WHERE length(text) >= 100
+                  AND {_NTOK} >= 20
+                  AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10 <= length(text)
+            ), roots AS (
+                SELECT doc_id, n_tokens,
+                       MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS root_id
+                FROM gated
+            )
+            SELECT COUNT(*) AS n_docs, COALESCE(SUM(n_tokens), 0) AS total_tokens
+            FROM roots WHERE doc_id = root_id
+        """,
         "events_by_user_salted": """
             SELECT user_id, COUNT(*) AS n_events,
                    SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents

@@ -1,0 +1,96 @@
+"""Training-data prep funnel: quality gate → exact dedup → corpus
+stats, composed as one streaming pipeline. The gate conditions are
+integer-only (``punct*10 <= chars`` instead of a float ratio) so the
+whole funnel is bit-exactly SQL-checkable.
+
+documents → (gate: chars ≥ min_chars, tokens ≥ min_tokens,
+punct×10 ≤ chars) → content-hash groupby keeping each cluster's min-id
+row → global (n_docs, total_tokens).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import normalize_text
+from .text import _ws_token_counts
+
+
+def training_mix(sf_dir: str, *, min_chars: int = 100, min_tokens: int = 20):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+        n_tokens = _ws_token_counts(texts)
+        n_punct = pc.cast(
+            pc.utf8_length(pc.replace_substring_regex(texts, r"[^.,;:!?]", "")), pa.int64()
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_chars, min_chars),
+                pc.greater_equal(n_tokens, min_tokens),
+            ),
+            pc.less_equal(pc.multiply(n_punct, 10), n_chars),
+        )
+        t = pa.table(
+            {"doc_id": batch["doc_id"], "text": texts, "n_tokens": n_tokens}
+        )
+        return t.filter(keep)
+
+    gated = ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+            }
+        )
+
+    hashed = gated.map_batches(to_hashes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_root(group: pa.Table) -> pa.Table:
+        i = pc.index(group["doc_id"], pc.min(group["doc_id"]))
+        row = group.take(pa.array([i.as_py()]))
+        return row.select(["doc_id", "n_tokens"])
+
+    roots = hashed.groupby("h").map_groups(keep_root, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "total_tokens": pa.array(
+                    [pc.sum(batch["n_tokens"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    partials = roots.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    import ray
+
+    tables = [t for t in (ray.get(r) for r in partials) if "n_docs" in t.column_names]
+    if not tables:  # everything gated out → empty schemaless blocks
+        return pa.table(
+            {"n_docs": pa.array([0], pa.int64()), "total_tokens": pa.array([0], pa.int64())}
+        )
+    merged = pa.concat_tables(tables)
+    return pa.table(
+        {
+            "n_docs": pa.array([pc.sum(merged["n_docs"]).as_py() or 0], pa.int64()),
+            "total_tokens": pa.array(
+                [pc.sum(merged["total_tokens"]).as_py() or 0], pa.int64()
+            ),
+        }
+    )
