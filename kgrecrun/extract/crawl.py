@@ -71,7 +71,11 @@ def crawl_multipage(pages_ds, continuation_ds, *, extract_kwargs=None):
     fdf = frontier.to_pandas()
     wanted = set(fdf["url"]) if "url" in fdf.columns else set()  # empty frontier → no columns
     link_tbl = links.to_pandas()
-    parent_of = {n: u for u, n in zip(link_tbl["url"], link_tbl["next_url"]) if n in wanted}
+    parent_of = (
+        {n: u for u, n in zip(link_tbl["url"], link_tbl["next_url"]) if n in wanted}
+        if "url" in link_tbl.columns
+        else {}
+    )
     wanted_ref = ray.put(wanted)
 
     def fetch(batch: pa.Table) -> pa.Table:

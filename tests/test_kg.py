@@ -138,3 +138,28 @@ def test_mentions_found(kg_run):
     found = set(mentions["norm"])
     missing = planted - found
     assert len(missing) <= 0.02 * len(planted), f"missing mentions: {list(missing)[:10]}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_cc_matches_unionfind():
+    import pyarrow as pa
+    import ray.data
+
+    from kgrecrun.kg.unionfind import UnionFind, connected_components_distributed
+
+    # a 9-node chain (worst case for propagation), a triangle, an isolated pair
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+             ("f", "g"), ("g", "h"), ("h", "i"),
+             ("x", "y"), ("y", "z"), ("x", "z"),
+             ("p", "q")]
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    want = uf.components()
+
+    ds = ray.data.from_arrow(
+        pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    )
+    got_df = connected_components_distributed(ds).to_pandas()
+    got = dict(zip(got_df["node"], got_df["label"]))
+    assert got == want, (got, want)
