@@ -184,6 +184,20 @@ class Element:
                 out.extend(child.get_text_nodes())
         return out
 
+    def get_events(self) -> list:
+        """Replay this subtree as a SAX event stream — the reference's
+        getEvents export (readabilitySAX.js:712-723): open (with the
+        attribute map), text nodes, close, in document order, INCLUDING
+        this element itself as the stream root."""
+        events: list = [("open", self.name, dict(self.attributes))]
+        for child in self.children:
+            if child.is_text:
+                events.append(("text", child.text))
+            else:
+                events.extend(child.get_events())
+        events.append(("close", self.name))
+        return events
+
     def to_string(self) -> str:
         out = []
         for child in self.children:

@@ -480,7 +480,8 @@ class Kernel:
         return jsre.RE_TEXT_NEWLINES.sub("", jsre.js_trim(node.get_formatted_text()))
 
     # -- orchestrator (readabilitySAX.js:767-808) --
-    def get_article(self, events, include_nodes: bool = False) -> dict:
+    def get_article(self, events, include_nodes: bool = False,
+                    include_events: bool = False) -> dict:
         """Run the kernel over one document's event stream; returns the
         fully-materialized article record (no lazy memoization — batch
         mode always needs text+html). ``include_nodes`` adds the flat
@@ -519,4 +520,6 @@ class Kernel:
         }
         if include_nodes:
             article["nodes"] = [n.text for n in elem.get_text_nodes()]
+        if include_events:
+            article["events"] = elem.get_events()
         return article

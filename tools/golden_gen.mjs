@@ -64,6 +64,15 @@ rl.on("line", (line) => {
       text: article.getText(),
       html: article.getHTML(),
       nodes: article.getNodes().map((n) => n.textContent),
+      events: (() => {
+        const evs = [];
+        r.getEvents({
+          onopentag: (name, attrs) => evs.push(["open", name, attrs]),
+          ontext: (node) => evs.push(["text", node.textContent]),
+          onclosetag: (name) => evs.push(["close", name]),
+        });
+        return evs;
+      })(),
     })
   );
 });
