@@ -325,15 +325,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
 
+        from kgrecrun.ops.relational import cents as as_cents
+
         def to_cents(batch: pa.Table) -> pa.Table:
             return pa.table(
-                {
-                    "user_id": batch["user_id"],
-                    "value_cents": pc.cast(
-                        pc.round(pc.multiply(pc.cast(batch["value"], pa.float64()), 100.0)),
-                        pa.int64(),
-                    ),
-                }
+                {"user_id": batch["user_id"], "value_cents": as_cents(batch["value"])}
             )
 
         cents = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)

@@ -17,8 +17,14 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
-def _cents(col) -> pa.Array:
+def cents(col) -> pa.Array:
+    """Money column → integer cents: one deterministic double op per row
+    then order-free int64 sums; see the module docstring. Shared by the
+    windowed and funnel ops."""
     return pc.cast(pc.round(pc.multiply(pc.cast(col, pa.float64()), 100.0)), pa.int64())
+
+
+_cents = cents
 
 
 def docs_by_lang(sf_dir: str):

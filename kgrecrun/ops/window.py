@@ -30,11 +30,10 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
             group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
         )
         g = group.take(order)
+        from .relational import cents as to_cents
+
         ts = g["ts"].cast(pa.int64()).to_numpy()
-        cents = (
-            pc.cast(pc.round(pc.multiply(pc.cast(g["value"], pa.float64()), 100.0)), pa.int64())
-            .to_numpy()
-        )
+        cents = to_cents(g["value"]).to_numpy()
         new_session = np.ones(len(ts), dtype=bool)
         new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
         sess_no = np.cumsum(new_session)
