@@ -209,3 +209,59 @@ def fixture_events() -> dict[str, list]:
     from kgrecrun.extract.events import html_to_events
 
     return {name: html_to_events(html) for name, html in FIXTURES.items()}
+
+# --- round-1 additions: branches without a dedicated fixture ---
+
+# img size priors (readabilitySAX.js:436-449): tiny (≤32) → renamed to
+# script INTENDING a drop that never happens (quirk Q10, SURVEY §2.5 —
+# the skip check reads the close-event tagName, not the renamed name,
+# so it serializes as <script src=...>); ≥390/≥290 → parent +20;
+# ≥200/≥150 → parent +5
+FIXTURES["img-size-priors"] = _page(
+    "Pictures of every size in one story tonight",
+    '<div id="story"><p>' + LOREM + '</p>'
+    '<p><img src="/tiny.png" width="16" height="16"> tiny icon stays out.</p>'
+    '<p><img src="/hero.jpg" width="640" height="420"> hero image boosts.</p>'
+    '<p><img src="/mid.jpg" width="250" height="180"> medium image helps.</p>'
+    "<p>" + LOREM + "</p></div>",
+)
+
+# Q7+Q10: width=10 renames to script; the later height=500 no longer
+# hits the img branch (no +20 for the parent despite being ≥290) and is
+# stored as a generic attribute on the surviving renamed element
+FIXTURES["img-rename-midattrs"] = _page(
+    "The image that changed its mind mid parse",
+    '<div id="a"><p>' + LOREM + '</p>'
+    '<p><img width="10" height="500" src="/x.png"> renamed, not removed.</p>'
+    "<p>" + LOREM + "</p></div>",
+)
+
+# Q4: JS truncating split(sep, limit) in the title heuristics — the
+# kept part has exactly 4 words, so the ≥5-word test fails and the
+# ORIGINAL title must win
+FIXTURES["title-split-limit"] = _page(
+    "Four words exactly here | Long Site Name Goes On",
+    '<div id="m"><p>' + LOREM + "</p><p>" + LOREM + "</p></div>",
+)
+
+# pagination number scoring (readabilitySAX.js:388-394): +(10-n) for
+# page number n<10, -10 for n==1, parseInt prefix handling ("2b" → 2)
+FIXTURES["pagenum-links"] = _page(
+    "A story spread over many numbered pages",
+    '<div id="s"><p>' + LOREM + "</p><p>" + LOREM + "</p></div>"
+    '<div class="pagination">'
+    '<a href="/story/page1">1</a> <a href="/story/page2">2</a> '
+    '<a href="/story/page3">3</a> <a href="/story/page9">9</a> '
+    '<a href="/story/page12">12</a> <a href="/story/page2b">2b</a>'
+    "</div>",
+)
+
+# comma scoring: heavy comma paragraphs drive the +commas term of the
+# paragraph score (readabilitySAX.js:572-577) with Q2's stateful regex
+# alternating across text nodes
+FIXTURES["comma-heavy"] = _page(
+    "Commas, commas, everywhere, in this story",
+    '<div id="c"><p>one, two, three, four, five, six, seven, eight.</p>'
+    "<p>alpha beta gamma delta epsilon zeta eta theta.</p>"
+    "<p>red, orange, yellow, green, blue, indigo, violet, again.</p></div>",
+)
