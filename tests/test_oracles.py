@@ -1,0 +1,56 @@
+"""Oracle parity inside the pytest gate (the north rule's verification
+command): a representative subset of ``__ray_entry__`` queries compared
+value-exactly against their DuckDB oracles at sf0.001. The full sweep
+(every query, sf0.01) runs via ``tools/check_oracles.py`` /
+``tools/preflight.sh``.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# fast, shuffle-diverse subset: groupby, window, salted, join, funnel, topk
+SUBSET = [
+    "docs_by_lang",
+    "doc_fingerprints",
+    "exact_dedup",
+    "sessionize_events",
+    "events_by_user_salted",
+    "q1_pricing_summary",
+    "segment_revenue",
+    "part_topk",
+    "training_mix",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, oracle_con):
+    import __ray_entry__ as E
+
+    res = E.queries()[name](SF_DIR)
+    got = res.to_pandas()  # Dataset and pyarrow.Table both support it
+    want = oracle_con.execute(E.oracle_sql()[name]).fetchdf()
+    got, want = _canon(got), _canon(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
