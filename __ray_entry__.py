@@ -462,12 +462,14 @@ def oracle_sql() -> dict[str, str]:
                        MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS root_id
                 FROM gated
             )
-            SELECT COUNT(*) AS n_docs, COALESCE(SUM(n_tokens), 0) AS total_tokens
+            SELECT COUNT(*) AS n_docs,
+                   CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens
             FROM roots WHERE doc_id = root_id
         """,
         "events_by_user_salted": """
             SELECT user_id, COUNT(*) AS n_events,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
             FROM events GROUP BY user_id
         """,
         "sessionize_events": """
@@ -480,12 +482,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), numbered AS (
-                SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                            ROWS UNBOUNDED PRECEDING) AS session_no
+                SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS session_no
                 FROM ordered
             )
             SELECT user_id, session_no, COUNT(*) AS n_events,
-                   SUM(cents) AS sum_value_cents,
+                   CAST(SUM(cents) AS BIGINT) AS sum_value_cents,
                    (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
             FROM numbered GROUP BY user_id, session_no
         """,
@@ -499,8 +503,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
                    COUNT(*) AS count_order,
                    round(SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*), 6) AS avg_qty
             FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -508,7 +513,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": """
             WITH agg AS (
                 SELECT o_custkey,
-                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                           AS revenue_cents,
                        COUNT(*) AS n_orders
                 FROM orders GROUP BY o_custkey
                 ORDER BY revenue_cents DESC, o_custkey ASC LIMIT 10
@@ -519,7 +525,8 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         "part_topk": """
@@ -528,14 +535,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "segment_revenue": """
             SELECT c.c_mktsegment,
-                   SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
                    COUNT(*) AS n_orders
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment
         """,
         "supplier_region": """
             SELECT r.r_name, COUNT(*) AS n_suppliers,
-                   SUM(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS sum_acctbal_cents
+                   CAST(SUM(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_acctbal_cents
             FROM supplier s
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey

@@ -77,6 +77,15 @@ def main() -> int:
             status = f"SCHEMA MISMATCH got={list(got.columns)} want={list(want.columns)}"
         elif len(got) != len(want):
             status = f"ROWCOUNT got={len(got)} want={len(want)}"
+        elif got.dtypes.astype(str).tolist() != want.dtypes.astype(str).tolist():
+            # dtype divergence (e.g. DuckDB HUGEINT -> decimal128 object)
+            # breaks the driver's value hash even when values are equal
+            diff = {
+                c: (str(got[c].dtype), str(want[c].dtype))
+                for c in got.columns
+                if str(got[c].dtype) != str(want[c].dtype)
+            }
+            status = f"DTYPE MISMATCH (ray, oracle): {diff}"
         else:
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
