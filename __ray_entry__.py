@@ -420,8 +420,153 @@ _STOPWORDS_SQL = (
 )
 
 
+_LANG_PROFILES_SQL = {
+    "en": "the and of to in is was for with that this are on as at it by",
+    "de": "der die das und ist war für mit den dem ein eine nicht auf im zu",
+    "fr": "le la les et est était pour avec que dans un une des du au sur",
+    "es": "el la los las y es era para con que en un una del al se por",
+}
+
+# tokens = ascii_words(lower(text)): RE2 \s split, empties dropped
+_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+
+
+def _lang_pred_sql() -> str:
+    """Stopword-hit argmax mirroring kgrecrun.ops.text.lang_id_text:
+    count every token occurrence per profile, first profile in (en, de,
+    fr, es) order wins ties, all-whitespace text -> 'und'."""
+    hits = ",\n                   ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws.split())
+        + f"], x))) AS h_{lang}"
+        for lang, ws in _LANG_PROFILES_SQL.items()
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), hits AS (
+            SELECT doc_id, len(toks) AS n_words,
+                   {hits}
+            FROM base
+        )
+        SELECT doc_id,
+               CASE WHEN n_words = 0 THEN 'und'
+                    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                    WHEN h_fr >= h_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM hits
+    """
+
+
+def _cc_sql(pairs_cte: str, base_table: str, id_expr: str, out_id: str) -> str:
+    """Recursive connected-components closure over an undirected edge
+    list: every node reaches itself; root = MIN reachable id — the same
+    cluster labeling the pipelines' union-find produces."""
+    return f"""
+        WITH RECURSIVE {pairs_cte},
+        edges AS (
+            SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT {id_expr}, {id_expr} FROM {base_table}
+            UNION
+            SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        )
+        SELECT a AS {out_id}, MIN(b) AS root_id FROM reach GROUP BY a
+    """
+
+
+def _ngram_jaccard_sql(k: int = 4, threshold: float = 0.7) -> str:
+    """Exact word-{k}-gram jaccard >= {threshold} pairs -> connected
+    components. The pipeline decides on bottom-k crc32 sketches; the
+    corpus margin (dup pairs >=0.875, others <=0.5 — measured) makes the
+    sketch decision equal the exact one, so this cross-join oracle is a
+    hard check of the LSH blocking + verify + clustering chain."""
+    pairs = f"""toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) = 0 THEN []
+                            WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+                            ELSE [array_to_string(t[i:i+{k - 1}], ' ')
+                                  for i in range(1, len(t) - {k - 2})]
+                       END) AS s
+            FROM toks
+        ), sized AS (
+            SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0
+        ), pairs AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM sized a JOIN sized b
+              ON a.doc_id < b.doc_id
+             AND least(a.n, b.n) * 1.0 >= {threshold} * greatest(a.n, b.n)
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  >= {threshold} * (a.n + b.n - len(list_intersect(a.s, b.s)))
+        )"""
+    return _cc_sql(pairs, "documents", "doc_id", "doc_id")
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Bit-exact 64-bit SimHash in SQL: md5_number_upper(word) is the
+    little-endian uint64 of the first 8 md5 bytes — the exact value
+    kgrecrun.ops.dedup._word_bits unpacks (bitorder='little') — so bit j
+    of the hash equals the Python bit vector entry j. Per-document bit j
+    is set iff 2 * sum(count * bit_j) > total tokens (i.e. the +/-1
+    weighted sum is positive). Pairs at hamming <= {max_hamming} ->
+    connected components; the pipeline's 4x16-bit banding is pigeonhole-
+    lossless at this distance, so outputs match exactly."""
+    bit_sums = ",\n                   ".join(
+        f"SUM(c * CAST((h >> {j}) & 1 AS BIGINT)) AS s{j}" for j in range(64)
+    )
+    # precomputed 2^j literals: DuckDB's << raises on 1 << 63
+    hash_expr = " | ".join(
+        f"(CASE WHEN 2 * s{j} > tot THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    pairs = f"""toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ), wc AS (
+            SELECT doc_id, w, COUNT(*) AS c, md5_number_upper(w) AS h
+            FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w
+        ), bits AS (
+            SELECT doc_id, SUM(c) AS tot,
+                   {bit_sums}
+            FROM wc GROUP BY doc_id
+        ), sh AS (
+            SELECT t.doc_id,
+                   COALESCE(({hash_expr}), 0::UBIGINT) AS simhash
+            FROM toks t LEFT JOIN bits USING (doc_id)
+        ), pairs AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        )"""
+    return _cc_sql(pairs, "documents", "doc_id", "doc_id")
+
+
+def _embedding_dedup_sql(threshold: float = 0.95) -> str:
+    """Exact cosine cross-join >= {threshold} -> connected components
+    (list_cosine_similarity over DOUBLE[] matches numpy float64 cosine
+    to ~1e-16). The current corpus has no pair above 0.8, so this pins
+    the pipeline to the identity mapping — a pure false-positive check
+    on the hyperplane-LSH bucketing."""
+    pairs = f"""pairs AS (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= {threshold}
+        )"""
+    return _cc_sql(pairs, "embeddings", "vec_id", "vec_id")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_lang_pred": _lang_pred_sql(),
+        "ngram_jaccard_dedup": _ngram_jaccard_sql(),
+        "simhash_dedup": _simhash_sql(),
+        "embedding_dedup": _embedding_dedup_sql(),
         "docs_by_lang": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
         "doc_token_counts": f"SELECT doc_id, {_NTOK} AS n_tokens FROM documents",
         "doc_quality": f"""

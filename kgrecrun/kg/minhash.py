@@ -11,20 +11,24 @@ import zlib
 
 import numpy as np
 
+from ..textnorm import ascii_words, normalize_ws
+
 MERSENNE_P = (1 << 61) - 1
 
 
 def shingles(text: str, k: int = 3) -> set[int]:
     """Character k-gram shingle hashes (crc32) of normalized text."""
-    s = " ".join(text.lower().split())
+    s = normalize_ws(text)
     if len(s) < k:
         return {zlib.crc32(s.encode("utf-8"))} if s else set()
     return {zlib.crc32(s[i:i + k].encode("utf-8")) for i in range(len(s) - k + 1)}
 
 
 def word_shingles(text: str, k: int = 5) -> set[int]:
-    """Word k-gram shingles (for document-level near-dup)."""
-    words = text.lower().split()
+    """Word k-gram shingles (for document-level near-dup), tokenized on
+    the ASCII/RE2 whitespace class so the exact-jaccard oracle SQL
+    (regexp_split_to_array '\\s+') sees the same shingle sets."""
+    words = ascii_words(text.lower())
     if len(words) < k:
         return {zlib.crc32(" ".join(words).encode("utf-8"))} if words else set()
     return {

@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 from ..kg.minhash import MinHasher, word_shingles
 from ..kg.unionfind import UnionFind
+from ..textnorm import normalize_ws
 
 
 # ---------- shared helpers ----------
@@ -77,7 +78,9 @@ def kept(cluster_ds, id_col: str = "doc_id"):
 
 
 def normalize_text(t: str) -> str:
-    return " ".join((t or "").lower().split())
+    # ASCII (RE2 \s) whitespace class, matching the oracle SQL's
+    # regexp_replace(lower(text), '\s+', ' ') — see kgrecrun.textnorm
+    return normalize_ws(t)
 
 
 # ---------- exact ----------

@@ -21,7 +21,13 @@ def cents(col) -> pa.Array:
     """Money column → integer cents: one deterministic double op per row
     then order-free int64 sums; see the module docstring. Shared by the
     windowed and funnel ops."""
-    return pc.cast(pc.round(pc.multiply(pc.cast(col, pa.float64()), 100.0)), pa.int64())
+    return pc.cast(
+        pc.round(
+            pc.multiply(pc.cast(col, pa.float64()), 100.0),
+            round_mode="half_towards_infinity",  # = DuckDB/SQL round()
+        ),
+        pa.int64(),
+    )
 
 
 _cents = cents
@@ -86,6 +92,7 @@ def q1_pricing_summary(sf_dir: str):
                 pc.cast(b["count_order"], pa.float64()),
             ),
             ndigits=6,
+            round_mode="half_towards_infinity",  # = DuckDB round()
         )
         return b.append_column("avg_qty", avg)
 

@@ -15,6 +15,8 @@ import hashlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..textnorm import ascii_words, normalize_ws
+
 
 def _ws_token_counts(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Whitespace token count per row (0 for empty/whitespace-only),
@@ -56,7 +58,7 @@ def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
     # stopword ratio needs tokenized comparison — plain loop over small lists
     stop_ratios = []
     for t in texts.to_pylist():
-        words = (t or "").lower().split()
+        words = ascii_words((t or "").lower())
         stop_ratios.append(sum(1 for w in words if w in _STOPWORDS) / len(words) if words else 0.0)
     mean_wlen = pc.if_else(
         pc.greater(n_tokens, 0),
@@ -90,7 +92,7 @@ _LANG_SETS = {lang: frozenset(ws) for lang, ws in _LANG_PROFILES.items()}
 
 
 def lang_id_text(text: str) -> str:
-    words = text.lower().split()
+    words = ascii_words(text.lower())
     if not words:
         return "und"
     best, best_hits = "en", -1
@@ -111,6 +113,6 @@ def fingerprints(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
     key, and SQL-checkable (md5(lower(regexp_replace(...)))."""
     out = []
     for t in batch[text_col].to_pylist():
-        norm = " ".join((t or "").lower().split())
+        norm = normalize_ws(t)
         out.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
     return pa.table({id_col: batch[id_col], "fingerprint": pa.array(out, pa.string())})

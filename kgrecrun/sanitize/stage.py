@@ -193,7 +193,11 @@ def sanitize_html(html: str, base_uri: str = "", *, media: bool = True,
             cur = stack[-1] if stack else root
 
     for img in imgs:
-        if not _within_ancestors(img.parent, frozenset(["figure", "a"]), 10):
+        # reference walks the img itself plus 10 ancestors
+        # (iframe.js:208-224 descendantOfTag(img, tag, 10)); the img can
+        # never match figure/a, so starting at the node is equivalent
+        # for the first probe and caps the walk at exactly 10 ancestors
+        if not _within_ancestors(img, frozenset(["figure", "a"]), 10):
             parent = img.parent
             fig = _Node("figure", [], parent)
             idx = parent.children.index(img)
