@@ -46,10 +46,23 @@ def crawl_multipage(pages_ds, continuation_ds, *, extract_kwargs=None):
     continuation text onto its parent article.
 
     Returns a Dataset (url, title, text, n_pages, text_length_total).
-    The frontier is materialized per round (it is ≤ the pager fraction
-    of the corpus, not the corpus); everything else streams."""
-    import ray
+    Fully driver-free: the frontier fetch is a semi-join of the
+    continuation source against the frontier url set, and parent
+    relabeling a cogroup of extracted continuations with the link table
+    — one output row PER parent, so two base articles discovering the
+    same continuation url both receive its text (the reference follows
+    pagination per document). No ``to_pandas``/broadcast dict, so the
+    round holds when the pager fraction is itself billions of rows.
 
+    Both steps are ``union → groupby(url).map_groups`` cogroups (one
+    hash shuffle of the payload each, identical exchange volume to a
+    hash join). ``Dataset.join`` is deliberately NOT used here: Ray
+    2.49's hash-shuffle join loses its one-shot schema broadcast when
+    the first block dispatched on a side is empty
+    (hash_shuffle.py:223 returns before broadcasting, join.py:103
+    then builds a schemaless table for shardless partitions and the
+    acero join raises "No match for FieldRef") — and a sparse crawl
+    frontier emits empty blocks routinely."""
     from .stage import extract_articles
 
     kw = extract_kwargs or {}
@@ -66,49 +79,91 @@ def crawl_multipage(pages_ds, continuation_ds, *, extract_kwargs=None):
         ),
         seen,
     )
-    # frontier + parent map are ≤ the pager fraction of the corpus —
-    # bounded driver-side state per crawl round
-    fdf = frontier.to_pandas()
-    wanted = set(fdf["url"]) if "url" in fdf.columns else set()  # empty frontier → no columns
-    link_tbl = links.to_pandas()
-    parent_of = (
-        {n: u for u, n in zip(link_tbl["url"], link_tbl["next_url"]) if n in wanted}
-        if "url" in link_tbl.columns
-        else {}
+
+    # -- fetch: continuation pages whose url is on the frontier --------
+    def page_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(batch["url"], pa.string()),
+            "warc_ts": batch["warc_ts"],
+            "html": pc.cast(batch["html"], pa.large_binary()),
+            "text": pc.cast(batch["text"], pa.large_string()),
+            "lang": pc.cast(batch["lang"], pa.string()),
+            "wanted": pa.array([0] * batch.num_rows, pa.int8()),
+        })
+
+    def frontier_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "url": pc.cast(batch["url"], pa.string()),
+            "warc_ts": pa.nulls(n, pa.timestamp("us")),
+            "html": pa.nulls(n, pa.large_binary()),
+            "text": pa.nulls(n, pa.large_string()),
+            "lang": pa.nulls(n, pa.string()),
+            "wanted": pa.array([1] * n, pa.int8()),
+        })
+
+    def fetch_group(group: pa.Table) -> pa.Table:
+        if pc.max(group["wanted"]).as_py() == 1:  # url is on the frontier
+            return group.filter(pc.equal(group["wanted"], 0)).drop_columns(["wanted"])
+        return group.slice(0, 0).drop_columns(["wanted"])
+
+    page2 = (
+        continuation_ds.map_batches(page_side, batch_format="pyarrow", zero_copy_batch=True)
+        .union(frontier.map_batches(frontier_side, batch_format="pyarrow"))
+        .groupby("url")
+        .map_groups(fetch_group, batch_format="pyarrow")
     )
-    wanted_ref = ray.put(wanted)
-
-    def fetch(batch: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        mask = pa.array([u in w for u in batch["url"].to_pylist()])
-        return batch.filter(mask)
-
-    page2 = continuation_ds.map_batches(fetch, batch_format="pyarrow", zero_copy_batch=True)
     articles2 = extract_articles(page2, emit_html=False, **kw)
 
-    parent_ref = ray.put(parent_of)
-
-    def relabel(batch: pa.Table) -> pa.Table:
-        p = ray.get(parent_ref)
-        parents = [p.get(u) for u in batch["url"].to_pylist()]
+    # -- relabel: fan each continuation's text out to every parent -----
+    def article_side(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "url": pa.array(parents, pa.string()),
-            "title": pa.array([""] * batch.num_rows, pa.large_string()),
-            "text": batch["text"],
-            "page_no": pa.array([2] * batch.num_rows, pa.int64()),
+            "url": pc.cast(batch["url"], pa.string()),
+            "text": pc.cast(batch["text"], pa.large_string()),
+            "parent_url": pa.nulls(batch.num_rows, pa.string()),
+            "kind": pa.array([0] * batch.num_rows, pa.int8()),
         })
+
+    def parent_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(batch["next_url"], pa.string()),
+            "text": pa.nulls(batch.num_rows, pa.large_string()),
+            "parent_url": pc.cast(batch["url"], pa.string()),
+            "kind": pa.array([1] * batch.num_rows, pa.int8()),
+        })
+
+    def relabel_group(group: pa.Table) -> pa.Table:
+        arts = group.filter(pc.equal(group["kind"], 0))
+        pars = group.filter(pc.equal(group["kind"], 1))
+        out_urls: list[str] = []
+        out_texts: list[str] = []
+        for parent in pars["parent_url"].to_pylist():
+            for text in arts["text"].to_pylist():
+                out_urls.append(parent)
+                out_texts.append(text)
+        return pa.table({
+            "url": pa.array(out_urls, pa.string()),
+            "title": pa.array([""] * len(out_urls), pa.large_string()),
+            "text": pa.array(out_texts, pa.large_string()),
+            "page_no": pa.array([2] * len(out_urls), pa.int64()),
+        })
+
+    relinked = (
+        articles2.map_batches(article_side, batch_format="pyarrow")
+        .union(links.map_batches(parent_side, batch_format="pyarrow"))
+        .groupby("url")
+        .map_groups(relabel_group, batch_format="pyarrow")
+    )
 
     def first_page(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "url": batch["url"],
-            "title": batch["title"],
-            "text": batch["text"],
+            "url": pc.cast(batch["url"], pa.string()),
+            "title": pc.cast(batch["title"], pa.large_string()),
+            "text": pc.cast(batch["text"], pa.large_string()),
             "page_no": pa.array([1] * batch.num_rows, pa.int64()),
         })
 
-    both = articles.map_batches(first_page, batch_format="pyarrow").union(
-        articles2.map_batches(relabel, batch_format="pyarrow")
-    )
+    both = articles.map_batches(first_page, batch_format="pyarrow").union(relinked)
 
     def stitch(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[("page_no", "ascending")])
@@ -149,11 +204,15 @@ def crawl_frontier(articles_ds, seen_urls_ds):
     ``seen_urls_ds`` is any Dataset with a ``url`` column (typically the
     pages table already processed this round)."""
 
+    _EMPTY = pa.table({"url": pa.array([], pa.string())})
+
     def tag(flag: int):
         def f(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "url": batch["url"],
+                    # normalize to string so both union branches and the
+                    # downstream join key share one exact Arrow type
+                    "url": pc.cast(batch["url"], pa.string()),
                     "seen": pa.array([flag] * batch.num_rows, pa.int8()),
                 }
             )
@@ -169,7 +228,10 @@ def crawl_frontier(articles_ds, seen_urls_ds):
     agg = unioned.groupby("url").max("seen")
 
     def keep_unseen(batch: pa.Table) -> pa.Table:
+        if batch.num_columns < 2:  # empty aggregate blocks are schemaless
+            return _EMPTY
         b = batch.rename_columns(["url", "seen"])
-        return b.filter(pc.equal(b["seen"], 0)).select(["url"])
+        kept = b.filter(pc.equal(b["seen"], 0))
+        return pa.table({"url": pc.cast(kept["url"], pa.string())})
 
     return agg.map_batches(keep_unseen, batch_format="pyarrow")

@@ -153,3 +153,61 @@ def test_multipage_crawl_stitches_continuations():
     doc_id = int(row["url"].rsplit("art-", 1)[1].split("/")[0])
     cont_text = gen_continuation_row(42, doc_id)["text"].split("\n")[-1]
     assert row["text"].rstrip().endswith(cont_text.rstrip())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multipage_crawl_fans_out_to_every_parent():
+    """Two base articles discovering the SAME continuation url must both
+    receive its text (the reference follows pagination per document —
+    the relabel join emits one row per parent)."""
+    import ray.data
+
+    from kgrecrun.corpus.synthgen import PAGES_SCHEMA
+    from kgrecrun.extract.crawl import crawl_multipage
+
+    def page(url, body):
+        html = (
+            f"<html><head><title>T</title></head><body>"
+            f'<div class="story-body">{body}</div>'
+            f'<div class="pager"><a href="https://s.example/shared/page-2">'
+            f"Next &gt;</a></div></body></html>"
+        )
+        return {
+            "url": url,
+            "warc_ts": 0,
+            "html": html.encode(),
+            "text": "",
+            "lang": "en",
+        }
+
+    body = "<p>" + "Alpha beta gamma delta epsilon words, more words here. " * 6 + "</p>"
+    pages = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [page("https://s.example/a1", body), page("https://s.example/a2", body)],
+            schema=PAGES_SCHEMA,
+        )
+    )
+    cont_body = "<p>" + "Continuation sentence with plenty of words, commas too. " * 6 + "</p>"
+    cont = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [page("https://s.example/shared/page-2", cont_body)], schema=PAGES_SCHEMA
+        )
+    )
+    got = crawl_multipage(pages, cont).to_pandas().set_index("url")
+    assert len(got) == 2
+    assert int(got.loc["https://s.example/a1", "n_pages"]) == 2
+    assert int(got.loc["https://s.example/a2", "n_pages"]) == 2
+    assert "Continuation sentence" in got.loc["https://s.example/a1", "text"]
+    assert "Continuation sentence" in got.loc["https://s.example/a2", "text"]
+
+
+def test_crawl_module_has_no_driver_materialization():
+    """The crawl round must stream end-to-end: no driver-side collection
+    of any unbounded table (VERDICT r1 'What's wrong' #2)."""
+    import inspect
+
+    import kgrecrun.extract.crawl as crawl
+
+    src = inspect.getsource(crawl)
+    for forbidden in ("to_pandas(", "take_all(", "iter_rows(", "ray.put("):
+        assert forbidden not in src, f"driver materialization: {forbidden}"
