@@ -3,8 +3,11 @@
 
 Five family members, all with the same scale shape — per-row sketch in
 ``map_batches`` → LSH/band blocking ``groupby`` → in-block verification
-→ driver union-find over the (small) verified edge list → broadcast
-cluster map applied in one final ``map_batches``:
+→ connected components over the verified edge list → cluster map
+applied to every doc. Clustering is driver union-find + broadcast dict
+below ``DEDUP_EDGE_THRESHOLD`` verified edges, and distributed
+min-label-propagation CC + a bucket-cogroup apply above it (no driver
+state that grows with the corpus):
 
 * exact          — md5 of normalized text, hash-partition + min-id
 * minhash        — word-shingle MinHash, banded LSH, signature-estimate verify
@@ -32,6 +35,12 @@ from ..textnorm import normalize_ws
 
 # ---------- shared helpers ----------
 
+# above this many verified edges the driver union-find + broadcast dict
+# is replaced by distributed label-propagation CC + a cogroup apply —
+# a 100-TB crawl with 30-50% duplication breaks "edges fit one machine"
+DEDUP_EDGE_THRESHOLD = 2_000_000
+
+
 def _edges_to_mapping(edges_ds) -> dict:
     """Collect verified edges (small relative to corpus) → union-find →
     {doc_id: root}."""
@@ -40,6 +49,62 @@ def _edges_to_mapping(edges_ds) -> dict:
         for a, b in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
             uf.union(a, b)
     return uf.components()
+
+
+def _apply_labels(docs_ds, labels_ds, id_col: str = "doc_id", *, n_buckets: int = 64):
+    """Driver-free cluster application: cogroup the id column with the
+    CC labels by hash bucket; inside each bucket a vectorized left-outer
+    acero join fills root_id (= own id for unclustered docs). Ships one
+    narrow (bucket, id) row per doc — no broadcast dict."""
+    from ..kg.unionfind import hash_bucket
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        return pa.table({
+            "bucket": hash_bucket(ids, n_buckets),
+            "node": ids,
+            "label": pa.nulls(len(ids), ids.type),
+            "is_doc": pa.array([True] * len(ids), pa.bool_()),
+        })
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "bucket": hash_bucket(batch["node"].combine_chunks(), n_buckets),
+            "node": batch["node"],
+            "label": batch["label"],
+            "is_doc": pa.array([False] * n, pa.bool_()),
+        })
+
+    def apply_bucket(group: pa.Table) -> pa.Table:
+        docs = group.filter(group["is_doc"]).select(["node"])
+        labs = group.filter(pc.invert(group["is_doc"])).select(["node", "label"])
+        joined = docs.join(labs, keys=["node"], join_type="left outer")
+        return pa.table({
+            id_col: joined["node"],
+            "root_id": pc.coalesce(joined["label"], joined["node"]),
+        })
+
+    unioned = docs_ds.map_batches(
+        doc_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(labels_ds.map_batches(label_rows, batch_format="pyarrow"))
+    return unioned.groupby("bucket").map_groups(apply_bucket, batch_format="pyarrow")
+
+
+def _cluster_and_apply(docs_ds, edges_ds, id_col: str = "doc_id", *,
+                       edge_threshold: int = DEDUP_EDGE_THRESHOLD):
+    """edges → (doc_id, root_id): driver union-find + broadcast dict
+    below ``edge_threshold`` verified edges (cheap, exact), distributed
+    min-label-propagation CC + cogroup apply above it (no driver state
+    that grows with the corpus). Both paths produce identical labels
+    (root = smallest member)."""
+    edges = edges_ds.materialize()  # verified pairs ≪ corpus; reused twice
+    if edges.count() <= edge_threshold:
+        return _apply_mapping(docs_ds, _edges_to_mapping(edges), id_col)
+    from ..kg.unionfind import connected_components_distributed
+
+    labels = connected_components_distributed(edges)
+    return _apply_labels(docs_ds, labels, id_col)
 
 
 def _apply_mapping(docs_ds, mapping, id_col: str = "doc_id"):
@@ -161,7 +226,8 @@ def _verify_sig_block(block: pa.Table, threshold: float, window: int) -> pa.Tabl
 
 
 def minhash_dedup(docs_ds, *, threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
-                  shingle_k: int = 5, window: int = 32, text_col: str = "text", id_col: str = "doc_id"):
+                  shingle_k: int = 5, window: int = 32, text_col: str = "text", id_col: str = "doc_id",
+                  edge_threshold: int = DEDUP_EDGE_THRESHOLD):
     """r=4, b=16 → collision prob ≥0.98 at jaccard 0.7 while the band
     shuffle carries 4× less data than 128/32 (each band row ships the
     full signature for in-block verification — at corpus scale the
@@ -173,7 +239,7 @@ def minhash_dedup(docs_ds, *, threshold: float = 0.7, num_perm: int = 64, bands:
     edges = banded.groupby("band_key").map_groups(
         lambda g: _verify_sig_block(g, threshold, window), batch_format="pyarrow"
     )
-    return _apply_mapping(docs_ds, _edges_to_mapping(edges), id_col)
+    return _cluster_and_apply(docs_ds, edges, id_col, edge_threshold=edge_threshold)
 
 
 # ---------- simhash ----------
@@ -215,7 +281,8 @@ def simhash64(text: str) -> int:
 
 
 def simhash_dedup(docs_ds, *, max_hamming: int = 3, window: int = 64,
-                  text_col: str = "text", id_col: str = "doc_id"):
+                  text_col: str = "text", id_col: str = "doc_id",
+                  edge_threshold: int = DEDUP_EDGE_THRESHOLD):
     """SimHash near-dup: 4×16-bit band blocking guarantees that any pair
     within hamming distance 3 shares at least one exact band
     (pigeonhole); verification checks the true distance."""
@@ -257,14 +324,15 @@ def simhash_dedup(docs_ds, *, max_hamming: int = 3, window: int = 64,
 
     banded = docs_ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
     edges = banded.groupby("band_key").map_groups(verify, batch_format="pyarrow")
-    return _apply_mapping(docs_ds, _edges_to_mapping(edges), id_col)
+    return _cluster_and_apply(docs_ds, edges, id_col, edge_threshold=edge_threshold)
 
 
 # ---------- n-gram jaccard via bottom-k sketches ----------
 
 def ngram_jaccard_dedup(docs_ds, *, threshold: float = 0.7, sketch_k: int = 200,
                         shingle_k: int = 4, bands: int = 16, num_perm: int = 64,
-                        window: int = 32, text_col: str = "text", id_col: str = "doc_id"):
+                        window: int = 32, text_col: str = "text", id_col: str = "doc_id",
+                        edge_threshold: int = DEDUP_EDGE_THRESHOLD):
     """Jaccard on bottom-k shingle sketches (exact on the sketch, an
     unbiased estimator of the true jaccard); minhash-band blocking."""
     hasher = MinHasher(num_perm)
@@ -309,14 +377,14 @@ def ngram_jaccard_dedup(docs_ds, *, threshold: float = 0.7, sketch_k: int = 200,
 
     banded = docs_ds.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
     edges = banded.groupby("band_key").map_groups(verify, batch_format="pyarrow")
-    return _apply_mapping(docs_ds, _edges_to_mapping(edges), id_col)
+    return _cluster_and_apply(docs_ds, edges, id_col, edge_threshold=edge_threshold)
 
 
 # ---------- embedding cosine ----------
 
 def embedding_dedup(embeds_ds, *, threshold: float = 0.95, n_planes: int = 12,
                     window: int = 64, vec_col: str = "embedding", id_col: str = "vec_id",
-                    seed: int = 13):
+                    seed: int = 13, edge_threshold: int = DEDUP_EDGE_THRESHOLD):
     """Near-dup by embedding cosine: random-hyperplane LSH bucket →
     in-bucket cosine verify. Planes are seeded → deterministic buckets."""
     planes_by_dim: dict[int, np.ndarray] = {}
@@ -362,4 +430,4 @@ def embedding_dedup(embeds_ds, *, threshold: float = 0.95, n_planes: int = 12,
 
     bucketed = embeds_ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
     edges = bucketed.groupby("band_key").map_groups(verify, batch_format="pyarrow")
-    return _apply_mapping(embeds_ds, _edges_to_mapping(edges), id_col)
+    return _cluster_and_apply(embeds_ds, edges, id_col, edge_threshold=edge_threshold)

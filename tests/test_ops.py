@@ -256,3 +256,45 @@ def test_salted_groupby_under_extreme_skew():
     )
     assert got["n"].tolist() == want["n"].tolist()
     assert got["total"].tolist() == want["total"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dedup_distributed_path_matches_driver_path():
+    """edge_threshold=0 forces the distributed-CC + cogroup-apply path;
+    its (doc_id, root_id) output must equal the driver union-find path
+    exactly."""
+    import ray.data
+
+    texts = [BASE, NEAR, FAR, BASE + " extra trailing words here",
+             NEAR + " tail", "totally different content about trains and stations"]
+    t = _docs_table(texts, ids=[0, 1, 2, 3, 4, 5])
+    driver = dedup.minhash_dedup(ray.data.from_arrow(t)).to_pandas()
+    dist = dedup.minhash_dedup(ray.data.from_arrow(t), edge_threshold=0).to_pandas()
+    md = dict(zip(driver["doc_id"], driver["root_id"]))
+    mm = dict(zip(dist["doc_id"], dist["root_id"]))
+    assert md == mm, (md, mm)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_cc_stress_one_million_pairs():
+    """VERDICT r1 item 4: >=10^6 synthetic duplicate pairs through the
+    distributed CC without any driver dict — labels must be exact for
+    every node (2-cliques + a few longer chains)."""
+    import ray.data
+
+    from kgrecrun.kg.unionfind import connected_components_distributed
+
+    n_pairs = 1_000_000
+    a = np.arange(0, 2 * n_pairs, 2, dtype=np.int64)
+    # a handful of 5-edge chains on top, offset past the pair ids
+    base = 10_000_000 + np.arange(0, 64 * 6, 6, dtype=np.int64)
+    srcs = np.concatenate([a] + [base + k for k in range(5)])
+    dsts = np.concatenate([a + 1] + [base + k + 1 for k in range(5)])
+    ds = ray.data.from_arrow(pa.table({"src": srcs, "dst": dsts})).repartition(8)
+    df = connected_components_distributed(ds).to_pandas()
+    assert len(df) == 2 * n_pairs + 64 * 6
+    pairs = df[df.node < 10_000_000]
+    assert (pairs["label"].values == (pairs["node"].values // 2) * 2).all()
+    chains = df[df.node >= 10_000_000]
+    assert (chains["label"].values
+            == ((chains["node"].values - 10_000_000) // 6) * 6 + 10_000_000).all()
