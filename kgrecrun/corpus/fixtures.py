@@ -265,3 +265,18 @@ FIXTURES["comma-heavy"] = _page(
     "<p>alpha beta gamma delta epsilon zeta eta theta.</p>"
     "<p>red, orange, yellow, green, blue, indigo, violet, again.</p></div>",
 )
+
+# stripUnlikelyCandidates (readabilitySAX.js:497-501, skipLevel 0 only):
+# class "share-sidebar" matches re_unlikelyCandidates and not
+# re_okMaybeItsACandidate → dropped at skip0, kept at skip1+; class
+# "social-column" ALSO matches unlikely ("social") but "column" matches
+# re_okMaybeItsACandidate so it survives at every level
+FIXTURES["unlikely-candidates"] = _page(
+    "Opinions differ on the harbour plan",
+    '<div id="body"><p>' + LOREM + "</p><p>" + LOREM2 + "</p>"
+    '<div class="share-sidebar"><p>Share this story with friends, neighbours, '
+    "colleagues, and family, via any network, today, tomorrow, always.</p></div>"
+    '<div class="social-column"><p>Readers also discussed the plan at length, '
+    "with comments, replies, and reactions, throughout the week.</p></div>"
+    "</div>",
+)

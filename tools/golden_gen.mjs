@@ -5,7 +5,8 @@
 // document. Used ONLY to generate test goldens — no reference code is
 // copied into this repo.
 //
-// stdin:  JSONL {"url": str, "events": [["open",name]|["attr",n,v]|["text",t]|["close",name], ...]}
+// stdin:  JSONL {"url": str, "events": [["open",name]|["attr",n,v]|["text",t]|["close",name], ...],
+//                "skipLevel": int (optional, default 3 = production)}
 // stdout: JSONL {"url", "title", "nextPage", "textLength", "score", "text", "html"}
 //
 // The module-level re_commas regex in the reference carries lastIndex
@@ -52,7 +53,8 @@ rl.on("line", (line) => {
   delete require.cache[require.resolve(REF)]; // fresh regex state per doc
   const Readability = require(REF);
   const documentElement = buildDom(doc.events);
-  const r = new Readability({ documentElement }, { cleanAttributes: false }, 3);
+  const skipLevel = doc.skipLevel === undefined ? 3 : doc.skipLevel;
+  const r = new Readability({ documentElement }, { cleanAttributes: false }, skipLevel);
   const article = r.getArticle(false);
   out.push(
     JSON.stringify({

@@ -23,11 +23,16 @@ CORPUS_SAMPLE_SEED = 42
 CORPUS_SAMPLE_N = 500
 
 
-def run_reference(docs: dict[str, list]) -> list[dict]:
-    lines = "\n".join(json.dumps({"url": u, "events": e}) for u, e in docs.items())
+def run_reference(docs: dict[str, list], skip_level: int | None = None) -> list[dict]:
+    rows = []
+    for u, e in docs.items():
+        row: dict = {"url": u, "events": e}
+        if skip_level is not None:
+            row["skipLevel"] = skip_level
+        rows.append(json.dumps(row))
     p = subprocess.run(
         ["node", str(ROOT / "tools" / "golden_gen.mjs")],
-        input=lines, capture_output=True, text=True, check=True,
+        input="\n".join(rows), capture_output=True, text=True, check=True,
     )
     return [json.loads(l) for l in p.stdout.splitlines()]
 
@@ -40,6 +45,14 @@ def main() -> None:
     (out_dir / "fixtures.jsonl").write_text(
         "\n".join(json.dumps(r) for r in run_reference(fixture_docs)) + "\n"
     )
+    # non-production configs: skipLevel 0/1/2 progressively re-enable
+    # cleanConditionally, weightClasses, stripUnlikelyCandidates
+    # (readabilitySAX.js:638-649) — branches dead at prod skipLevel 3
+    for lvl in (0, 1, 2):
+        (out_dir / f"fixtures_skip{lvl}.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in run_reference(fixture_docs, skip_level=lvl))
+            + "\n"
+        )
 
     w = world.build_world(CORPUS_SAMPLE_SEED)
     corpus_docs = {}
