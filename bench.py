@@ -26,6 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# sustained-throughput corpus: sized for a >=60 s extraction+KG run at
+# 32 cpus so the reported docs/sec reflects steady state, not pool
+# spin-up (VERDICT r1: the 8k-doc per-query number understated 10x).
+# Scaled down with the scale factor so smoke runs stay fast.
+_SUSTAINED_DOCS = {"sf0.001": 10_000, "sf0.01": 100_000}
+SUSTAINED_DOCS = int(
+    os.environ.get(
+        "GRAFT_SUSTAINED_DOCS",
+        _SUSTAINED_DOCS.get(SF_DIR.rstrip("/").rsplit("/", 1)[-1], 1_000_000),
+    )
+)
+
 
 def _init(num_cpus: int) -> None:
     import ray
@@ -75,12 +87,27 @@ def bench_main() -> None:
     ]
     times: dict[str, float] = {}
     total0 = time.time()
-    kg_docs = 8000  # _SF_DOCS["sf0.1"] — flagship corpus size at bench scale
+    # flagship corpus size at this scale factor (mirrors __ray_entry__'s
+    # _SF_DOCS — was hardcoded to the sf0.1 value, inflating docs/sec
+    # 20x when bench ran at sf0.001)
+    kg_docs = E._n_docs(SF_DIR)
     for name in names:
         t0 = time.time()
         n = _consume(qs[name](SF_DIR))
         times[name] = round(time.time() - t0, 3)
         print(f"{name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    # sustained flagship throughput: one >=60s-scale KG run (extract →
+    # NER/OpenIE → link → canon → dedup) over a corpus large enough to
+    # amortize worker spin-up — the per-query times above carry ~1-3 s
+    # of fixed overhead each and understate steady-state docs/sec
+    t0 = time.time()
+    n_triples = run_kg(SUSTAINED_DOCS)
+    sustained_sec = round(time.time() - t0, 3)
+    sustained_dps = round(SUSTAINED_DOCS / sustained_sec, 2)
+    print(f"kg_sustained: {SUSTAINED_DOCS} docs, {n_triples} triples in "
+          f"{sustained_sec}s = {sustained_dps} docs/s", file=sys.stderr)
+
     total = round(time.time() - total0, 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     print(json.dumps({
@@ -91,6 +118,9 @@ def bench_main() -> None:
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "kg_docs_per_sec": round(kg_docs / (times["kg_articles"] + times["kg_triples"]), 2),
+        "kg_sustained_docs": SUSTAINED_DOCS,
+        "kg_sustained_sec": sustained_sec,
+        "kg_sustained_docs_per_sec": sustained_dps,
     }))
 
 

@@ -68,7 +68,12 @@ def crawl_multipage(pages_ds, continuation_ds, *, extract_kwargs=None):
     kw = extract_kwargs or {}
     articles = extract_articles(pages_ds, emit_html=False, **kw)
 
-    links = resolve_next_pages(articles)
+    # Ray Data plans are trees, not DAGs: every consumer of `links`
+    # would re-run the extraction upstream. links is two narrow string
+    # columns × the pager fraction — materialize it once (distributed
+    # object store, spillable) instead of extracting the corpus three
+    # times (frontier branch, parents branch, first-page branch)
+    links = resolve_next_pages(articles).materialize()
     seen = pages_ds.map_batches(
         lambda b: b.select(["url"]), batch_format="pyarrow"
     )

@@ -18,7 +18,20 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float64)
+    """Arrow list-of-float column → (n, dim) float64 matrix without a
+    Python-object round-trip: flatten the child values buffer (zero-copy
+    for fixed-size lists and offset-uniform lists) and reshape."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(len(arr), arr.type.list_size)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        lengths = np.diff(offsets)
+        if len(lengths) and (lengths == lengths[0]).all():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(len(arr), int(lengths[0]))
+    return np.array(arr.to_pylist(), dtype=np.float64)  # ragged fallback
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -28,7 +41,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class _LocalTopK:
-    def __init__(self, queries_ref, query_ids, k, vec_col, id_col):
+    def __init__(self, queries_ref, query_ids, k, vec_col, id_col,
+                 bucket_allowed=None, bucket_col: str = "bucket"):
         from ..kg.resources import resolve
 
         q = resolve(queries_ref)
@@ -37,17 +51,31 @@ class _LocalTopK:
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
+        # optional strict IVF probing: (n_queries, n_centroids) bool —
+        # a vector only scores for queries that probed its bucket
+        self.bucket_allowed = (
+            None if bucket_allowed is None else np.asarray(resolve(bucket_allowed))
+        )
+        self.bucket_col = bucket_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = _normalize(_as_matrix(batch[self.vec_col]))
-        ids = np.asarray(batch[self.id_col].to_pylist())
+        ids = batch[self.id_col].combine_chunks().to_numpy(zero_copy_only=False)
         scores = self.q @ vecs.T  # Q × B
+        if self.bucket_allowed is not None:
+            buckets = batch[self.bucket_col].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            mask = self.bucket_allowed[:, buckets]  # Q × B
+            scores = np.where(mask, scores, -np.inf)
         k = min(self.k, scores.shape[1])
         out_q, out_id, out_s = [], [], []
         for qi, qid in enumerate(self.query_ids):
             row = scores[qi]
             top = np.argpartition(-row, k - 1)[:k] if k < len(row) else np.arange(len(row))
             for j in top:
+                if row[j] == -np.inf:
+                    continue
                 out_q.append(qid)
                 out_id.append(ids[j])
                 out_s.append(float(row[j]))
@@ -80,19 +108,29 @@ def _global_topk(candidates_ds, k: int, id_col: str):
 
 def brute_force_topk(embeds_ds, queries: np.ndarray, query_ids, k: int = 10,
                      *, vec_col: str = "embedding", id_col: str = "vec_id",
-                     concurrency=(1, 8), batch_size: int = 1024):
+                     concurrency=(1, 8), batch_size: int = 1024,
+                     bucket_allowed=None, bucket_col: str = "bucket"):
     """Exact cosine top-k for each query vector. Returns a Dataset
-    (query_id, vec_id, score, rank)."""
+    (query_id, vec_id, score, rank). ``bucket_allowed`` (optional
+    (n_queries, n_centroids) bool matrix) restricts each query to
+    vectors in its probed IVF buckets."""
     from ..kg.resources import broadcast
 
     try:
         q_ref = broadcast(np.asarray(queries, dtype=np.float64))
     except Exception:
         q_ref = np.asarray(queries, dtype=np.float64)
+    allowed_ref = None
+    if bucket_allowed is not None:
+        try:
+            allowed_ref = broadcast(np.asarray(bucket_allowed))
+        except Exception:
+            allowed_ref = np.asarray(bucket_allowed)
     local = embeds_ds.map_batches(
         _LocalTopK,
         fn_constructor_kwargs=dict(
-            queries_ref=q_ref, query_ids=query_ids, k=k, vec_col=vec_col, id_col=id_col
+            queries_ref=q_ref, query_ids=query_ids, k=k, vec_col=vec_col,
+            id_col=id_col, bucket_allowed=allowed_ref, bucket_col=bucket_col,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -138,14 +176,28 @@ class IVFIndex:
         return embeds_ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
     def search(self, assigned_ds, queries: np.ndarray, query_ids, k: int = 10,
-               n_probe: int = 4, *, vec_col: str = "embedding", id_col: str = "vec_id"):
+               n_probe: int = 4, *, vec_col: str = "embedding", id_col: str = "vec_id",
+               strict: bool = True):
         """Probe the n_probe nearest centroid buckets per query; exact
-        cosine within the probed subset."""
+        cosine within the probed subset.
+
+        ``strict=True`` (default) gives true per-query IVF semantics: a
+        vector is scored for a query ONLY if its bucket is among that
+        query's probes (a broadcast (queries × centroids) bool mask
+        applied inside the scoring batches), so batch results equal
+        running each query alone. ``strict=False`` keeps the documented
+        union-probe mode: every query scores the union of all probed
+        buckets (slightly higher recall, fewer masked lanes)."""
         q = _normalize(np.asarray(queries, dtype=np.float64))
         probes = np.argsort(-(q @ self.centroids.T), axis=1)[:, :n_probe]
         # union of probed buckets → one filtered brute-force pass
         buckets = sorted({int(b) for row in probes for b in row})
-        allowed_by_query = {qid: set(map(int, probes[i])) for i, qid in enumerate(query_ids)}
+        allowed = np.zeros((len(query_ids), len(self.centroids)), dtype=bool)
+        for i in range(len(query_ids)):
+            allowed[i, probes[i]] = True
+        self.allowed_by_query = {
+            qid: set(map(int, probes[i])) for i, qid in enumerate(query_ids)
+        }
 
         import pyarrow.compute as pc
 
@@ -153,11 +205,7 @@ class IVFIndex:
             return batch.filter(pc.is_in(batch["bucket"], value_set=pa.array(buckets, pa.int32())))
 
         subset = assigned_ds.map_batches(filter_buckets, batch_format="pyarrow", zero_copy_batch=True)
-        candidates = brute_force_topk(
-            subset, q, query_ids, k=k, vec_col=vec_col, id_col=id_col
+        return brute_force_topk(
+            subset, q, query_ids, k=k, vec_col=vec_col, id_col=id_col,
+            bucket_allowed=allowed if strict else None,
         )
-        # a candidate only counts if its bucket was probed by that query —
-        # keep the simple union-filter behavior (slightly higher recall);
-        # allowed_by_query retained for callers that want strict probing
-        self.allowed_by_query = allowed_by_query
-        return candidates

