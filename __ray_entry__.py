@@ -35,8 +35,19 @@ _SF_DOCS = {"sf0.001": 400, "sf0.01": 1500, "sf0.1": 8000}
 
 
 def _n_docs(sf_dir: str) -> int:
+    """Synthetic-corpus size for a scale dir. Known names use the
+    calibrated table; unknown sfN names scale with the factor
+    (sf0.1-anchored: 80k docs/sf unit) instead of silently shrinking
+    to a fixed small corpus."""
     name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return _SF_DOCS.get(name, 1000)
+    if name in _SF_DOCS:
+        return _SF_DOCS[name]
+    if name.startswith("sf"):
+        try:
+            return max(400, int(80_000 * float(name[2:])))
+        except ValueError:
+            pass
+    return 1000
 
 
 def _synth_pages(sf_dir: str):
