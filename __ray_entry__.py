@@ -251,6 +251,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
 
+    def doc_sample(sf_dir: str):
+        """Deterministic md5-hash 1/5 sample — stable across runs,
+        resumes and re-sharding (no RNG; SQL-mirrorable)."""
+        import ray.data
+
+        from kgrecrun.ops.sample import hash_sample
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        return hash_sample(ds, numer=1, denom=5)
+
+    def doc_splits(sf_dir: str):
+        """Hash-range train/val/test assignment (90/5/5), complete and
+        non-overlapping by construction."""
+        import ray.data
+
+        from kgrecrun.ops.sample import hash_split
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        return hash_split(ds, splits={"train": 90, "val": 5, "test": 5})
+
+    def token_packing(sf_dir: str):
+        """Token-budgeted shard assignment via distributed prefix sum
+        (coarse-range totals + broadcast offsets; text never shuffles)."""
+        import ray.data
+
+        from kgrecrun.ops.pack import pack_by_token_budget
+        from kgrecrun.ops.text import token_counts
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        toks = ds.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True)
+        return pack_by_token_budget(toks, budget=4096, range_size=64)
+
+    def term_stats_q(sf_dir: str):
+        """Inverted-index statistics (term, df, tf), map-side combined
+        so hot terms shuffle ≤ 1 row per block."""
+        import ray.data
+
+        from kgrecrun.ops.index import term_stats
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return term_stats(ds, min_df=2)
+
+    def term_postings(sf_dir: str):
+        """df-capped inverted-index posting lists, serialized as a
+        comma-joined id string for the order-insensitive value hash."""
+        import ray.data
+
+        from kgrecrun.ops.index import postings
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        posts = postings(ds, max_df=390)
+
+        def fmt(batch: pa.Table) -> pa.Table:
+            joined = [
+                ",".join(str(i) for i in ids)
+                for ids in batch["doc_ids"].to_pylist()
+            ]
+            return pa.table({
+                "term": batch["term"],
+                "doc_ids": pa.array(joined, pa.string()),
+                "df": batch["df"],
+            })
+
+        return posts.map_batches(fmt, batch_format="pyarrow")
+
     def exact_dedup(sf_dir: str):
         import ray.data
 
@@ -389,6 +454,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_fingerprints": doc_fingerprints,
         "doc_lang_pred": doc_lang_pred,
+        # --- sampling / splits / packing / index build (SQL-checkable) ---
+        "doc_sample": doc_sample,
+        "doc_splits": doc_splits,
+        "token_packing": token_packing,
+        "term_stats": term_stats_q,
+        "term_postings": term_postings,
         # --- dedup family ---
         "exact_dedup": exact_dedup,
         "minhash_dedup": minhash_dedup,
@@ -572,8 +643,48 @@ def _embedding_dedup_sql(threshold: float = 0.95) -> str:
     return _cc_sql(pairs, "embeddings", "vec_id", "vec_id")
 
 
+# md5 of the decimal id string, first 8 bytes little-endian — the exact
+# value kgrecrun.ops.sample._hash64 computes per row
+_IDHASH = "md5_number_upper(CAST(doc_id AS VARCHAR))"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_IDHASH} % 5 < 1
+        """,
+        "doc_splits": f"""
+            SELECT doc_id,
+                   CASE WHEN {_IDHASH} % 100 < 90 THEN 'train'
+                        WHEN {_IDHASH} % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "token_packing": f"""
+            WITH t AS (
+                SELECT doc_id, {_NTOK} AS n_tokens FROM documents
+            ), s AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                                ROWS UNBOUNDED PRECEDING)
+                            - n_tokens AS BIGINT) AS prior
+                FROM t
+            )
+            SELECT doc_id, n_tokens, prior // 4096 AS shard_id FROM s
+        """,
+        "term_stats": f"""
+            SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        "term_postings": f"""
+            SELECT term,
+                   array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids,
+                   COUNT(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            GROUP BY term HAVING COUNT(DISTINCT doc_id) <= 390
+        """,
         "doc_lang_pred": _lang_pred_sql(),
         "ngram_jaccard_dedup": _ngram_jaccard_sql(),
         "simhash_dedup": _simhash_sql(),

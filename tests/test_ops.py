@@ -329,3 +329,62 @@ def test_ivf_strict_probing_equals_per_query_runs():
         u = union[union["query_id"] == qi]
         # every strict hit scores at least as well as the union's kth
         assert set(s["vec_id"]).issubset(set(u["vec_id"])) or len(u) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_sample_and_split_deterministic():
+    import hashlib
+
+    import ray.data
+
+    from kgrecrun.ops.sample import hash_sample, hash_split
+
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    got = sorted(hash_sample(ray.data.from_arrow(t), numer=1, denom=4).to_pandas()["doc_id"])
+    want = [i for i in range(200)
+            if int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "little") % 4 < 1]
+    assert got == want
+    # split: complete, non-overlapping, stable across two runs
+    s1 = hash_split(ray.data.from_arrow(t), splits={"train": 8, "val": 1, "test": 1}).to_pandas()
+    s2 = hash_split(ray.data.from_arrow(t), splits={"train": 8, "val": 1, "test": 1}).to_pandas()
+    assert len(s1) == 200 and set(s1["split"]) <= {"train", "val", "test"}
+    assert dict(zip(s1.doc_id, s1.split)) == dict(zip(s2.doc_id, s2.split))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_by_token_budget_matches_serial_prefix_sum():
+    import ray.data
+
+    from kgrecrun.ops.pack import pack_by_token_budget
+
+    rng = np.random.RandomState(7)
+    ntok = rng.randint(1, 500, size=300).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "n_tokens": pa.array(ntok, pa.int64())})
+    # small range_size so several ranges + offsets are exercised
+    got = pack_by_token_budget(
+        ray.data.from_arrow(t).repartition(5), budget=1000, range_size=32
+    ).to_pandas().sort_values("doc_id")
+    prior = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+    assert (got["shard_id"].values == prior // 1000).all()
+    # every shard except the last crosses the budget boundary exactly once
+    assert got["shard_id"].is_monotonic_increasing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_term_stats_and_postings():
+    import ray.data
+
+    from kgrecrun.ops.index import postings, term_stats
+
+    docs = ["the cat sat", "the dog sat", "the cat ran far"]
+    t = _docs_table(docs, ids=[0, 1, 2])
+    ds = ray.data.from_arrow(t).repartition(3)
+    stats = term_stats(ds).to_pandas().set_index("term")
+    assert int(stats.loc["the", "df"]) == 3 and int(stats.loc["the", "tf"]) == 3
+    assert int(stats.loc["cat", "df"]) == 2 and int(stats.loc["sat", "tf"]) == 2
+    assert int(stats.loc["far", "df"]) == 1
+    p = postings(ds, max_df=2).to_pandas().set_index("term")
+    assert "the" not in p.index  # capped out
+    assert list(p.loc["cat", "doc_ids"]) == [0, 2]
+    assert int(p.loc["ran", "df"]) == 1
