@@ -589,6 +589,71 @@ def _ngram_jaccard_sql(k: int = 4, threshold: float = 0.7) -> str:
     return _cc_sql(pairs, "documents", "doc_id", "doc_id")
 
 
+def _minhash_sql(threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
+                 shingle_k: int = 5) -> str:
+    """Bit-exact MinHash-LSH dedup in SQL. Shingle hashes are
+    md5_number_upper over the word-5-gram strings (= the Python side's
+    md5[:8] little-endian); each of the 64 signature components is
+    MIN(((a_j*h) % 2^64 + b_j) % 2^64 % (2^61-1)) — including numpy's
+    uint64 wraparound, reproduced with HUGEINT arithmetic. A pair is an
+    edge iff (1) >=ceil(threshold*64) components match (the pipeline's
+    signature jaccard estimate) and (2) at least one of the 16 4-row
+    bands matches entirely (the LSH blocking that decides which pairs
+    are ever compared). Connected components close the clusters."""
+    from kgrecrun.kg.minhash import MERSENNE_P, MinHasher
+
+    hasher = MinHasher(num_perm)  # seed=7, deterministic a/b
+    m64 = 1 << 64
+    maxu = m64 - 1
+    sig_cols = ",\n                   ".join(
+        f"MIN(((({int(a)}::HUGEINT * h) % {m64}::HUGEINT + {int(b)}::HUGEINT)"
+        f" % {m64}::HUGEINT) % {MERSENNE_P}::HUGEINT) AS s{j}"
+        for j, (a, b) in enumerate(zip(hasher.a, hasher.b))
+    )
+    coalesced = ",\n                   ".join(
+        f"COALESCE(sig.s{j}, {maxu}::HUGEINT) AS s{j}" for j in range(num_perm)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END" for j in range(num_perm)
+    )
+    r = num_perm // bands
+    band_hit = " OR ".join(
+        "(" + " AND ".join(
+            f"a.s{band * r + i} = b.s{band * r + i}" for i in range(r)
+        ) + ")"
+        for band in range(bands)
+    )
+    min_matches = -(-int(threshold * num_perm * 1000000) // 1000000)  # ceil
+    pairs = f"""toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ), shs AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(t) = 0 THEN []
+                            WHEN len(t) < {shingle_k} THEN [array_to_string(t, ' ')]
+                            ELSE [array_to_string(t[i:i+{shingle_k - 1}], ' ')
+                                  for i in range(1, len(t) - {shingle_k - 2})]
+                       END) AS s
+            FROM toks
+        ), hv AS (
+            SELECT doc_id, md5_number_upper(unnest(s))::HUGEINT AS h FROM shs
+        ), sig AS (
+            SELECT doc_id,
+                   {sig_cols}
+            FROM hv GROUP BY doc_id
+        ), sigall AS (
+            SELECT t.doc_id,
+                   {coalesced}
+            FROM toks t LEFT JOIN sig USING (doc_id)
+        ), pairs AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM sigall a JOIN sigall b ON a.doc_id < b.doc_id
+            WHERE ({n_match}) >= {min_matches}
+              AND ({band_hit})
+        )"""
+    return _cc_sql(pairs, "documents", "doc_id", "doc_id")
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """Bit-exact 64-bit SimHash in SQL: md5_number_upper(word) is the
     little-endian uint64 of the first 8 md5 bytes — the exact value
@@ -686,6 +751,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term HAVING COUNT(DISTINCT doc_id) <= 390
         """,
         "doc_lang_pred": _lang_pred_sql(),
+        "minhash_dedup": _minhash_sql(),
         "ngram_jaccard_dedup": _ngram_jaccard_sql(),
         "simhash_dedup": _simhash_sql(),
         "embedding_dedup": _embedding_dedup_sql(),

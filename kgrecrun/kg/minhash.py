@@ -24,15 +24,24 @@ def shingles(text: str, k: int = 3) -> set[int]:
     return {zlib.crc32(s[i:i + k].encode("utf-8")) for i in range(len(s) - k + 1)}
 
 
+def _md5_64(s: str) -> int:
+    """First 8 md5 bytes little-endian — DuckDB ``md5_number_upper``,
+    so shingle hashes (and thus minhash signatures) are SQL-computable."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
 def word_shingles(text: str, k: int = 5) -> set[int]:
-    """Word k-gram shingles (for document-level near-dup), tokenized on
-    the ASCII/RE2 whitespace class so the exact-jaccard oracle SQL
-    (regexp_split_to_array '\\s+') sees the same shingle sets."""
+    """Word k-gram shingle hashes (64-bit md5) for document-level
+    near-dup, tokenized on the ASCII/RE2 whitespace class so the
+    minhash/jaccard oracle SQL (regexp_split_to_array '\\s+' +
+    md5_number_upper) sees the same shingle sets."""
     words = ascii_words(text.lower())
     if len(words) < k:
-        return {zlib.crc32(" ".join(words).encode("utf-8"))} if words else set()
+        return {_md5_64(" ".join(words))} if words else set()
     return {
-        zlib.crc32(" ".join(words[i:i + k]).encode("utf-8"))
+        _md5_64(" ".join(words[i:i + k]))
         for i in range(len(words) - k + 1)
     }
 
