@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio payloads as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The container has no image/audio codecs, so DECODING REAL FORMATS IS
-STUBBED: :class:`DecodeMedia` fully supports a deterministic synthetic
-format (``FAKEIMG``/``FAKEAUD``, produced by :func:`synth_media_batch`)
-and raises ``NotImplementedError`` for real formats (JPEG/PNG/WAV…) —
-the Ray-side plumbing (schema, batch sizing for wide binary payloads,
-actor construction, output layout) is real and tested, and a production
-deployment swaps the decoder body for PIL/ffmpeg.
+REAL codecs, stdlib-only: uncompressed 24-bit **BMP** images (struct
+header parse, bottom-up rows, 4-byte row padding) and PCM-16 mono
+**WAV** audio (``wave`` module) decode genuinely — no PIL/ffmpeg in
+this container, but these two container formats need none. The legacy
+deterministic synthetic formats (``FAKEIMG``/``FAKEAUD``) still decode,
+and anything else (JPEG/PNG/MP3/…) raises ``NotImplementedError`` into
+the per-row ``error`` column — the documented seam where a production
+deployment plugs PIL/ffmpeg.
 
 media schema: (media_id int64, kind string, payload binary,
                width int32, height int32, sample_rate int32, url string)
@@ -16,6 +17,9 @@ media schema: (media_id int64, kind string, payload binary,
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -36,13 +40,99 @@ _IMG_MAGIC = b"FAKEIMG1"
 _AUD_MAGIC = b"FAKEAUD1"
 
 
+# ---------------------------------------------------------------- BMP
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """Grayscale (h, w) uint8 → uncompressed 24-bit BMP (r=g=b),
+    bottom-up rows, 4-byte-padded — a fully standards-compliant file."""
+    h, w = gray.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    img_size = row_bytes * h
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + img_size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = np.repeat(gray[y], 3).tobytes()  # b=g=r
+        rows.append(line + b"\x00" * (row_bytes - len(line)))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → grayscale (h, w) uint8 (channel
+    mean). Handles bottom-up AND top-down (negative height) layouts and
+    row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, comp = struct.unpack_from("<HI", payload, 28)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP decodes (got {bpp}bpp comp={comp})")
+    ah = abs(h)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(payload, dtype=np.uint8, offset=data_off, count=row_bytes * ah)
+    px = raw.reshape(ah, row_bytes)[:, : w * 3].reshape(ah, w, 3)
+    if h > 0:
+        px = px[::-1]
+    return px.mean(axis=2).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- WAV
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → PCM-16 WAV bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM-16 mono WAV → (int16 samples, sample_rate)."""
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError(
+                f"only PCM-16 mono WAV decodes (got width={w.getsampwidth()} "
+                f"channels={w.getnchannels()})"
+            )
+        sr = w.getframerate()
+        data = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    return data, sr
+
+
+# ------------------------------------------------------------ synthesis
+
 def synth_media_batch(media_ids, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media rows (images ~2/3, audio ~1/3)."""
+    """Deterministic synthetic media rows: real BMP images (~1/3), real
+    PCM WAV audio (~1/3), and the legacy FAKEIMG format (~1/3, kept to
+    exercise the non-standard-container path)."""
     rows = []
     for mid in media_ids:
         mid = int(mid)
         rng = np.random.RandomState((seed * 1_000_003 + mid) % (2**31))
-        if mid % 3 != 0:
+        which = mid % 3
+        if which == 0:
+            sr = 8000
+            n = int(rng.randint(800, 4000))
+            samples = rng.randint(-(2**15), 2**15, size=n, dtype=np.int16)
+            payload = encode_wav(samples, sr)
+            rows.append(
+                dict(media_id=mid, kind="audio", payload=payload, width=0, height=0,
+                     sample_rate=sr, url=f"https://media.example/aud/{mid}.wav")
+            )
+        elif which == 1:
+            w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
+            gray = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+            payload = encode_bmp(gray)
+            rows.append(
+                dict(media_id=mid, kind="image", payload=payload, width=w, height=h,
+                     sample_rate=0, url=f"https://media.example/img/{mid}.bmp")
+            )
+        else:
             w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
             pixels = rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
             payload = _IMG_MAGIC + w.to_bytes(4, "little") + h.to_bytes(4, "little") + pixels
@@ -50,20 +140,16 @@ def synth_media_batch(media_ids, seed: int = 42) -> pa.Table:
                 dict(media_id=mid, kind="image", payload=payload, width=w, height=h,
                      sample_rate=0, url=f"https://media.example/img/{mid}.fimg")
             )
-        else:
-            sr = 8000
-            n = int(rng.randint(800, 4000))
-            samples = rng.randint(-(2**15), 2**15, size=n, dtype=np.int16).tobytes()
-            payload = _AUD_MAGIC + sr.to_bytes(4, "little") + n.to_bytes(4, "little") + samples
-            rows.append(
-                dict(media_id=mid, kind="audio", payload=payload, width=0, height=0,
-                     sample_rate=sr, url=f"https://media.example/aud/{mid}.faud")
-            )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
 def _decode_payload(payload: bytes):
-    """→ (kind, np.ndarray). Real codecs are unavailable here — stub."""
+    """→ (kind, np.ndarray). BMP/WAV decode for real; unknown containers
+    raise into the error column."""
+    if payload[:2] == b"BM":
+        return "image", decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio", decode_wav(payload)[0]
     if payload[:8] == _IMG_MAGIC:
         w = int.from_bytes(payload[8:12], "little")
         h = int.from_bytes(payload[12:16], "little")
@@ -72,9 +158,8 @@ def _decode_payload(payload: bytes):
         n = int.from_bytes(payload[12:16], "little")
         return "audio", np.frombuffer(payload[16:16 + 2 * n], dtype=np.int16)
     raise NotImplementedError(
-        "real image/audio codecs are not available in this environment; "
-        "only the FAKEIMG1/FAKEAUD1 synthetic formats decode (swap this "
-        "body for PIL/ffmpeg in production)"
+        "no codec for this container (BMP and PCM WAV decode natively; "
+        "JPEG/PNG/MP3 need PIL/ffmpeg — plug them in here in production)"
     )
 
 
@@ -113,7 +198,8 @@ class DecodeMedia:
                 feats.append(feat.tolist())
                 checksums.append(hashlib.md5(payload).hexdigest())
                 errors.append(None)
-            except NotImplementedError as exc:
+            except (NotImplementedError, ValueError, EOFError, IndexError,
+                    wave.Error, struct.error) as exc:
                 ids.append(mid)
                 kinds.append("unknown")
                 feats.append([0.0] * self.feature_dim)

@@ -171,7 +171,7 @@ def test_media_stage():
         }
     )
     out_bad = media.decode_media(ray.data.from_arrow(bad)).to_pandas()
-    assert "codecs" in out_bad["error"].iloc[0]
+    assert "codec" in out_bad["error"].iloc[0]
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -388,3 +388,32 @@ def test_term_stats_and_postings():
     assert "the" not in p.index  # capped out
     assert list(p.loc["cat", "doc_ids"]) == [0, 2]
     assert int(p.loc["ran", "df"]) == 1
+
+
+def test_bmp_wav_codecs_roundtrip():
+    from kgrecrun.ops import media as M
+
+    rng = np.random.RandomState(11)
+    # width NOT a multiple of 4 → exercises row padding; odd height too
+    gray = rng.randint(0, 256, size=(13, 21), dtype=np.uint8)
+    assert (M.decode_bmp(M.encode_bmp(gray)) == gray).all()
+    samples = rng.randint(-(2**15), 2**15, size=1234, dtype=np.int16)
+    got, sr = M.decode_wav(M.encode_wav(samples, 8000))
+    assert sr == 8000 and (got == samples).all()
+    # hand-built 2x1 top-row-white BMP: decode must un-flip bottom-up rows
+    two = np.array([[255], [0]], dtype=np.uint8)
+    assert (M.decode_bmp(M.encode_bmp(two)) == two).all()
+
+
+def test_decode_media_real_and_unknown_payloads():
+    from kgrecrun.ops import media as M
+
+    t = M.synth_media_batch([0, 1, 2])  # wav, bmp, legacy fakeimg
+    out = M.DecodeMedia()(t)
+    assert out["error"].to_pylist() == [None, None, None]
+    assert out["kind"].to_pylist() == ["audio", "image", "image"]
+    # an unknown container lands in the error column, row preserved
+    bad = t.set_column(2, "payload", pa.array([b"\x89PNG....", b"BM", b"x"], pa.large_binary()))
+    out2 = M.DecodeMedia()(bad)
+    assert all(e is not None for e in out2["error"].to_pylist())
+    assert out2.num_rows == 3
