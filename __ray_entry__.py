@@ -181,6 +181,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def kg_crawl_rounds(sf_dir: str):
+        """Iterated pagination crawl: chains up to page 4, per-round
+        frontier anti-joined against all consumed urls (linksToSkip),
+        multi-parent fan-out composed across rounds."""
+        from kgrecrun.corpus.synthgen import continuation_pages_dataset
+        from kgrecrun.extract.crawl import crawl_rounds
+
+        n = _n_docs(sf_dir)
+        stitched = crawl_rounds(
+            _synth_pages(sf_dir),
+            continuation_pages_dataset(n, seed=42, max_extra_pages=3),
+            max_rounds=4,
+        )
+        return stitched.map_batches(
+            lambda b: b.select(["url", "n_pages", "text_length_total"]),
+            batch_format="pyarrow",
+        )
+
     def kg_text_nodes(sf_dir: str):
         from kgrecrun.extract.stage import explode_text_nodes
 
@@ -446,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clean_html": kg_clean_html,
         "kg_crawl_frontier": kg_crawl_frontier,
         "kg_multipage": kg_multipage,
+        "kg_crawl_rounds": kg_crawl_rounds,
         "kg_text_nodes": kg_text_nodes,
         "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---

@@ -232,25 +232,39 @@ def pages_dataset(n_docs: int, seed: int = 42, *, override_num_blocks: int | Non
 # discovers and resolve_url() absolutizes.
 
 
-def gen_continuation_row(seed: int, doc_id: int) -> dict:
-    rng = random.Random((seed << 33) ^ (doc_id * 2 + 1))
+def chain_depth(doc_id: int, max_extra_pages: int = 1) -> int:
+    """Last page number of doc_id's pagination chain: 2 for the default
+    single-continuation corpus, up to 2+(max_extra_pages-1) when deeper
+    chains are requested (deterministic per doc)."""
+    return 2 + (doc_id % max_extra_pages if max_extra_pages > 1 else 0)
+
+
+def gen_continuation_row(seed: int, doc_id: int, page_no: int = 2,
+                         *, last: bool = True) -> dict:
+    rng = random.Random((seed << 33) ^ (doc_id * 2 + 1) ^ ((page_no - 2) << 50))
     site = f"site{doc_id % 97}.example"
-    url = f"https://{site}/art-{doc_id}/page-2"
+    url = f"https://{site}/art-{doc_id}/page-{page_no}"
     paragraphs = [
         " ".join(rng.choice(W.NOISE_SENTENCES) for _ in range(rng.randint(2, 4)))
         for _ in range(rng.randint(2, 4))
     ]
     article = "".join(f"<p>{p}</p>" for p in paragraphs)
+    pager = (
+        ""
+        if last
+        else f'<div class="pager"><a href="/art-{doc_id}/page-{page_no + 1}">'
+             f"Next &gt;</a></div>"
+    )
     html = (
-        f"<html><head><title>Story {doc_id}, page 2</title></head><body>"
+        f"<html><head><title>Story {doc_id}, page {page_no}</title></head><body>"
         f'<nav><ul><li><a href="/home">Home</a></li></ul></nav>'
-        f'<div class="story-body">{article}</div>'
+        f'<div class="story-body">{article}</div>{pager}'
         f"<footer><a href=\"/about\">About</a> Copyright {site}</footer>"
         f"</body></html>"
     )
     return {
         "url": url,
-        "warc_ts": BASE_TS + doc_id * 1_000_000 + 500_000,
+        "warc_ts": BASE_TS + doc_id * 1_000_000 + 500_000 + (page_no - 2) * 1000,
         "html": html.encode("utf-8"),
         "text": "\n".join(paragraphs),
         "lang": "en",
@@ -258,13 +272,23 @@ def gen_continuation_row(seed: int, doc_id: int) -> dict:
 
 
 def continuation_pages_dataset(n_docs: int, seed: int = 42,
-                               override_num_blocks: int | None = None):
+                               override_num_blocks: int | None = None,
+                               max_extra_pages: int = 1):
     """All continuation pages for doc ids [0, n_docs) as a lazy Dataset —
-    the hermetic stand-in for fetching discovered next-page urls."""
+    the hermetic stand-in for fetching discovered next-page urls.
+    ``max_extra_pages=1`` (default) reproduces the single page-2 corpus
+    byte-for-byte; larger values grow per-doc chains (page 3, 4, …) with
+    pager links on every non-final page."""
     import ray.data
 
     def _gen(batch):
-        rows = [gen_continuation_row(seed, int(i)) for i in batch["id"].to_pylist()]
+        rows = []
+        for i in batch["id"].to_pylist():
+            depth = chain_depth(int(i), max_extra_pages)
+            for page_no in range(2, depth + 1):
+                rows.append(
+                    gen_continuation_row(seed, int(i), page_no, last=page_no == depth)
+                )
         return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
     ds = ray.data.range(n_docs, override_num_blocks=override_num_blocks)

@@ -38,6 +38,108 @@ def resolve_next_pages(articles_ds):
     return articles_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _stitch_group(group: pa.Table) -> pa.Table:
+    """One root article's page rows → a single stitched row (pages in
+    page_no order; title from the first page that has one)."""
+    order = pc.sort_indices(group, sort_keys=[("page_no", "ascending")])
+    g = group.take(order)
+    texts = [t for t in g["text"].to_pylist() if t]
+    text = "\n\n".join(texts)
+    title = next((t for t in g["title"].to_pylist() if t), "")
+    return pa.table({
+        "url": pa.array([g["url"][0].as_py()], pa.string()),
+        "title": pa.array([title], pa.large_string()),
+        "text": pa.array([text], pa.large_string()),
+        "n_pages": pa.array([g.num_rows], pa.int64()),
+        "text_length_total": pa.array([sum(len(t) for t in texts)], pa.int64()),
+    })
+
+
+def _fetch_frontier(continuation_ds, frontier_ds):
+    """Semi-join the page source against a one-column frontier url set:
+    union both sides (frontier rows null-padded to the pages schema) and
+    keep a url's page rows iff a frontier row landed in its group. One
+    hash shuffle of the payload; no driver state."""
+
+    def page_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(batch["url"], pa.string()),
+            "warc_ts": batch["warc_ts"],
+            "html": pc.cast(batch["html"], pa.large_binary()),
+            "text": pc.cast(batch["text"], pa.large_string()),
+            "lang": pc.cast(batch["lang"], pa.string()),
+            "wanted": pa.array([0] * batch.num_rows, pa.int8()),
+        })
+
+    def frontier_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "url": pc.cast(batch["url"], pa.string()),
+            "warc_ts": pa.nulls(n, pa.timestamp("us")),
+            "html": pa.nulls(n, pa.large_binary()),
+            "text": pa.nulls(n, pa.large_string()),
+            "lang": pa.nulls(n, pa.string()),
+            "wanted": pa.array([1] * n, pa.int8()),
+        })
+
+    def fetch_group(group: pa.Table) -> pa.Table:
+        if pc.max(group["wanted"]).as_py() == 1:  # url is on the frontier
+            return group.filter(pc.equal(group["wanted"], 0)).drop_columns(["wanted"])
+        return group.slice(0, 0).drop_columns(["wanted"])
+
+    return (
+        continuation_ds.map_batches(page_side, batch_format="pyarrow", zero_copy_batch=True)
+        .union(frontier_ds.map_batches(frontier_side, batch_format="pyarrow"))
+        .groupby("url")
+        .map_groups(fetch_group, batch_format="pyarrow")
+    )
+
+
+def _relabel_to_parents(articles_ds, parent_pairs_ds, *, page_no: int):
+    """Fan each extracted continuation's text out to EVERY parent that
+    discovered it: cogroup articles with (parent_url, next_url) pairs on
+    the continuation url. Output (url=parent, title='', text, page_no)."""
+
+    def article_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(batch["url"], pa.string()),
+            "text": pc.cast(batch["text"], pa.large_string()),
+            "parent_url": pa.nulls(batch.num_rows, pa.string()),
+            "kind": pa.array([0] * batch.num_rows, pa.int8()),
+        })
+
+    def parent_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": pc.cast(batch["next_url"], pa.string()),
+            "text": pa.nulls(batch.num_rows, pa.large_string()),
+            "parent_url": pc.cast(batch["parent_url"], pa.string()),
+            "kind": pa.array([1] * batch.num_rows, pa.int8()),
+        })
+
+    def relabel_group(group: pa.Table) -> pa.Table:
+        arts = group.filter(pc.equal(group["kind"], 0))
+        pars = group.filter(pc.equal(group["kind"], 1))
+        out_urls: list[str] = []
+        out_texts: list[str] = []
+        for parent in pars["parent_url"].to_pylist():
+            for text in arts["text"].to_pylist():
+                out_urls.append(parent)
+                out_texts.append(text)
+        return pa.table({
+            "url": pa.array(out_urls, pa.string()),
+            "title": pa.array([""] * len(out_urls), pa.large_string()),
+            "text": pa.array(out_texts, pa.large_string()),
+            "page_no": pa.array([page_no] * len(out_urls), pa.int64()),
+        })
+
+    return (
+        articles_ds.map_batches(article_side, batch_format="pyarrow")
+        .union(parent_pairs_ds.map_batches(parent_side, batch_format="pyarrow"))
+        .groupby("url")
+        .map_groups(relabel_group, batch_format="pyarrow")
+    )
+
+
 def crawl_multipage(pages_ds, continuation_ds, *, extract_kwargs=None):
     """One crawl round of the reference's searchFurtherPages flow at
     corpus scale: extract base pages → discover + absolutize next-page
@@ -85,79 +187,16 @@ def crawl_multipage(pages_ds, continuation_ds, *, extract_kwargs=None):
         seen,
     )
 
-    # -- fetch: continuation pages whose url is on the frontier --------
-    def page_side(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "url": pc.cast(batch["url"], pa.string()),
-            "warc_ts": batch["warc_ts"],
-            "html": pc.cast(batch["html"], pa.large_binary()),
-            "text": pc.cast(batch["text"], pa.large_string()),
-            "lang": pc.cast(batch["lang"], pa.string()),
-            "wanted": pa.array([0] * batch.num_rows, pa.int8()),
-        })
-
-    def frontier_side(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            "url": pc.cast(batch["url"], pa.string()),
-            "warc_ts": pa.nulls(n, pa.timestamp("us")),
-            "html": pa.nulls(n, pa.large_binary()),
-            "text": pa.nulls(n, pa.large_string()),
-            "lang": pa.nulls(n, pa.string()),
-            "wanted": pa.array([1] * n, pa.int8()),
-        })
-
-    def fetch_group(group: pa.Table) -> pa.Table:
-        if pc.max(group["wanted"]).as_py() == 1:  # url is on the frontier
-            return group.filter(pc.equal(group["wanted"], 0)).drop_columns(["wanted"])
-        return group.slice(0, 0).drop_columns(["wanted"])
-
-    page2 = (
-        continuation_ds.map_batches(page_side, batch_format="pyarrow", zero_copy_batch=True)
-        .union(frontier.map_batches(frontier_side, batch_format="pyarrow"))
-        .groupby("url")
-        .map_groups(fetch_group, batch_format="pyarrow")
-    )
+    page2 = _fetch_frontier(continuation_ds, frontier)
     articles2 = extract_articles(page2, emit_html=False, **kw)
-
-    # -- relabel: fan each continuation's text out to every parent -----
-    def article_side(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "url": pc.cast(batch["url"], pa.string()),
-            "text": pc.cast(batch["text"], pa.large_string()),
-            "parent_url": pa.nulls(batch.num_rows, pa.string()),
-            "kind": pa.array([0] * batch.num_rows, pa.int8()),
-        })
-
-    def parent_side(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "url": pc.cast(batch["next_url"], pa.string()),
-            "text": pa.nulls(batch.num_rows, pa.large_string()),
-            "parent_url": pc.cast(batch["url"], pa.string()),
-            "kind": pa.array([1] * batch.num_rows, pa.int8()),
-        })
-
-    def relabel_group(group: pa.Table) -> pa.Table:
-        arts = group.filter(pc.equal(group["kind"], 0))
-        pars = group.filter(pc.equal(group["kind"], 1))
-        out_urls: list[str] = []
-        out_texts: list[str] = []
-        for parent in pars["parent_url"].to_pylist():
-            for text in arts["text"].to_pylist():
-                out_urls.append(parent)
-                out_texts.append(text)
-        return pa.table({
-            "url": pa.array(out_urls, pa.string()),
-            "title": pa.array([""] * len(out_urls), pa.large_string()),
-            "text": pa.array(out_texts, pa.large_string()),
-            "page_no": pa.array([2] * len(out_urls), pa.int64()),
-        })
-
-    relinked = (
-        articles2.map_batches(article_side, batch_format="pyarrow")
-        .union(links.map_batches(parent_side, batch_format="pyarrow"))
-        .groupby("url")
-        .map_groups(relabel_group, batch_format="pyarrow")
+    relinked = _relabel_to_parents(
+        articles2,
+        links.map_batches(
+            lambda b: pa.table({"parent_url": pc.cast(b["url"], pa.string()),
+                                "next_url": pc.cast(b["next_url"], pa.string())}),
+            batch_format="pyarrow",
+        ),
+        page_no=2,
     )
 
     def first_page(batch: pa.Table) -> pa.Table:
@@ -170,21 +209,109 @@ def crawl_multipage(pages_ds, continuation_ds, *, extract_kwargs=None):
 
     both = articles.map_batches(first_page, batch_format="pyarrow").union(relinked)
 
-    def stitch(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("page_no", "ascending")])
-        g = group.take(order)
-        texts = [t for t in g["text"].to_pylist() if t]
-        text = "\n\n".join(texts)
-        title = next((t for t in g["title"].to_pylist() if t), "")
+    return both.groupby("url").map_groups(_stitch_group, batch_format="pyarrow")
+
+
+def crawl_rounds(pages_ds, continuation_ds, *, max_rounds: int = 3,
+                 extract_kwargs=None):
+    """Iterated ``searchFurtherPages``: follow pagination chains up to
+    ``max_rounds`` continuation hops (page 2, 3, …), anti-joining each
+    round's frontier against EVERY url consumed so far — the reference's
+    ``linksToSkip`` semantics (readabilitySAX.js:237,341), which also
+    breaks pagination cycles. Returns (url, title, text, n_pages,
+    text_length_total) stitched in page order per ROOT article.
+
+    All per-round state is narrow url/link Datasets materialized in the
+    object store (bounded by the pager fraction); multi-parent fan-out
+    composes across rounds: a page shared by two chains contributes its
+    text — and its onward pages — to both roots."""
+    from .stage import extract_articles
+
+    kw = extract_kwargs or {}
+    articles = extract_articles(pages_ds, emit_html=False, **kw)
+
+    def first_page(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "url": pa.array([g["url"][0].as_py()], pa.string()),
-            "title": pa.array([title], pa.large_string()),
-            "text": pa.array([text], pa.large_string()),
-            "n_pages": pa.array([g.num_rows], pa.int64()),
-            "text_length_total": pa.array([sum(len(t) for t in texts)], pa.int64()),
+            "url": pc.cast(batch["url"], pa.string()),
+            "title": pc.cast(batch["title"], pa.large_string()),
+            "text": pc.cast(batch["text"], pa.large_string()),
+            "page_no": pa.array([1] * batch.num_rows, pa.int64()),
         })
 
-    return both.groupby("url").map_groups(stitch, batch_format="pyarrow")
+    parts = [articles.map_batches(first_page, batch_format="pyarrow")]
+    seen = pages_ds.map_batches(
+        lambda b: pa.table({"url": pc.cast(b["url"], pa.string())}),
+        batch_format="pyarrow",
+    ).materialize()
+    # (url, root): which root article(s) each current-frontier page
+    # belongs to; a url may map to several roots (shared continuations)
+    cur_roots = articles.map_batches(
+        lambda b: pa.table({"url": pc.cast(b["url"], pa.string()),
+                            "root": pc.cast(b["url"], pa.string())}),
+        batch_format="pyarrow",
+    ).materialize()
+    cur_articles = articles
+
+    for rnd in range(max_rounds):
+        links = resolve_next_pages(cur_articles).materialize()
+        if links.count() == 0:
+            break
+        # attribute each discovered next_url to the ROOT(s) of its
+        # parent page: cogroup keyed on the PARENT url (the pairs are
+        # fed swapped — next_url slot carries the join key, parent_url
+        # slot the value to emit), yielding one (next_url, root) row per
+        # (link, root) pair
+        rooted = _relabel_to_parents(
+            cur_roots.map_batches(
+                lambda b: pa.table({"url": b["url"], "text": b["root"]}),
+                batch_format="pyarrow",
+            ),
+            links.map_batches(
+                lambda b: pa.table({"parent_url": pc.cast(b["next_url"], pa.string()),
+                                    "next_url": pc.cast(b["url"], pa.string())}),
+                batch_format="pyarrow",
+            ),
+            page_no=0,
+        ).map_batches(
+            lambda b: pa.table({"url": pc.cast(b["url"], pa.string()),
+                                "root": pc.cast(b["text"], pa.string())}),
+            batch_format="pyarrow",
+        ).materialize()
+
+        frontier = crawl_frontier(
+            rooted.map_batches(
+                lambda b: pa.table({"url": b["url"], "next_page": b["url"]}),
+                batch_format="pyarrow",
+            ),
+            seen,
+        ).materialize()
+        if frontier.count() == 0:
+            break
+
+        page_r = _fetch_frontier(continuation_ds, frontier)
+        arts_r = extract_articles(page_r, emit_html=False, **kw)
+        arts_text = arts_r.map_batches(
+            lambda b: b.select(["url", "text", "next_page"]), batch_format="pyarrow"
+        ).materialize()
+
+        parts.append(
+            _relabel_to_parents(
+                arts_text,
+                rooted.map_batches(
+                    lambda b: pa.table({"parent_url": b["root"], "next_url": b["url"]}),
+                    batch_format="pyarrow",
+                ),
+                page_no=rnd + 2,
+            )
+        )
+        seen = seen.union(frontier).materialize()
+        cur_articles = arts_text
+        cur_roots = rooted
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.union(p)
+    return union.groupby("url").map_groups(_stitch_group, batch_format="pyarrow")
 
 
 def next_page_candidates(articles_ds):

@@ -211,3 +211,41 @@ def test_crawl_module_has_no_driver_materialization():
     src = inspect.getsource(crawl)
     for forbidden in ("to_pandas(", "take_all(", "iter_rows(", "ray.put("):
         assert forbidden not in src, f"driver materialization: {forbidden}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_rounds_follows_deep_chains():
+    """crawl_rounds must follow page-2 → page-3 → page-4 chains,
+    stitching every hop onto the ROOT article in page order, and leave
+    single-page articles untouched."""
+    import ray.data
+
+    from kgrecrun.corpus.synthgen import (
+        chain_depth,
+        continuation_pages_dataset,
+        gen_continuation_row,
+        pages_dataset,
+    )
+    from kgrecrun.extract.crawl import crawl_multipage, crawl_rounds
+
+    n = 120
+    pages = pages_dataset(n, seed=42)
+    cont = continuation_pages_dataset(n, seed=42, max_extra_pages=3)
+    got = crawl_rounds(pages, cont, max_rounds=4).to_pandas().set_index("url")
+    assert len(got) == n
+
+    one_round = crawl_multipage(
+        pages_dataset(n, seed=42), continuation_pages_dataset(n, seed=42)
+    ).to_pandas().set_index("url")
+    multi = one_round[one_round.n_pages > 1].index
+    assert len(multi) > 0
+    for url in multi:
+        doc_id = int(url.rsplit("art-", 1)[1].split("/")[0])
+        depth = chain_depth(doc_id, 3)
+        assert int(got.loc[url, "n_pages"]) == depth, (url, depth)
+        # stitched text ends with the LAST page of the chain
+        tail = gen_continuation_row(42, doc_id, depth, last=True)["text"].split("\n")[-1]
+        assert got.loc[url, "text"].rstrip().endswith(tail.rstrip()), url
+    # articles without a pager stay single-page
+    single = one_round[one_round.n_pages == 1].index
+    assert (got.loc[single, "n_pages"] == 1).all()
