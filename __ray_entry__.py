@@ -393,14 +393,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return top.map_batches(lambda b: _round6(b, ["score"]), batch_format="pyarrow")
 
     def ann_ivf(sf_dir: str):
+        """IVF in oracle mode (n_iters=0): centroids are exactly the 16
+        vectors with vec_id < 16 (cosine is scale-invariant, so the SQL
+        oracle uses the raw vectors), assignment/probing tie-breaks on
+        centroid order — the whole search is DuckDB-checkable. The Lloyd
+        quality path (n_iters>0) stays covered by tests/test_ops.py
+        recall measurements."""
         import ray.data
 
-        from kgrecrun.ops.ann import IVFIndex
+        from kgrecrun.ops.ann import IVFIndex, _as_matrix
 
         q, qids = _query_vectors(sf_dir)
-        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-        sample = np.array(tbl["embedding"].to_pylist()[:256], dtype=np.float64)
-        index = IVFIndex(n_centroids=16, n_iters=8).fit(sample)
+        seed = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 16)],
+        )
+        seed = seed.take(pc.sort_indices(seed, sort_keys=[("vec_id", "ascending")]))
+        index = IVFIndex(n_centroids=16, n_iters=0).fit(_as_matrix(seed["embedding"]))
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         res = index.search(index.assign_stage(ds), q, qids, k=10, n_probe=4)
         return res.map_batches(lambda b: _round6(b, ["score"]), batch_format="pyarrow")
@@ -910,6 +920,48 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.qid AS query_id, e.vec_id,
                        list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS raw
                 FROM q CROSS JOIN embeddings e
+            ), r AS (
+                SELECT query_id, vec_id, raw,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY raw DESC, vec_id ASC) AS rn
+                FROM s
+            )
+            SELECT query_id, vec_id, round(raw, 6) AS score, rn AS "rank"
+            FROM r WHERE rn <= 10
+        """,
+        # IVF oracle mode: centroids = the 16 vectors with vec_id < 16,
+        # bucket = argmax-cosine centroid (ties → smaller centroid id),
+        # each query probes its 4 nearest centroids, exact top-10 within
+        # the probed buckets. Mirrors IVFIndex(n_iters=0) exactly.
+        "ann_ivf": """
+            WITH c AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 16
+            ), b AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+            ), asg AS (
+                SELECT vec_id, ve, cid AS bucket FROM (
+                    SELECT b.vec_id, b.ve, c.cid,
+                           row_number() OVER (
+                               PARTITION BY b.vec_id
+                               ORDER BY list_cosine_similarity(b.ve, c.ce) DESC,
+                                        c.cid ASC) AS rn
+                    FROM b CROSS JOIN c) WHERE rn = 1
+            ), q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+            ), pr AS (
+                SELECT qid, cid FROM (
+                    SELECT q.qid, c.cid,
+                           row_number() OVER (
+                               PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+                                        c.cid ASC) AS rn
+                    FROM q CROSS JOIN c) WHERE rn <= 4
+            ), s AS (
+                SELECT q.qid AS query_id, a.vec_id,
+                       list_cosine_similarity(q.qe, a.ve) AS raw
+                FROM q JOIN pr ON pr.qid = q.qid JOIN asg a ON a.bucket = pr.cid
             ), r AS (
                 SELECT query_id, vec_id, raw,
                        row_number() OVER (PARTITION BY query_id

@@ -143,7 +143,15 @@ def brute_force_topk(embeds_ds, queries: np.ndarray, query_ids, k: int = 10,
 class IVFIndex:
     """Deterministic IVF: k-means over a sample with fixed init (first C
     distinct vectors) and a fixed iteration count — same input, same
-    centroids, everywhere."""
+    centroids, everywhere.
+
+    ``n_iters=0`` is the *oracle mode*: centroids are exactly the first C
+    sample vectors, so index construction is closed-form and the whole
+    search (assign → probe → score → top-k) is expressible as ANSI SQL
+    over the raw table — the ``ann_ivf`` driver query is value-checked
+    against DuckDB this way. ``n_iters>0`` is the production quality path
+    (Lloyd refinement; recall measured in tests/BENCH) whose float mean
+    reductions are not bit-reproducible in SQL."""
 
     def __init__(self, n_centroids: int = 16, n_iters: int = 8):
         self.n_centroids = n_centroids
@@ -189,7 +197,10 @@ class IVFIndex:
         union-probe mode: every query scores the union of all probed
         buckets (slightly higher recall, fewer masked lanes)."""
         q = _normalize(np.asarray(queries, dtype=np.float64))
-        probes = np.argsort(-(q @ self.centroids.T), axis=1)[:, :n_probe]
+        # stable sort: equal-similarity centroids keep index order, so the
+        # probe set is deterministic and matches a SQL `ORDER BY sim DESC,
+        # centroid ASC` tie-break
+        probes = np.argsort(-(q @ self.centroids.T), axis=1, kind="stable")[:, :n_probe]
         # union of probed buckets → one filtered brute-force pass
         buckets = sorted({int(b) for row in probes for b in row})
         allowed = np.zeros((len(query_ids), len(self.centroids)), dtype=bool)
