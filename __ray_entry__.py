@@ -269,6 +269,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
 
+    def doc_pii_scrub(sf_dir: str):
+        """Regex PII redaction (emails / IPv4s / phone-like runs) with
+        per-pattern match counts; RE2 patterns shared with the oracle."""
+        import ray.data
+
+        from kgrecrun.ops.text import scrub_pii
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return ds.map_batches(scrub_pii, batch_format="pyarrow", zero_copy_batch=True)
+
+    def events_asof_orders(sf_dir: str):
+        """As-of join: each event picks the user's most recent prior
+        order (greatest o_orderdate ≤ ts, ties → greatest o_orderkey).
+        One co-partitioning shuffle; integer epoch-µs comparisons."""
+        import ray.data
+
+        from kgrecrun.ops.temporal import asof_join
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+        )
+        od = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+        )
+
+        def key_orders(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": b["o_custkey"],
+                    "o_orderdate": b["o_orderdate"],
+                    "o_orderkey": b["o_orderkey"],
+                }
+            )
+
+        od = od.map_batches(key_orders, batch_format="pyarrow", zero_copy_batch=True)
+        return asof_join(
+            ev,
+            od,
+            key="user_id",
+            left_ts="ts",
+            right_ts="o_orderdate",
+            right_tie="o_orderkey",
+            left_cols=["event_id"],
+            right_cols=["o_orderdate", "o_orderkey"],
+        )
+
+    def events_hopping(sf_dir: str):
+        """Hopping-window aggregate: 2-hour windows every hour per
+        event_type (each event lands in two windows)."""
+        import ray.data
+
+        from kgrecrun.ops.temporal import hopping_window_agg
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        return hopping_window_agg(ds)
+
+    def user_event_windows_q(sf_dir: str):
+        from kgrecrun.ops.window import user_event_windows
+
+        return user_event_windows(sf_dir)
+
+    def lineitem_price_quantiles(sf_dir: str):
+        """Exact per-returnflag price quantiles via the (group, cents)
+        histogram reduction — no group ever co-locates its raw rows."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents as as_cents
+        from kgrecrun.ops.stats import group_quantiles
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+        )
+        res = group_quantiles(
+            ds, key="l_returnflag", value_cents=lambda b: as_cents(b["l_extendedprice"])
+        )
+        return res.map_batches(lambda b: _round6(b, ["qv"]), batch_format="pyarrow")
+
     def doc_sample(sf_dir: str):
         """Deterministic md5-hash 1/5 sample — stable across runs,
         resumes and re-sharding (no RNG; SQL-mirrorable)."""
@@ -483,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_fingerprints": doc_fingerprints,
         "doc_lang_pred": doc_lang_pred,
+        "doc_pii_scrub": doc_pii_scrub,
         # --- sampling / splits / packing / index build (SQL-checkable) ---
         "doc_sample": doc_sample,
         "doc_splits": doc_splits,
@@ -503,6 +583,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windowed / per-group-ordered (SQL-checkable) ---
         "sessionize_events": W.sessionize_events,
         "top_parts_per_brand": W.top_parts_per_brand,
+        "user_event_windows": user_event_windows_q,
+        "events_asof_orders": events_asof_orders,
+        "events_hopping": events_hopping,
+        "lineitem_price_quantiles": lineitem_price_quantiles,
         # --- composed training-data funnel (SQL-checkable) ---
         "training_mix": training_mix_q,
         # --- skew-aware shuffle (SQL-checkable) ---
@@ -833,6 +917,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_value_cents
             FROM events GROUP BY user_id
+        """,
+        "doc_pii_scrub": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                       '\+?\d[\d\-]{7,14}\d', '[PHONE]', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(text,
+                       '\+?\d[\d\-]{7,14}\d')) AS BIGINT) AS n_phone
+            FROM documents
+        """,
+        "events_asof_orders": """
+            WITH j AS (
+                SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts,
+                       o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT user_id, ts, event_id, o_orderdate, o_orderkey
+            FROM j WHERE rn = 1
+        """,
+        "events_hopping": """
+            WITH e AS (
+                SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS f,
+                       event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), w AS (
+                SELECT f AS window_start_us, event_type, cents FROM e
+                UNION ALL
+                SELECT f - 3600000000, event_type, cents FROM e
+            )
+            SELECT window_start_us, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+            FROM w GROUP BY window_start_us, event_type
+        """,
+        "user_event_windows": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS tsu,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   tsu - lag(tsu) OVER (PARTITION BY user_id
+                                        ORDER BY tsu, event_id) AS gap_us,
+                   CAST(SUM(cents) OVER (PARTITION BY user_id
+                                         ORDER BY tsu, event_id
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS roll_cents
+            FROM e
+        """,
+        "lineitem_price_quantiles": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS DOUBLE) AS cents
+                FROM lineitem
+            )
+            SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,
+                   round(quantile_cont(cents, 0.25), 6) AS qv FROM c GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
+                   round(quantile_cont(cents, 0.5), 6) AS qv FROM c GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, CAST(0.75 AS DOUBLE) AS q,
+                   round(quantile_cont(cents, 0.75), 6) AS qv FROM c GROUP BY l_returnflag
         """,
         "sessionize_events": """
             WITH ordered AS (

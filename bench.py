@@ -84,6 +84,8 @@ def bench_main() -> None:
         "embedding_dedup", "ann_topk", "media_features",
         "sessionize_events", "events_by_user_salted",
         "q1_pricing_summary", "events_daily", "top_customers", "segment_revenue",
+        "events_asof_orders", "events_hopping", "user_event_windows",
+        "lineitem_price_quantiles", "doc_pii_scrub", "ann_ivf",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

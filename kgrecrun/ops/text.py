@@ -108,6 +108,34 @@ def lang_id(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> 
     return pa.table({id_col: batch[id_col], "lang_pred": pa.array(preds, pa.string())})
 
 
+# PII scrubbing: RE2-class patterns shared verbatim with the DuckDB
+# oracle (both engines are RE2-semantics, leftmost non-overlapping), so
+# redacted text and match counts are byte-identical. Counts are taken on
+# the ORIGINAL text per pattern; redaction applies the replacements in
+# this fixed order.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d\-]{7,14}\d", "[PHONE]"),
+)
+
+
+def scrub_pii(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Redact emails / IPv4s / phone-like digit runs. Fully vectorized
+    (pyarrow.compute regex kernels); output (doc_id, clean_text,
+    n_email, n_ip, n_phone) is SQL-checkable bit-for-bit."""
+    texts = batch[text_col]
+    cols: dict[str, object] = {id_col: batch[id_col]}
+    clean = texts
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = pc.cast(pc.count_substring_regex(texts, pat), pa.int64())
+        clean = pc.replace_substring_regex(clean, pat, repl)
+    cols["clean_text"] = clean
+    cols.update(counts)
+    return pa.table(cols)
+
+
 def fingerprints(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """md5 of whitespace-normalized lowercased text — the exact-dedup
     key, and SQL-checkable (md5(lower(regexp_replace(...)))."""

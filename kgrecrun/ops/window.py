@@ -58,6 +58,48 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
+def user_event_windows(sf_dir: str, roll: int = 3):
+    """Per-user ordered window functions (lag + rolling sum): for each
+    event, the gap in µs since the user's previous event (null for the
+    first) and the rolling sum of value-cents over the last ``roll``
+    events inclusive. Ordering key is (ts, event_id) — total, so output
+    is deterministic. Output: (event_id, user_id, gap_us, roll_cents).
+
+    All-integer math (epoch-µs gaps, cents sums) → bit-exact vs the SQL
+    ``lag``/``SUM OVER ROWS BETWEEN`` oracle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def windows(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        from .relational import cents as to_cents
+
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        cents = to_cents(g["value"]).to_numpy()
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        lo = np.maximum(np.arange(len(ts)) - (roll - 1), 0)
+        rolling = csum[1 + np.arange(len(ts))] - csum[lo]
+        gap_arr = pa.array(gap, pa.int64(), mask=np.arange(len(ts)) == 0)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "gap_us": gap_arr,
+                "roll_cents": pa.array(rolling, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(windows, batch_format="pyarrow")
+
+
 def top_parts_per_brand(sf_dir: str, k: int = 3):
     """part → top-k per brand by retail price (window-rank): output
     (p_brand, p_partkey, p_retailprice, rnk)."""

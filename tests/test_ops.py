@@ -417,3 +417,141 @@ def test_decode_media_real_and_unknown_payloads():
     out2 = M.DecodeMedia()(bad)
     assert all(e is not None for e in out2["error"].to_pylist())
     assert out2.num_rows == 3
+
+
+def test_scrub_pii_redacts_and_counts():
+    batch = _docs_table(
+        [
+            "contact alice@example.com or bob.smith+tag@sub.domain.org today",
+            "server at 192.168.1.7 and 10.0.0.255 responded",
+            "call +1-555-0100-223 or 5550100223 now",
+            "no pii here at all",
+        ]
+    )
+    out = optext.scrub_pii(batch)
+    assert out["n_email"].to_pylist() == [2, 0, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 2, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 0, 2, 0]
+    clean = out["clean_text"].to_pylist()
+    assert clean[0] == "contact [EMAIL] or [EMAIL] today"
+    assert clean[1] == "server at [IP] and [IP] responded"
+    assert "[PHONE]" in clean[2] and not any(ch.isdigit() for ch in clean[2])
+    assert clean[3] == "no pii here at all"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_matches_bruteforce():
+    import ray.data
+
+    from kgrecrun.ops.temporal import asof_join
+
+    rng = np.random.RandomState(7)
+    n_l, n_r = 400, 120
+    lk = rng.randint(0, 8, n_l)
+    lt = rng.randint(0, 10_000, n_l).astype(np.int64) * 1_000_000
+    rk = rng.randint(0, 10, n_r)  # keys 8,9 have no left rows
+    rt = rng.randint(0, 10_000, n_r).astype(np.int64) * 1_000_000
+    rt[:20] = rt[20:40]  # force right-side ts ties within keys
+    left = pa.table(
+        {
+            "k": pa.array(lk, pa.int64()),
+            "lts": pa.array(lt, pa.int64()).cast(pa.timestamp("us")),
+            "lid": pa.array(np.arange(n_l), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rk, pa.int64()),
+            "rts": pa.array(rt, pa.int64()).cast(pa.timestamp("us")),
+            "rid": pa.array(np.arange(n_r), pa.int64()),
+        }
+    )
+    got = (
+        asof_join(
+            ray.data.from_arrow(left).repartition(5),
+            ray.data.from_arrow(right).repartition(3),
+            key="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_tie="rid",
+            left_cols=["lid"],
+            right_cols=["rts", "rid"],
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # brute force: per left row, latest prior right row, max rid on ties
+    want = {}
+    for i in range(n_l):
+        best = None
+        for j in range(n_r):
+            if rk[j] == lk[i] and rt[j] <= lt[i]:
+                cand = (rt[j], j)
+                if best is None or cand > best:
+                    best = cand
+        if best is not None:
+            want[i] = best
+    assert got["lid"].tolist() == sorted(want)
+    for _, row in got.iterrows():
+        bt, bj = want[row["lid"]]
+        assert row["rts"] == bt and row["rid"] == bj
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hopping_window_each_event_in_two_windows():
+    import ray.data
+
+    from kgrecrun.ops.temporal import hopping_window_agg
+
+    hour = 3600 * 1_000_000
+    ts = pa.array([0, hour // 2, hour, 3 * hour + 1], pa.int64()).cast(pa.timestamp("us"))
+    t = pa.table(
+        {
+            "ts": ts,
+            "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        }
+    )
+    out = (
+        hopping_window_agg(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["event_type", "window_start_us"])
+        .reset_index(drop=True)
+    )
+    # every event contributes to exactly width/hop = 2 windows
+    assert out["n_events"].sum() == 2 * t.num_rows
+    rows = {
+        (r.event_type, r.window_start_us): (r.n_events, r.sum_value_cents)
+        for r in out.itertuples()
+    }
+    assert rows[("a", -hour)] == (2, 300)        # window [-1h, 1h): events 0,1
+    assert rows[("a", 0)] == (3, 600)            # [0, 2h): events 0,1,2
+    assert rows[("a", hour)] == (1, 300)         # [1h, 3h): event 2
+    assert rows[("b", 2 * hour)] == (1, 400)
+    assert rows[("b", 3 * hour)] == (1, 400)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_quantiles_matches_numpy():
+    import ray.data
+
+    from kgrecrun.ops.stats import group_quantiles
+
+    rng = np.random.RandomState(3)
+    keys = rng.choice(list("xyz"), 5000)
+    vals = rng.randint(0, 2000, 5000)  # heavy value collisions → real histogram
+    t = pa.table({"g": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    out = (
+        group_quantiles(
+            ray.data.from_arrow(t).repartition(7),
+            key="g",
+            value_cents=lambda b: b["v"],
+        )
+        .to_pandas()
+        .set_index(["g", "q"])["qv"]
+    )
+    for g in "xyz":
+        sub = np.sort(vals[keys == g])
+        for q in (0.25, 0.5, 0.75):
+            assert out[(g, q)] == np.percentile(sub, q * 100)

@@ -23,6 +23,14 @@ SUBSET = [
     "segment_revenue",
     "part_topk",
     "training_mix",
+    # round-2 additions: IVF oracle mode, as-of join, hopping windows,
+    # per-user window functions, histogram quantiles, PII scrub
+    "ann_ivf",
+    "events_asof_orders",
+    "events_hopping",
+    "user_event_windows",
+    "lineitem_price_quantiles",
+    "doc_pii_scrub",
 ]
 
 
