@@ -332,6 +332,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return user_event_windows(sf_dir)
 
+    def _events_as_custkey(sf_dir: str):
+        import ray.data
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        return ev.map_batches(
+            lambda b: pa.table({"c_custkey": b["user_id"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def customers_with_events(sf_dir: str):
+        """Semi-join (EXISTS) via the zero-shuffle broadcast path: the
+        event-user key set is collected once (bounded by the threshold)
+        and applied map-side with pc.is_in."""
+        import ray.data
+
+        from kgrecrun.ops.joins import semi_join
+
+        cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+        return semi_join(
+            cust, _events_as_custkey(sf_dir), "c_custkey", broadcast_threshold=1_000_000
+        )
+
+    def customers_without_events(sf_dir: str):
+        """Anti-join (NOT EXISTS) via the general cogroup path: one hash
+        shuffle on the key, no driver state — the 100-TB-safe strategy."""
+        import ray.data
+
+        from kgrecrun.ops.joins import anti_join
+
+        cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+        return anti_join(cust, _events_as_custkey(sf_dir), "c_custkey")
+
     def lineitem_price_quantiles(sf_dir: str):
         """Exact per-returnflag price quantiles via the (group, cents)
         histogram reduction — no group ever co-locates its raw rows."""
@@ -587,6 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": events_asof_orders,
         "events_hopping": events_hopping,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "customers_with_events": customers_with_events,
+        "customers_without_events": customers_without_events,
         # --- composed training-data funnel (SQL-checkable) ---
         "training_mix": training_mix_q,
         # --- skew-aware shuffle (SQL-checkable) ---
@@ -975,6 +1010,14 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS roll_cents
             FROM e
+        """,
+        "customers_with_events": """
+            SELECT * FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "customers_without_events": """
+            SELECT * FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
         """,
         "lineitem_price_quantiles": """
             WITH c AS (

@@ -1,0 +1,110 @@
+"""Distributed semi-join and anti-join as first-class operators.
+
+Ray Data's native ``join`` covers inner/outer equi-joins; existence
+filtering (EXISTS / NOT EXISTS) is cheaper than a full join because the
+probe side never ships payload — only the key — and the output carries
+no right-side columns. Two execution strategies:
+
+* **cogroup** (default, both sides large): tag each side, union, ONE
+  hash shuffle on the key, and per-group emit the left rows iff a right
+  row is (semi) / is not (anti) present. No driver state, no broadcast;
+  scales to any key cardinality.
+* **broadcast** (`broadcast_threshold`): when the right side's DISTINCT
+  keys fit comfortably in the object store, collect them once
+  (``ray.put``) and filter map-side with ``pc.is_in`` — zero shuffles.
+  The caller opts in by passing a threshold because only the caller
+  knows the key-domain bound; the operator probes the distinct count
+  first and falls back to cogroup above it.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cogroup_exists(left_ds, right_ds, key: str, *, keep_if_exists: bool):
+    left_schema = left_ds.schema()
+    names = list(left_schema.names)
+    arrow_schema = pa.schema(
+        [(n, t) for n, t in zip(left_schema.names, left_schema.types)]
+    )
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__side", pa.nulls(batch.num_rows, pa.int8()).fill_null(0)
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {key: batch[key]}
+        for n in names:
+            if n != key:
+                cols[n] = pa.nulls(batch.num_rows, arrow_schema.field(n).type)
+        t = pa.table(cols).select(names)
+        return t.append_column("__side", pa.nulls(t.num_rows, pa.int8()).fill_null(1))
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.select_columns([key]).map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        has_right = pc.any(pc.equal(side, 1)).as_py()
+        keep = has_right if keep_if_exists else not has_right
+        if not keep:
+            return arrow_schema.empty_table()
+        return group.filter(pc.equal(side, 0)).select(names)
+
+    return tagged.groupby(key).map_groups(emit, batch_format="pyarrow")
+
+
+def _distinct_keys(right_ds, key: str):
+    def pre(batch: pa.Table) -> pa.Table:
+        return batch.select([key]).group_by([key]).aggregate([])
+
+    return right_ds.map_batches(pre, batch_format="pyarrow").groupby(key).count()
+
+
+def _broadcast_filter(left_ds, keys: pa.Array, *, key: str, keep_if_in: bool):
+    import ray
+
+    keys_ref = ray.put(keys)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[key], value_set=ray.get(keys_ref))
+        if not keep_if_in:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return left_ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _try_broadcast_keys(left_ds, right_ds, key: str, threshold: int):
+    """Distinct right keys as one Arrow array if ≤ threshold, else None.
+    The collection is bounded by the caller's threshold by construction."""
+    if threshold <= 0:
+        return None
+    distinct = _distinct_keys(right_ds, key).materialize()
+    if distinct.count() > threshold:
+        return None
+    key_type = left_ds.schema().types[left_ds.schema().names.index(key)]
+    chunks = [b[key] for b in distinct.iter_batches(batch_format="pyarrow")]
+    return pa.chunked_array(chunks or [pa.array([], key_type)]).combine_chunks()
+
+
+def semi_join(left_ds, right_ds, key: str, *, broadcast_threshold: int = 0):
+    """left rows whose ``key`` EXISTS in right. ``broadcast_threshold``:
+    if > 0 and right's distinct keys are at most that many, use the
+    zero-shuffle broadcast path."""
+    keys = _try_broadcast_keys(left_ds, right_ds, key, broadcast_threshold)
+    if keys is not None:
+        return _broadcast_filter(left_ds, keys, key=key, keep_if_in=True)
+    return _cogroup_exists(left_ds, right_ds, key, keep_if_exists=True)
+
+
+def anti_join(left_ds, right_ds, key: str, *, broadcast_threshold: int = 0):
+    """left rows whose ``key`` does NOT EXIST in right (NOT EXISTS)."""
+    keys = _try_broadcast_keys(left_ds, right_ds, key, broadcast_threshold)
+    if keys is not None:
+        return _broadcast_filter(left_ds, keys, key=key, keep_if_in=False)
+    return _cogroup_exists(left_ds, right_ds, key, keep_if_exists=False)

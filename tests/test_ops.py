@@ -555,3 +555,35 @@ def test_group_quantiles_matches_numpy():
         sub = np.sort(vals[keys == g])
         for q in (0.25, 0.5, 0.75):
             assert out[(g, q)] == np.percentile(sub, q * 100)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_anti_join_paths_agree_and_partition():
+    import ray.data
+
+    from kgrecrun.ops.joins import anti_join, semi_join
+
+    rng = np.random.RandomState(11)
+    left = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 50, 300), pa.int64()),
+            "payload": pa.array(rng.randint(0, 10**9, 300), pa.int64()),
+        }
+    )
+    right = pa.table({"k": pa.array(rng.randint(25, 60, 80), pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right).repartition(3)
+
+    def rows(ds):
+        return sorted(map(tuple, ds.to_pandas().itertuples(index=False)))
+
+    semi_bc = rows(semi_join(lds, rds, "k", broadcast_threshold=10_000))
+    semi_cg = rows(semi_join(lds, rds, "k"))
+    anti_bc = rows(anti_join(lds, rds, "k", broadcast_threshold=10_000))
+    anti_cg = rows(anti_join(lds, rds, "k"))
+    assert semi_bc == semi_cg and anti_bc == anti_cg
+    # semi + anti partition the left side exactly
+    assert sorted(semi_bc + anti_bc) == sorted(map(tuple, left.to_pandas().itertuples(index=False)))
+    rset = set(right["k"].to_pylist())
+    assert all(r[0] in rset for r in semi_bc)
+    assert all(r[0] not in rset for r in anti_bc)

@@ -31,6 +31,8 @@ SUBSET = [
     "user_event_windows",
     "lineitem_price_quantiles",
     "doc_pii_scrub",
+    "customers_with_events",
+    "customers_without_events",
 ]
 
 
