@@ -1,14 +1,16 @@
 """Distribution statistics operators.
 
-:func:`group_quantiles` computes EXACT linear-interpolated quantiles per
-group without ever co-locating a group's raw rows: because money lives
-in integer cents, the value domain is discrete, so the pipeline reduces
-to a (group, value) → count histogram first (combiner inside each batch,
-then one global groupby whose cardinality is bounded by the number of
-DISTINCT values, not rows), and the final per-group quantile walk runs
-over that tiny histogram. At 100 TB the shuffle carries at most
-|groups| × |distinct cents| rows — millions, not trillions — and no
-worker ever needs a full group's rows in memory.
+:func:`group_quantiles` computes EXACT linear-interpolated quantiles
+per group from (group, value) → count partial histograms: money lives
+in integer cents, so each batch collapses to its distinct values before
+the single ``groupby(group)`` shuffle. The shuffle carries
+Σ_blocks |distinct values in block| rows — equal to raw rows only in
+the worst case of an all-unique domain, collapsing by orders of
+magnitude for quantized domains (latencies, scores, sizes). The
+per-group quantile walk tolerates duplicate value bins (cumulative
+counts stay strictly increasing), so no global (group, value) reduce is
+needed — measured at sf0.1, that reduce was a full-data multi-key sort
+for ~1% compression, 3× the wall time.
 
 Interpolation mirrors SQL ``quantile_cont``/numpy ``linear``: with
 sorted values v and idx = (n-1)·q, result = v[⌊idx⌋] +
@@ -48,17 +50,20 @@ def group_quantiles(
         g = t.group_by([key, "v"]).aggregate([("one", "sum")])
         return g.rename_columns([key, "v", "n_local"])
 
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby([key, "v"])
-        .sum("n_local")
-    )
+    # ONE shuffle: batch-partial histograms go straight into the
+    # per-key groupby. A global (key, v) reduce first would bound the
+    # per-group payload by |distinct v| — but measured at sf0.1 the
+    # price domain is ~99% unique, so that reduce is a full-data
+    # multi-key sort for no compression (9.9s → 3s without it). The
+    # quantile walk below tolerates duplicate v bins (cumulative counts
+    # stay strictly increasing), so partials need no pre-merge.
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow")
 
     out_schema = pa.schema([(key, key_type), ("q", pa.float64()), ("qv", pa.float64())])
 
     def quantiles(group: pa.Table) -> pa.Table:
         v = group["v"].combine_chunks().to_numpy(zero_copy_only=False)
-        n = group["sum(n_local)"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = group["n_local"].combine_chunks().to_numpy(zero_copy_only=False)
         order = np.argsort(v, kind="stable")
         v = v[order].astype(np.float64)
         cum = np.cumsum(n[order])  # cum[i] = #values <= v[i]
