@@ -552,6 +552,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return salted_count_sum(
             cents, "user_id", sum_col="value_cents", salts=16,
             count_name="n_events", sum_name="sum_value_cents",
+            # the pre-aggregated partials are ≤ keys×salts rows/block —
+            # coalesce so the two shuffles sort 8 full blocks, not 64
+            # near-empty ones (2× wall time at this cardinality)
+            partial_blocks=8,
         )
 
     def media_features(sf_dir: str):
