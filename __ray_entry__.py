@@ -332,6 +332,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return user_event_windows(sf_dir)
 
+    def events_rollup(sf_dir: str):
+        """ROLLUP(day, event_type): leaves + day subtotals + grand total
+        from one leaf shuffle; coarser levels re-aggregate the tiny leaf
+        result (ops/rollup.py)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents as as_cents
+        from kgrecrun.ops.rollup import rollup_count_sum
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                    "event_type": b["event_type"],
+                    "cents": as_cents(b["value"]),
+                }
+            )
+
+        return rollup_count_sum(
+            ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            "day",
+            "event_type",
+            value_col="cents",
+            count_name="n_events",
+            sum_name="sum_value_cents",
+        )
+
     def _events_as_custkey(sf_dir: str):
         import ray.data
 
@@ -626,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
+        "events_rollup": events_rollup,
         # --- composed training-data funnel (SQL-checkable) ---
         "training_mix": training_mix_q,
         # --- skew-aware shuffle (SQL-checkable) ---
@@ -1014,6 +1046,16 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS roll_cents
             FROM e
+        """,
+        "events_rollup": """
+            WITH e AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT day, event_type, COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+            FROM e GROUP BY ROLLUP(day, event_type)
         """,
         "customers_with_events": """
             SELECT * FROM customer c

@@ -1,0 +1,110 @@
+"""Multi-level (ROLLUP-style) aggregation: (k1, k2), (k1), and grand
+total from ONE pass over the data.
+
+The leaf level pays the only real shuffle (batch-local combiner first,
+as everywhere); each coarser level re-aggregates the previous level's
+already-tiny result, so rollup costs the same as the finest groupby
+plus epsilon. Rolled-up key columns are emitted as NULL, matching SQL
+``GROUP BY ROLLUP(k1, k2)`` row-for-row.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def rollup_count_sum(ds, k1: str, k2: str, *, value_col: str,
+                     count_name: str = "n", sum_name: str = "total"):
+    """→ Dataset(k1, k2, count_name, sum_name) with the three ROLLUP
+    levels: (k1,k2) leaves, (k1, NULL) subtotals, (NULL, NULL) grand
+    total. ``value_col`` must already be an exact-summable int64."""
+    schema = pa.schema(
+        [
+            (k1, pa.string()),
+            (k2, pa.string()),
+            (count_name, pa.int64()),
+            (sum_name, pa.int64()),
+        ]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                k1: batch[k1],
+                k2: batch[k2],
+                "_v": pc.cast(batch[value_col], pa.int64()),
+                "_one": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+            }
+        )
+        g = t.group_by([k1, k2]).aggregate([("_one", "sum"), ("_v", "sum")])
+        return g.rename_columns([k1, k2, "_n", "_s"])
+
+    leaf = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby([k1, k2])
+        .sum(["_n", "_s"])
+        .map_batches(
+            lambda b: b.rename_columns([k1, k2, count_name, sum_name]),
+            batch_format="pyarrow",
+        )
+    )
+    leaf = leaf.materialize()  # tiny (distinct key pairs); feeds 3 outputs
+
+    def as_out(batch: pa.Table, *, null_k2: bool, null_k1: bool) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                k1: pa.nulls(n, pa.string()) if null_k1 else batch[k1],
+                k2: pa.nulls(n, pa.string()) if null_k2 else batch[k2],
+                count_name: batch[count_name],
+                sum_name: batch[sum_name],
+            },
+            schema=schema,
+        )
+
+    sub = (
+        leaf.groupby(k1)
+        .sum([count_name, sum_name])
+        .map_batches(
+            lambda b: as_out(
+                b.rename_columns([k1, count_name, sum_name]).append_column(
+                    k2, pa.nulls(b.num_rows, pa.string())
+                ),
+                null_k2=True,
+                null_k1=False,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def to_grand(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_g": pa.nulls(batch.num_rows, pa.int8()).fill_null(0),
+                count_name: batch[count_name],
+                sum_name: batch[sum_name],
+            }
+        )
+
+    grand = (
+        leaf.map_batches(to_grand, batch_format="pyarrow")
+        .groupby("_g")
+        .sum([count_name, sum_name])
+        .map_batches(
+            lambda b: as_out(
+                b.rename_columns(["_g", count_name, sum_name])
+                .drop_columns(["_g"])
+                .append_column(k1, pa.nulls(b.num_rows, pa.string()))
+                .append_column(k2, pa.nulls(b.num_rows, pa.string())),
+                null_k2=True,
+                null_k1=True,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    leaves = leaf.map_batches(
+        lambda b: as_out(b, null_k2=False, null_k1=False), batch_format="pyarrow"
+    )
+    return leaves.union(sub).union(grand)

@@ -587,3 +587,39 @@ def test_semi_anti_join_paths_agree_and_partition():
     rset = set(right["k"].to_pylist())
     assert all(r[0] in rset for r in semi_bc)
     assert all(r[0] not in rset for r in anti_bc)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_levels_consistent():
+    import ray.data
+
+    from kgrecrun.ops.rollup import rollup_count_sum
+
+    rng = np.random.RandomState(5)
+    t = pa.table(
+        {
+            "a": pa.array(rng.choice(["x", "y", "z"], 500)),
+            "b": pa.array(rng.choice(["p", "q"], 500)),
+            "v": pa.array(rng.randint(0, 100, 500), pa.int64()),
+        }
+    )
+    out = rollup_count_sum(
+        ray.data.from_arrow(t).repartition(4), "a", "b", value_col="v"
+    ).to_pandas()
+    leaves = out[out.a.notna() & out.b.notna()]
+    subs = out[out.a.notna() & out.b.isna()].set_index("a")
+    grand = out[out.a.isna() & out.b.isna()]
+    assert len(grand) == 1
+    assert grand.n.iloc[0] == 500 and grand.total.iloc[0] == int(t["v"].to_numpy().sum())
+    for a, g in leaves.groupby("a"):
+        assert subs.loc[a, "n"] == g.n.sum() and subs.loc[a, "total"] == g.total.sum()
+    # leaves equal a plain pandas groupby
+    want = (
+        t.to_pandas().groupby(["a", "b"])
+        .agg(n=("v", "size"), total=("v", "sum"))
+        .reset_index()
+    )
+    got = leaves.sort_values(["a", "b"]).reset_index(drop=True)[["a", "b", "n", "total"]]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want.astype({"n": "int64"}), check_dtype=False)

@@ -33,6 +33,7 @@ SUBSET = [
     "doc_pii_scrub",
     "customers_with_events",
     "customers_without_events",
+    "events_rollup",
 ]
 
 
