@@ -92,6 +92,31 @@ def _try_broadcast_keys(left_ds, right_ds, key: str, threshold: int):
     return pa.chunked_array(chunks or [pa.array([], key_type)]).combine_chunks()
 
 
+def broadcast_lookup(left_ds, right_table: pa.Table, key: str, *,
+                     right_key: str | None = None,
+                     columns: list[str] | None = None):
+    """Map-side dimension join: ``right_table`` (a SMALL driver-side
+    Arrow table — nation/region/customer-name scale) is put in the
+    object store ONCE and every batch attaches its columns via a
+    vectorized Arrow hash join. Zero shuffles; the left side streams.
+    Use Ray Data's native ``Dataset.join`` when the right side is big.
+    """
+    import ray
+
+    rk = right_key or key
+    cols = columns or [c for c in right_table.column_names if c != rk]
+    small = right_table.select([rk, *cols])
+    if rk != key:
+        small = small.rename_columns([key, *cols])
+    ref = ray.put(small)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dim = ray.get(ref)
+        return batch.join(dim, keys=[key], join_type="left outer")
+
+    return left_ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def semi_join(left_ds, right_ds, key: str, *, broadcast_threshold: int = 0):
     """left rows whose ``key`` EXISTS in right. ``broadcast_threshold``:
     if > 0 and right's distinct keys are at most that many, use the

@@ -137,26 +137,26 @@ def top_customers(sf_dir: str, k: int = 10):
         .limit(k)
     )
 
+    from .joins import broadcast_lookup
+
     names_tbl = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-    names_ref = ray.put(
-        dict(zip(names_tbl["c_custkey"].to_pylist(), names_tbl["c_name"].to_pylist()))
+    with_names = broadcast_lookup(
+        top, names_tbl, key="o_custkey", right_key="c_custkey"
     )
 
-    def attach(batch: pa.Table) -> pa.Table:
-        names = ray.get(names_ref)
-        c_name = [names.get(ck) for ck in batch["o_custkey"].to_pylist()]
+    def shape(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "c_custkey": batch["o_custkey"],
-                "c_name": pa.array(c_name, pa.string()),
+                "c_name": batch["c_name"],
                 "revenue_cents": batch["revenue_cents"],
                 "n_orders": batch["n_orders"],
             }
         )
 
-    return top.map_batches(attach, batch_format="pyarrow")
+    return with_names.map_batches(shape, batch_format="pyarrow")
 
 
 def events_daily(sf_dir: str):
@@ -267,33 +267,32 @@ def supplier_region(sf_dir: str):
     import ray
     import ray.data
 
+    from .joins import broadcast_lookup
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
     region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
-    r_by_key = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    region_of_nation = {
-        nk: r_by_key[rk]
-        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
-    }
-    map_ref = ray.put(region_of_nation)
+    # compose the two tiny dimensions driver-side: nationkey → region name
+    nr = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"]).select(
+        ["n_nationkey", "r_name"]
+    )
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
     )
+    with_region = broadcast_lookup(ds, nr, key="s_nationkey", right_key="n_nationkey")
 
     def pre(batch: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        r_name = [m.get(nk) for nk in batch["s_nationkey"].to_pylist()]
         t = pa.table(
             {
-                "r_name": pa.array(r_name, pa.string()),
+                "r_name": batch["r_name"],
                 "acctbal_cents": _cents(batch["s_acctbal"]),
-                "one": pa.array([1] * batch.num_rows, pa.int64()),
+                "one": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
             }
         )
         g = t.group_by(["r_name"]).aggregate([("one", "sum"), ("acctbal_cents", "sum")])
         return g.rename_columns(["r_name", "n_local", "cents_local"])
 
-    agg = ds.map_batches(pre, batch_format="pyarrow").groupby("r_name").sum(
+    agg = with_region.map_batches(pre, batch_format="pyarrow").groupby("r_name").sum(
         ["n_local", "cents_local"]
     )
     return agg.map_batches(
