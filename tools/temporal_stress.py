@@ -1,0 +1,105 @@
+"""Scale stress for the temporal operator family: synthesize N events
+(default 10M) and N/10 orders across K users as streaming Datasets,
+run `asof_join` and `hopping_window_agg`, and report wall time + result
+invariants. Deterministic (seeded per block) — rerun = same counts.
+
+Usage: python tools/temporal_stress.py [n_events] [n_users]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, "/root/repo")
+
+DAY_US = 86_400_000_000
+
+
+def synth(n_rows: int, n_users: int, kind: str, num_blocks: int = 256):
+    """Deterministic synthetic stream: block index seeds the RNG."""
+    import ray.data
+
+    per = n_rows // num_blocks
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch["id"].to_pylist():
+            rng = np.random.RandomState(hash((kind, b)) % (2**31))
+            base = np.arange(per, dtype=np.int64) + b * per
+            ts = rng.randint(0, 30 * DAY_US, per).astype(np.int64)
+            tbl = {
+                "user_id": pa.array(base % n_users, pa.int64()),
+                "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            }
+            if kind == "events":
+                tbl["event_id"] = pa.array(base, pa.int64())
+                tbl["event_type"] = pa.array(
+                    np.take(np.array(["view", "click", "buy"]), base % 3), pa.string()
+                )
+                tbl["value"] = pa.array(
+                    rng.randint(0, 10_000, per) / 100.0, pa.float64()
+                )
+            else:
+                tbl["o_orderkey"] = pa.array(base, pa.int64())
+            out.append(pa.table(tbl))
+        return pa.concat_tables(out)
+
+    return ray.data.range(num_blocks, override_num_blocks=num_blocks).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
+def main(n_events: int, n_users: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 log_to_driver=False)
+    from kgrecrun.ops.temporal import asof_join, hopping_window_agg
+
+    events = synth(n_events, n_users, "events")
+    orders = synth(n_events // 10, n_users, "orders").map_batches(
+        lambda b: pa.table(
+            {"user_id": b["user_id"], "o_orderdate": b["ts"], "o_orderkey": b["o_orderkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    t0 = time.time()
+    joined = asof_join(
+        events.select_columns(["user_id", "ts", "event_id"]),
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_tie="o_orderkey",
+        left_cols=["event_id"],
+        right_cols=["o_orderdate", "o_orderkey"],
+    )
+    n_joined = joined.count()
+    asof_sec = time.time() - t0
+
+    t0 = time.time()
+    agg = hopping_window_agg(events)
+    n_windows = agg.count()
+    hop_sec = time.time() - t0
+
+    import json
+
+    print(json.dumps({
+        "n_events": n_events, "n_users": n_users,
+        "asof_rows": n_joined, "asof_sec": round(asof_sec, 1),
+        "asof_rows_per_sec": round(n_events / asof_sec),
+        "hopping_windows": n_windows, "hopping_sec": round(hop_sec, 1),
+        "hopping_rows_per_sec": round(n_events / hop_sec),
+    }))
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    u = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    main(n, u)
