@@ -43,6 +43,7 @@ def asof_join(
     right_tie: str,
     left_cols: list[str],
     right_cols: list[str],
+    n_buckets: int = 256,
 ):
     """Most-recent-prior join (inner): for each left row, attach the
     right-side columns of the row with the greatest ``right_ts`` ≤ the
@@ -53,15 +54,30 @@ def asof_join(
     ``left_ds``/``right_ds`` must already carry only the needed columns.
     Returns (key, left_ts, *left_cols, *right_cols) with both ts columns
     as int64 epoch-us.
+
+    Execution is BUCKET-vectorized: keys hash into ``n_buckets`` groups
+    so one ``map_groups`` call processes thousands of keys at once with
+    a single lexsort + forward-fill sweep — group dispatch stays at
+    ``n_buckets`` regardless of key cardinality (per-key ``map_groups``
+    would make 100k Python calls for 100k users). Measured at
+    10M events × 1M orders / 100k keys, 32 cpus: 19–24 s end-to-end
+    (tools/temporal_stress.py). The per-bucket sweep: sort by
+    (key, ts, side) with right rows ordered before left at equal ts
+    (≤ is inclusive) and greatest tie last; forward-fill the latest
+    right index; invalidate fills that crossed a key boundary.
     """
     all_left = [key, left_ts, *left_cols]
     all_right = [key, right_ts, right_tie, *[c for c in right_cols if c != right_tie]]
     r_payload = [right_ts, *[c for c in right_cols if c != right_ts]]
 
-    # aligned union schema: key, __ts (us), __side, then nullable payloads
+    from ..kg.unionfind import hash_bucket
+
+    # aligned union schema: bucket, key, __ts (us), __side, payloads
     def tag_left(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch[key], pa.int64())
         cols = {
-            key: pc.cast(batch[key], pa.int64()),
+            "__bucket": hash_bucket(k, n_buckets),
+            key: k,
             "__ts": _epoch_us(batch[left_ts]),
             "__side": pa.nulls(batch.num_rows, pa.int8()).fill_null(0),
         }
@@ -72,8 +88,10 @@ def asof_join(
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch[key], pa.int64())
         cols = {
-            key: pc.cast(batch[key], pa.int64()),
+            "__bucket": hash_bucket(k, n_buckets),
+            key: k,
             "__ts": _epoch_us(batch[right_ts]),
             "__side": pa.nulls(batch.num_rows, pa.int8()).fill_null(1),
         }
@@ -96,40 +114,51 @@ def asof_join(
     out_fields += [(c, pa.int64()) for c in r_payload]
     out_schema = pa.schema(out_fields)
 
-    def resolve(group: pa.Table) -> pa.Table:
+    def resolve_bucket(group: pa.Table) -> pa.Table:
         side = group["__side"].combine_chunks().to_numpy(zero_copy_only=False)
-        ts = group["__ts"].combine_chunks().to_numpy(zero_copy_only=False)
-        l_idx = np.flatnonzero(side == 0)
-        r_idx = np.flatnonzero(side == 1)
-        if len(l_idx) == 0 or len(r_idx) == 0:
+        if (side == 0).sum() == 0 or (side == 1).sum() == 0:
             return out_schema.empty_table()
-        r_ts = ts[r_idx]
-        r_tie = (
-            group[right_tie]
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)[r_idx]
-            .astype(np.int64)
+        k = group[key].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = group["__ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        tie = (
+            pc.fill_null(group[right_tie].combine_chunks(), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
-        # sort right by (ts, tie) so searchsorted's idx-1 is the latest,
-        # greatest-tie prior row
-        order = np.lexsort((r_tie, r_ts))
-        r_ts = r_ts[order]
-        r_take = r_idx[order]
-        pos = np.searchsorted(r_ts, ts[l_idx], side="right") - 1
-        hit = pos >= 0
-        l_hit = l_idx[hit]
-        r_hit = r_take[pos[hit]]
+        # right rows first at equal (key, ts) — the ≤ is inclusive —
+        # greatest tie last so forward-fill keeps it
+        side_order = np.where(side == 1, 0, 1)
+        order = np.lexsort((tie, side_order, ts, k))
+        k_s = k[order]
+        is_right = side[order] == 1
+        cand = np.where(is_right, np.arange(len(order)), -1)
+        last = np.maximum.accumulate(cand)
+        left_pos = np.flatnonzero(~is_right)
+        j = last[left_pos]
+        valid = j >= 0
+        valid &= k_s[left_pos] == k_s[np.maximum(j, 0)]  # no key crossing
+        l_orig = pa.array(order[left_pos[valid]])
+        r_orig = pa.array(order[j[valid]])
         cols = {
-            key: pc.cast(group[key], pa.int64()).take(pa.array(l_hit)),
-            left_ts: pa.array(ts[l_hit], pa.int64()),
+            key: group[key].combine_chunks().take(l_orig),
+            left_ts: group["__ts"].combine_chunks().take(l_orig),
         }
         for c in left_cols:
-            cols[c] = group[c].combine_chunks().take(pa.array(l_hit))
+            cols[c] = group[c].combine_chunks().take(l_orig)
         for c in r_payload:
-            cols[c] = group[c].combine_chunks().take(pa.array(r_hit))
+            cols[c] = group[c].combine_chunks().take(r_orig)
         return pa.table(cols, schema=out_schema)
 
-    return tagged.groupby(key).map_groups(resolve, batch_format="pyarrow")
+    # NOTE: measured alternatives at 10M×1M rows / 100k keys (32 cpus):
+    # sort-groupby on the bucket column + this key-aware sweep = 19–24 s
+    # (1024 vs 256 buckets); HASH_SHUFFLE keyed repartition = 173 s
+    # (aggregator-actor spin-up dominates at this scale); per-key
+    # map_groups dispatch is the pathological one (100k Python group
+    # calls). The bucket sweep keeps group dispatch at n_buckets
+    # regardless of key cardinality.
+    return tagged.groupby("__bucket").map_groups(
+        resolve_bucket, batch_format="pyarrow"
+    )
 
 
 def hopping_window_agg(

@@ -27,8 +27,10 @@ def synth(n_rows: int, n_users: int, kind: str, num_blocks: int = 256):
 
     def gen(batch: pa.Table) -> pa.Table:
         out = []
+        import zlib
+
         for b in batch["id"].to_pylist():
-            rng = np.random.RandomState(hash((kind, b)) % (2**31))
+            rng = np.random.RandomState(zlib.crc32(f"{kind}-{b}".encode()) % (2**31))
             base = np.arange(per, dtype=np.int64) + b * per
             ts = rng.randint(0, 30 * DAY_US, per).astype(np.int64)
             tbl = {
