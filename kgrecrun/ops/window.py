@@ -1,9 +1,14 @@
-"""Windowed / per-group-ordered operators, expressed as
-``groupby(key).map_groups`` over Arrow groups: the shuffle co-locates a
-key's rows, the window logic runs vectorized inside the group. State
-never crosses groups, so the pattern holds at any corpus size as long
-as one key's rows fit in a worker (true for per-user event streams and
-per-brand part lists; a hot key would be salted upstream).
+"""Windowed / per-group-ordered operators.
+
+The shuffle co-locates a key's rows; the window logic runs vectorized
+INSIDE hash buckets of many keys (``groupby(bucket).map_groups``), not
+per key — group dispatch stays at ``n_buckets`` no matter how many
+users exist, and one lexsort per bucket handles every key in it with
+segment-boundary masks (same pattern as ``ops/temporal.asof_join``;
+per-key ``map_groups`` costs one Python call per key, pathological at
+10^5+ keys). State never crosses keys, so the pattern holds at any
+corpus size as long as one BUCKET's rows fit in a worker; a hot key
+would be salted upstream.
 """
 
 from __future__ import annotations
@@ -11,6 +16,20 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+N_BUCKETS = 256
+
+
+def _bucketed(ds, key: str):
+    """Append a hash-bucket column for groupby(bucket) dispatch."""
+    from ..kg.unionfind import hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", hash_bucket(batch[key].combine_chunks(), N_BUCKETS)
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
@@ -26,36 +45,49 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     gap_us = gap_minutes * 60 * 1_000_000
 
     def sessions(group: pa.Table) -> pa.Table:
+        # one vectorized sweep over every user in the bucket
         order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            group,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
         )
         g = group.take(order)
         from .relational import cents as to_cents
 
-        ts = g["ts"].cast(pa.int64()).to_numpy()
-        cents = to_cents(g["value"]).to_numpy()
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sess_no = np.cumsum(new_session)
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = to_cents(g["value"].combine_chunks()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_session = new_user.copy()
+        new_session[1:] |= (ts[1:] - ts[:-1]) > gap_us
         starts = np.flatnonzero(new_session)
-        ends = np.append(starts[1:], len(ts))
-        uid = g["user_id"][0].as_py()
+        ends = np.append(starts[1:], n)
+        # session_no = 1-based rank of the session within its user
+        sess_idx = np.arange(len(starts))
+        user_first_sess = np.maximum.accumulate(
+            np.where(new_user[starts], sess_idx, 0)
+        )
+        csum = np.concatenate(([0], np.cumsum(cents)))
         return pa.table(
             {
-                "user_id": pa.array([uid] * len(starts), pa.int64()),
-                "session_no": pa.array(sess_no[starts], pa.int64()),
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_no": pa.array(sess_idx - user_first_sess + 1, pa.int64()),
                 "n_events": pa.array(ends - starts, pa.int64()),
-                "sum_value_cents": pa.array(
-                    [int(cents[s:e].sum()) for s, e in zip(starts, ends)], pa.int64()
-                ),
+                "sum_value_cents": pa.array(csum[ends] - csum[starts], pa.int64()),
                 "duration_sec": pa.array(
-                    [int((ts[e - 1] - ts[s]) // 1_000_000) for s, e in zip(starts, ends)],
-                    pa.int64(),
+                    (ts[ends - 1] - ts[starts]) // 1_000_000, pa.int64()
                 ),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return _bucketed(ds, "user_id").groupby("__bucket").map_groups(
+        sessions, batch_format="pyarrow"
+    )
 
 
 def user_event_windows(sf_dir: str, roll: int = 3):
@@ -74,20 +106,34 @@ def user_event_windows(sf_dir: str, roll: int = 3):
     )
 
     def windows(group: pa.Table) -> pa.Table:
+        # one vectorized sweep over every user in the bucket:
+        # segment-boundary masks replace per-user dispatch
         order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            group,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
         )
         g = group.take(order)
         from .relational import cents as to_cents
 
-        ts = g["ts"].cast(pa.int64()).to_numpy()
-        cents = to_cents(g["value"]).to_numpy()
-        gap = np.empty(len(ts), dtype=np.int64)
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = to_cents(g["value"].combine_chunks()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=np.int64)
         gap[1:] = ts[1:] - ts[:-1]
+        # rolling window floor: max(i - roll + 1, user segment start)
+        idx = np.arange(n)
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        lo = np.maximum(idx - (roll - 1), seg_start)
         csum = np.concatenate(([0], np.cumsum(cents)))
-        lo = np.maximum(np.arange(len(ts)) - (roll - 1), 0)
-        rolling = csum[1 + np.arange(len(ts))] - csum[lo]
-        gap_arr = pa.array(gap, pa.int64(), mask=np.arange(len(ts)) == 0)
+        rolling = csum[idx + 1] - csum[lo]
+        gap_arr = pa.array(gap, pa.int64(), mask=new_user)
         return pa.table(
             {
                 "event_id": g["event_id"],
@@ -97,7 +143,9 @@ def user_event_windows(sf_dir: str, roll: int = 3):
             }
         )
 
-    return ds.groupby("user_id").map_groups(windows, batch_format="pyarrow")
+    return _bucketed(ds, "user_id").groupby("__bucket").map_groups(
+        windows, batch_format="pyarrow"
+    )
 
 
 def top_parts_per_brand(sf_dir: str, k: int = 3):
