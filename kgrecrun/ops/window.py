@@ -32,14 +32,15 @@ def _bucketed(ds, key: str):
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+def sessionize_events(sf_dir: str, gap_minutes: int = 30, *, events_ds=None):
     """events → one row per (user, session): session = maximal run of a
     user's events with inter-event gaps ≤ ``gap_minutes``. Output:
     (user_id, session_no, n_events, sum_value_cents, duration_sec),
-    session_no numbered 1.. in time order per user."""
+    session_no numbered 1.. in time order per user. ``events_ds``
+    overrides the parquet read with any Dataset of the same columns."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
     )
     gap_us = gap_minutes * 60 * 1_000_000
@@ -90,7 +91,7 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     )
 
 
-def user_event_windows(sf_dir: str, roll: int = 3):
+def user_event_windows(sf_dir: str, roll: int = 3, *, events_ds=None):
     """Per-user ordered window functions (lag + rolling sum): for each
     event, the gap in µs since the user's previous event (null for the
     first) and the rolling sum of value-cents over the last ``roll``
@@ -101,7 +102,7 @@ def user_event_windows(sf_dir: str, roll: int = 3):
     ``lag``/``SUM OVER ROWS BETWEEN`` oracle."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
     )
 

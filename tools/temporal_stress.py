@@ -90,6 +90,16 @@ def main(n_events: int, n_users: int) -> None:
     n_windows = agg.count()
     hop_sec = time.time() - t0
 
+    from kgrecrun.ops.window import sessionize_events, user_event_windows
+
+    ev4 = events.select_columns(["user_id", "event_id", "ts", "value"])
+    t0 = time.time()
+    n_sessions = sessionize_events("", events_ds=ev4).count()
+    sess_sec = time.time() - t0
+    t0 = time.time()
+    n_rows = user_event_windows("", events_ds=ev4).count()
+    win_sec = time.time() - t0
+
     import json
 
     print(json.dumps({
@@ -98,6 +108,10 @@ def main(n_events: int, n_users: int) -> None:
         "asof_rows_per_sec": round(n_events / asof_sec),
         "hopping_windows": n_windows, "hopping_sec": round(hop_sec, 1),
         "hopping_rows_per_sec": round(n_events / hop_sec),
+        "sessions": n_sessions, "sessionize_sec": round(sess_sec, 1),
+        "sessionize_rows_per_sec": round(n_events / sess_sec),
+        "window_rows": n_rows, "windows_sec": round(win_sec, 1),
+        "windows_rows_per_sec": round(n_events / win_sec),
     }))
 
 
