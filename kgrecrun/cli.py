@@ -10,6 +10,12 @@ With ``--synthetic-docs N`` (no --pages), a deterministic CC-style
 corpus is generated first — the hermetic equivalent of pointing at a
 crawl dump. Owns its Ray session (guarded init; the library never
 calls ray.init).
+
+Any named pipeline from the driver contract can also be run standalone
+and written as partitioned parquet:
+
+    python -m kgrecrun.cli --query exact_dedup \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/dedup_out
 """
 
 from __future__ import annotations
@@ -30,15 +36,21 @@ def main(argv=None) -> int:
                    help="generate a deterministic synthetic corpus of N docs instead of --pages")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--query", help="run one named driver-contract pipeline instead of the KG flagship")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="input table directory for --query")
     args = p.parse_args(argv)
-    if not args.synthetic_docs and not (args.pages and args.entities):
-        p.error("provide --pages + --entities, or --synthetic-docs")
+    if not args.query and not args.synthetic_docs and not (args.pages and args.entities):
+        p.error("provide --query, --pages + --entities, or --synthetic-docs")
 
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  **({"num_cpus": args.num_cpus} if args.num_cpus else {}))
+
+    if args.query:
+        return _run_query(args)
 
     import pyarrow.parquet as pq
 
@@ -61,6 +73,37 @@ def main(argv=None) -> int:
         files, entities, args.out, files_per_partition=args.files_per_partition
     )
     print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+def _run_query(args) -> int:
+    """Run one `__ray_entry__.queries()` pipeline over --sf-dir and
+    write the result as partitioned parquet under --out."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; available: {sorted(qs)}", file=sys.stderr)
+        return 2
+    res = qs[args.query](args.sf_dir)
+    os.makedirs(args.out, exist_ok=True)
+    if isinstance(res, ray.data.Dataset):
+        res.write_parquet(args.out)
+        n = ray.data.read_parquet(args.out).count()
+    else:
+        tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+        pq.write_table(tbl, f"{args.out}/part-00000.parquet")
+        n = tbl.num_rows
+    print(json.dumps({"query": args.query, "rows": n, "out": args.out}))
     ray.shutdown()
     return 0
 
