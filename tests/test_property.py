@@ -6,6 +6,8 @@ the fixture distribution.
 
 import re
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from kgrecrun.extract.events import html_to_events
@@ -76,3 +78,76 @@ def test_sanitizer_never_throws_and_output_reparses(body):
 def test_extraction_survives_arbitrary_bytes(garbage):
     article = Kernel(production_settings()).get_article(html_to_events(garbage))
     assert isinstance(article["text"], str)
+
+
+# --- temporal sweep properties (Ray pipelines; few examples, each runs
+# the real bucket-vectorized sweep over a 2-block Dataset) ---
+
+_asof_tables = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(st.integers(0, 5), st.integers(0, 50)), min_size=1, max_size=40
+    ),
+    st.lists(  # right: (key, ts)
+        st.tuples(st.integers(0, 5), st.integers(0, 50)), min_size=1, max_size=40
+    ),
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(max_examples=12, deadline=None)
+@given(_asof_tables)
+def test_asof_join_property_matches_bruteforce(tables):
+    import pyarrow as pa
+    import ray.data
+
+    from kgrecrun.ops.temporal import asof_join
+
+    lrows, rrows = tables
+    left = pa.table(
+        {
+            "k": pa.array([k for k, _ in lrows], pa.int64()),
+            "lts": pa.array([t * 1_000_000 for _, t in lrows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "lid": pa.array(range(len(lrows)), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([k for k, _ in rrows], pa.int64()),
+            "rts": pa.array([t * 1_000_000 for _, t in rrows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "rid": pa.array(range(len(rrows)), pa.int64()),
+        }
+    )
+    got = asof_join(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right).repartition(2),
+        key="k",
+        left_ts="lts",
+        right_ts="rts",
+        right_tie="rid",
+        left_cols=["lid"],
+        right_cols=["rts", "rid"],
+        n_buckets=4,
+    ).to_pandas()
+    want = {}
+    for i, (lk, lt) in enumerate(lrows):
+        best = None
+        for j, (rk, rt) in enumerate(rrows):
+            if rk == lk and rt <= lt:
+                cand = (rt, j)
+                if best is None or cand > best:
+                    best = cand
+        if best is not None:
+            want[i] = best
+    if not want:
+        # all-empty result: blocks are typed-empty; nothing to compare
+        assert len(got) == 0
+        return
+    got = got.sort_values("lid").reset_index(drop=True)
+    assert got["lid"].tolist() == sorted(want)
+    for _, row in got.iterrows():
+        bt, bj = want[row["lid"]]
+        assert row["rts"] == bt * 1_000_000 and row["rid"] == bj
