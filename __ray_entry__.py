@@ -558,6 +558,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = index.search(index.assign_stage(ds), q, qids, k=10, n_probe=4)
         return res.map_batches(lambda b: _round6(b, ["score"]), batch_format="pyarrow")
 
+    def embedding_clusters(sf_dir: str):
+        """Cluster assignment over the embeddings table in oracle mode:
+        centroids = the 8 vectors with vec_id < 8 (closed-form, so the
+        argmax-cosine assignment is DuckDB-checkable; Lloyd refinement
+        is the quality path, covered by ann tests)."""
+        import ray.data
+
+        from kgrecrun.ops.ann import _as_matrix, cluster_assign
+
+        seed = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 8)],
+        )
+        seed = seed.take(pc.sort_indices(seed, sort_keys=[("vec_id", "ascending")]))
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        res = cluster_assign(ds, _as_matrix(seed["embedding"]))
+        return res.map_batches(lambda b: _round6(b, ["sim"]), batch_format="pyarrow")
+
     def training_mix_q(sf_dir: str):
         from kgrecrun.ops.funnel import training_mix
 
@@ -646,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
+        "embedding_clusters": embedding_clusters,
         # --- multimodal plumbing (stub codecs; rows-only) ---
         "media_features": media_features,
         # --- windowed / per-group-ordered (SQL-checkable) ---
@@ -1174,6 +1194,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(raw, 6) AS score, rn AS "rank"
             FROM r WHERE rn <= 10
+        """,
+        # cluster assignment in oracle mode: centroids = vec_id < 8,
+        # cluster = argmax cosine (ties → lowest centroid id)
+        "embedding_clusters": """
+            WITH c AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), b AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+            )
+            SELECT vec_id, cid AS cluster, round(raw, 6) AS sim FROM (
+                SELECT b.vec_id, c.cid,
+                       list_cosine_similarity(b.ve, c.ce) AS raw,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_cosine_similarity(b.ve, c.ce) DESC,
+                                    c.cid ASC) AS rn
+                FROM b CROSS JOIN c) WHERE rn = 1
         """,
         # IVF oracle mode: centroids = the 16 vectors with vec_id < 16,
         # bucket = argmax-cosine centroid (ties → smaller centroid id),

@@ -140,6 +140,31 @@ def brute_force_topk(embeds_ds, queries: np.ndarray, query_ids, k: int = 10,
     return _global_topk(local, k, id_col)
 
 
+def cluster_assign(embeds_ds, centroids: np.ndarray, *,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """K-means-style cluster assignment as a stateless map stage:
+    cluster = argmax cosine over the given centroids (ties → lowest
+    centroid index), sim = the winning cosine. With closed-form
+    centroids (e.g. the first C vectors — `IVFIndex(n_iters=0)`) the
+    whole op is SQL-checkable; Lloyd-refined centroids are the quality
+    path. Output: (id_col, cluster, sim)."""
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_as_matrix(batch[vec_col]))
+        scores = vecs @ c.T
+        best = np.argmax(scores, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(best.astype(np.int64), pa.int64()),
+                "sim": pa.array(scores[np.arange(len(best)), best], pa.float64()),
+            }
+        )
+
+    return embeds_ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class IVFIndex:
     """Deterministic IVF: k-means over a sample with fixed init (first C
     distinct vectors) and a fixed iteration count — same input, same

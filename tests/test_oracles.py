@@ -26,6 +26,7 @@ SUBSET = [
     # round-2 additions: IVF oracle mode, as-of join, hopping windows,
     # per-user window functions, histogram quantiles, PII scrub
     "ann_ivf",
+    "embedding_clusters",
     "events_asof_orders",
     "events_hopping",
     "user_event_windows",
