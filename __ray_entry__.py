@@ -396,6 +396,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
         return anti_join(cust, _events_as_custkey(sf_dir), "c_custkey")
 
+    def events_user_distinct(sf_dir: str):
+        """Approximate distinct users per event_type via the
+        linear-counting sketch (fixed m=4096 slots/group, md5 slot hash
+        → the occupied count and estimate are DuckDB-reproducible)."""
+        import ray.data
+
+        from kgrecrun.ops.stats import approx_distinct
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        res = approx_distinct(ds, key="event_type", value_col="user_id")
+        return res.map_batches(lambda b: _round6(b, ["est_distinct"]), batch_format="pyarrow")
+
     def lineitem_price_quantiles(sf_dir: str):
         """Exact per-returnflag price quantiles via the (group, cents)
         histogram reduction — no group ever co-locates its raw rows."""
@@ -678,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
         "events_rollup": events_rollup,
+        "events_user_distinct": events_user_distinct,
         # --- composed training-data funnel (SQL-checkable) ---
         "training_mix": training_mix_q,
         # --- skew-aware shuffle (SQL-checkable) ---
@@ -1066,6 +1081,16 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS roll_cents
             FROM e
+        """,
+        "events_user_distinct": """
+            WITH s AS (
+                SELECT DISTINCT event_type,
+                       md5_number_upper(CAST(user_id AS VARCHAR)) % 4096 AS slot
+                FROM events
+            )
+            SELECT event_type, COUNT(*) AS occupied,
+                   round(-4096.0 * ln(1 - COUNT(*) / 4096.0), 6) AS est_distinct
+            FROM s GROUP BY event_type
         """,
         "events_rollup": """
             WITH e AS (

@@ -86,7 +86,7 @@ def bench_main() -> None:
         "q1_pricing_summary", "events_daily", "top_customers", "segment_revenue",
         "events_asof_orders", "events_hopping", "user_event_windows",
         "lineitem_price_quantiles", "doc_pii_scrub", "ann_ivf",
-        "customers_without_events", "events_rollup",
+        "customers_without_events", "events_rollup", "events_user_distinct",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

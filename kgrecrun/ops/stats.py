@@ -26,6 +26,63 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def approx_distinct(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    m: int = 4096,
+    key_type: pa.DataType = pa.string(),
+):
+    """Approximate COUNT(DISTINCT value) per group via LINEAR COUNTING
+    with a deterministic md5 slot hash: per-group state is a bitmap of
+    at most ``m`` occupied slots regardless of cardinality, partials
+    merge by set-union (each batch emits its distinct (group, slot)
+    pairs — ≤ m rows per group per block), and the estimate
+    ``-m·ln(1 − z/m)`` corrects for hash collisions. Because the slot
+    hash is md5 (DuckDB ``md5_number_upper``), the occupied count AND
+    the estimate are bit-reproducible in SQL — a sketch with an exact
+    oracle. Standard error ≈ √m⁻¹·√(e^t − t − 1)·m/n; with m=4096 and
+    n ≤ m the estimate is within ~2% typical.
+
+    Output: (key, occupied int64, est_distinct float64 — round 6dp
+    applied by the caller to match SQL ``round``).
+    """
+    from .sample import _hash64
+
+    def slots_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key: batch[key],
+                "slot": pa.array(
+                    (_hash64(batch[value_col].to_pylist()) % m).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+        return t.group_by([key, "slot"]).aggregate([])
+
+    partials = ds.map_batches(slots_partial, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [(key, key_type), ("occupied", pa.int64()), ("est_distinct", pa.float64())]
+    )
+
+    def estimate(group: pa.Table) -> pa.Table:
+        slots = group["slot"].combine_chunks().to_numpy(zero_copy_only=False)
+        z = len(np.unique(slots))
+        est = -float(m) * np.log(1.0 - z / float(m)) if z < m else float("inf")
+        return pa.table(
+            {
+                key: pa.array([group[key][0].as_py()], key_type),
+                "occupied": pa.array([z], pa.int64()),
+                "est_distinct": pa.array([est], pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return partials.groupby(key).map_groups(estimate, batch_format="pyarrow")
+
+
 def group_quantiles(
     ds,
     *,

@@ -623,3 +623,34 @@ def test_rollup_levels_consistent():
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want.astype({"n": "int64"}), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_accuracy_and_shard_invariance():
+    import ray.data
+
+    from kgrecrun.ops.stats import approx_distinct
+
+    rng = np.random.RandomState(13)
+    # group 'a': 3000 true distinct of 20000 rows; 'b': 50 distinct
+    vals = np.concatenate([rng.randint(0, 3000, 20000), rng.randint(0, 50, 5000)])
+    keys = np.concatenate([np.repeat("a", 20000), np.repeat("b", 5000)])
+    t = pa.table({"g": pa.array(keys), "v": pa.array(vals, pa.int64())})
+
+    def run(n_parts):
+        return (
+            approx_distinct(
+                ray.data.from_arrow(t).repartition(n_parts), key="g", value_col="v"
+            )
+            .to_pandas()
+            .set_index("g")
+        )
+
+    out = run(7)
+    true_a = len(np.unique(vals[:20000]))
+    true_b = len(np.unique(vals[20000:]))
+    assert abs(out.loc["a", "est_distinct"] - true_a) / true_a < 0.05
+    assert abs(out.loc["b", "est_distinct"] - true_b) / true_b < 0.05
+    # set-union merge semantics → identical result under any sharding
+    out2 = run(2)
+    assert out.equals(out2)

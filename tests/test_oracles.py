@@ -35,6 +35,7 @@ SUBSET = [
     "customers_with_events",
     "customers_without_events",
     "events_rollup",
+    "events_user_distinct",
 ]
 
 
