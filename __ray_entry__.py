@@ -646,6 +646,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def _synth_media(sf_dir: str):
+        import ray.data
+
+        from kgrecrun.ops.media import synth_media_batch
+
+        n = max(60, _n_docs(sf_dir) // 10)
+
+        def gen(batch: pa.Table) -> pa.Table:
+            return synth_media_batch(batch["id"].to_pylist())
+
+        return ray.data.range(n).map_batches(gen, batch_format="pyarrow", batch_size=32)
+
+    def media_resize(sf_dir: str):
+        """Actor-pool image resize (decode → area-mean 16×16 → real BMP
+        re-encode); audio rows land in the error column, row preserved.
+        Rows-only (binary payloads are not derivable from SQL views)."""
+        from kgrecrun.ops.media import ResizeMedia
+
+        resized = _synth_media(sf_dir).map_batches(
+            ResizeMedia, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=32, concurrency=(1, 4),
+        )
+        return resized.map_batches(
+            lambda b: pa.table(
+                {
+                    "media_id": b["media_id"],
+                    "out_width": b["out_width"],
+                    "out_height": b["out_height"],
+                    "n_bytes": pc.cast(pc.binary_length(b["payload"]), pa.int64()),
+                    "ok": pc.is_null(b["error"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def media_frames(sf_dir: str):
+        """Actor-pool audio frame sampling (25 ms window / 10 ms hop →
+        per-frame RMS). Rows-only."""
+        from kgrecrun.ops.media import FrameSampleAudio
+
+        framed = _synth_media(sf_dir).map_batches(
+            FrameSampleAudio, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=32, concurrency=(1, 4),
+        )
+        return framed.map_batches(
+            lambda b: pa.table(
+                {
+                    "media_id": b["media_id"],
+                    "sample_rate": b["sample_rate"],
+                    "n_frames": b["n_frames"],
+                    "ok": pc.is_null(b["error"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     return {
         # --- KG flagship (rows-only; gated by pytest P/R + byte parity) ---
         "kg_articles": kg_articles,
@@ -682,6 +738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": embedding_clusters,
         # --- multimodal plumbing (stub codecs; rows-only) ---
         "media_features": media_features,
+        "media_resize": media_resize,
+        "media_frames": media_frames,
         # --- windowed / per-group-ordered (SQL-checkable) ---
         "sessionize_events": W.sessionize_events,
         "top_parts_per_brand": W.top_parts_per_brand,

@@ -174,14 +174,7 @@ class DecodeMedia:
 
     def _features(self, kind: str, arr: np.ndarray) -> np.ndarray:
         if kind == "image":
-            h, w = arr.shape
-            gh, gw = 8, 8
-            out = np.zeros((gh, gw), dtype=np.float64)
-            for i in range(gh):
-                for j in range(gw):
-                    cell = arr[i * h // gh:(i + 1) * h // gh, j * w // gw:(j + 1) * w // gw]
-                    out[i, j] = float(cell.mean()) if cell.size else 0.0
-            return out.ravel()
+            return mean_pool(arr, 8, 8).ravel()
         frames = np.array_split(np.abs(arr.astype(np.float64)), self.feature_dim)
         return np.array([f.mean() if len(f) else 0.0 for f in frames])
 
@@ -226,3 +219,101 @@ def decode_media(media_ds, *, concurrency=(1, 4), batch_size: int = 32):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def mean_pool(arr: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """Area-mean downsample of a 2-D array to (gh, gw) — each output
+    cell is the mean of its source tile (edges absorb the remainder)."""
+    h, w = arr.shape
+    out = np.zeros((gh, gw), dtype=np.float64)
+    for i in range(gh):
+        for j in range(gw):
+            cell = arr[i * h // gh:(i + 1) * h // gh, j * w // gw:(j + 1) * w // gw]
+            out[i, j] = float(cell.mean()) if cell.size else 0.0
+    return out
+
+
+class ResizeMedia:
+    """Actor-pool image resize: decode (BMP / legacy FAKEIMG) →
+    area-mean downsample to ``(out_h, out_w)`` → re-encode as a real
+    BMP. Audio rows and undecodable containers land in ``error`` with
+    the row preserved (same policy as DecodeMedia)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads, errors = [], [], []
+        for i in range(batch.num_rows):
+            ids.append(batch["media_id"][i].as_py())
+            try:
+                kind, arr = _decode_payload(batch["payload"][i].as_py())
+                if kind != "image":
+                    raise NotImplementedError("resize applies to images only")
+                small = mean_pool(arr, self.out_h, self.out_w)
+                payloads.append(encode_bmp(np.clip(np.rint(small), 0, 255).astype(np.uint8)))
+                errors.append(None)
+            except Exception as e:  # noqa: BLE001 — per-row error column
+                payloads.append(None)
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+                "out_width": pa.array([self.out_w] * len(ids), pa.int32()),
+                "out_height": pa.array([self.out_h] * len(ids), pa.int32()),
+                "error": pa.array(errors, pa.string()),
+            }
+        )
+
+
+class FrameSampleAudio:
+    """Actor-pool audio frame sampling: decode PCM WAV → fixed-length
+    frames (``frame_ms`` window, ``hop_ms`` hop) → per-frame RMS energy
+    (list<float>). Image rows land in ``error``; short clips yield the
+    frames they can."""
+
+    def __init__(self, frame_ms: int = 25, hop_ms: int = 10):
+        self.frame_ms, self.hop_ms = frame_ms, hop_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, srs, n_frames, energies, errors = [], [], [], [], []
+        for i in range(batch.num_rows):
+            ids.append(batch["media_id"][i].as_py())
+            try:
+                payload = batch["payload"][i].as_py()
+                if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+                    if payload[:8] == _AUD_MAGIC:
+                        sr = int.from_bytes(payload[8:12], "little")
+                        n = int.from_bytes(payload[12:16], "little")
+                        samples = np.frombuffer(payload[16:16 + 2 * n], dtype=np.int16)
+                    else:
+                        raise NotImplementedError("frame sampling applies to audio only")
+                else:
+                    samples, sr = decode_wav(payload)
+                flen = max(1, sr * self.frame_ms // 1000)
+                hop = max(1, sr * self.hop_ms // 1000)
+                starts = np.arange(0, max(len(samples) - flen + 1, 1), hop)
+                x = samples.astype(np.float64)
+                rms = [
+                    float(np.sqrt(np.mean(x[s:s + flen] ** 2))) if len(x[s:s + flen]) else 0.0
+                    for s in starts
+                ]
+                srs.append(sr)
+                n_frames.append(len(rms))
+                energies.append(rms)
+                errors.append(None)
+            except Exception as e:  # noqa: BLE001
+                srs.append(0)
+                n_frames.append(0)
+                energies.append(None)
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(srs, pa.int32()),
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "frame_rms": pa.array(energies, pa.list_(pa.float64())),
+                "error": pa.array(errors, pa.string()),
+            }
+        )

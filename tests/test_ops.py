@@ -654,3 +654,43 @@ def test_approx_distinct_accuracy_and_shard_invariance():
     # set-union merge semantics → identical result under any sharding
     out2 = run(2)
     assert out.equals(out2)
+
+
+def test_resize_media_roundtrip_and_audio_error():
+    from kgrecrun.ops import media as M
+
+    t = M.synth_media_batch([0, 1, 2])  # wav, bmp, legacy fakeimg
+    out = M.ResizeMedia(out_w=8, out_h=8)(t)
+    assert out["error"].to_pylist()[0] is not None  # audio row → error
+    for i in (1, 2):  # both image containers resize
+        assert out["error"].to_pylist()[i] is None
+        small = M.decode_bmp(out["payload"][i].as_py())
+        assert small.shape == (8, 8)
+        # resized pixels equal the area-mean of the original (±rounding)
+        _, orig = M._decode_payload(t["payload"][i].as_py())
+        want = np.clip(np.rint(M.mean_pool(orig, 8, 8)), 0, 255).astype(np.uint8)
+        assert (small == want).all()
+
+
+def test_frame_sample_audio_counts():
+    from kgrecrun.ops import media as M
+
+    sr, n = 8000, 4000
+    rng = np.random.RandomState(0)
+    samples = rng.randint(-(2**15), 2**15, size=n, dtype=np.int16)
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [M.encode_wav(samples, sr), M.encode_bmp(np.zeros((4, 4), np.uint8))],
+                pa.large_binary(),
+            ),
+        }
+    )
+    out = M.FrameSampleAudio(frame_ms=25, hop_ms=10)(t)
+    flen, hop = sr * 25 // 1000, sr * 10 // 1000
+    want_frames = len(range(0, n - flen + 1, hop))
+    assert out["n_frames"].to_pylist() == [want_frames, 0]
+    assert out["error"].to_pylist()[1] is not None  # image row → error
+    rms0 = out["frame_rms"][0].as_py()[0]
+    assert abs(rms0 - float(np.sqrt(np.mean(samples[:flen].astype(np.float64) ** 2)))) < 1e-9
