@@ -3,7 +3,7 @@
 run `asof_join` and `hopping_window_agg`, and report wall time + result
 invariants. Deterministic (seeded per block) — rerun = same counts.
 
-Usage: python tools/temporal_stress.py [n_events] [n_users]
+Usage: python tools/temporal_stress.py [n_events] [n_users] [num_cpus]
 """
 
 from __future__ import annotations
@@ -55,11 +55,11 @@ def synth(n_rows: int, n_users: int, kind: str, num_blocks: int = 256):
     )
 
 
-def main(n_events: int, n_users: int) -> None:
+def main(n_events: int, n_users: int, num_cpus: int = 32) -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=32, include_dashboard=False,
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
                  log_to_driver=False)
     from kgrecrun.ops.temporal import asof_join, hopping_window_agg
 
@@ -118,4 +118,5 @@ def main(n_events: int, n_users: int) -> None:
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     u = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
-    main(n, u)
+    c = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    main(n, u, c)
