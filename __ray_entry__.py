@@ -396,6 +396,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
         return anti_join(cust, _events_as_custkey(sf_dir), "c_custkey")
 
+    def events_in_sessions(sf_dir: str):
+        """Containment RANGE JOIN: each event attaches the session
+        window covering its timestamp (intervals non-overlapping by
+        construction — the operator's documented partitioning
+        assumption). Oracle: gaps-and-islands session derivation +
+        BETWEEN join."""
+        import ray.data
+
+        from kgrecrun.ops.temporal import range_join
+        from kgrecrun.ops.window import session_intervals
+
+        points = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+        return range_join(
+            points,
+            session_intervals(sf_dir),
+            key="user_id",
+            point_ts="ts",
+            start_ts="start_us",
+            end_ts="end_us",
+            point_cols=["event_id"],
+            interval_cols=["session_no"],
+        )
+
     def events_user_distinct(sf_dir: str):
         """Approximate distinct users per event_type via the
         linear-counting sketch (fixed m=4096 slots/group, md5 slot hash
@@ -751,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": customers_without_events,
         "events_rollup": events_rollup,
         "events_user_distinct": events_user_distinct,
+        "events_in_sessions": events_in_sessions,
         # --- composed training-data funnel (SQL-checkable) ---
         "training_mix": training_mix_q,
         # --- skew-aware shuffle (SQL-checkable) ---
@@ -1139,6 +1165,31 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS roll_cents
             FROM e
+        """,
+        "events_in_sessions": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS tsu FROM events
+            ), g AS (
+                SELECT user_id, tsu,
+                       CASE WHEN lag(tsu) OVER w IS NULL
+                                 OR tsu - lag(tsu) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
+            ), s AS (
+                SELECT user_id, tsu,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g
+            ), iv AS (
+                SELECT user_id, CAST(sess AS BIGINT) AS session_no,
+                       MIN(tsu) AS start_us, MAX(tsu) AS end_us
+                FROM s GROUP BY user_id, sess
+            )
+            SELECT iv.user_id, epoch_us(ev.ts) AS ts, ev.event_id,
+                   iv.start_us, iv.end_us, iv.session_no
+            FROM events ev JOIN iv
+              ON iv.user_id = ev.user_id
+             AND epoch_us(ev.ts) BETWEEN iv.start_us AND iv.end_us
         """,
         "events_user_distinct": """
             WITH s AS (

@@ -161,6 +161,51 @@ def asof_join(
     )
 
 
+def range_join(
+    points_ds,
+    intervals_ds,
+    *,
+    key: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    point_cols: list[str],
+    interval_cols: list[str],
+    n_buckets: int = 256,
+):
+    """Containment range join: each point row attaches the interval of
+    the same key with ``start_ts ≤ point_ts ≤ end_ts`` (inclusive ends,
+    inner semantics). PARTITIONING ASSUMPTION: a key's intervals are
+    NON-OVERLAPPING (session windows, validity ranges) — under it the
+    covering interval is exactly the latest interval starting at or
+    before the point, so this composes as the bucket-vectorized
+    :func:`asof_join` on the interval start followed by a vectorized
+    end-bound filter; with overlapping intervals only the
+    latest-starting cover matches (documented, not an error).
+
+    Returns (key, point_ts, *point_cols, start_ts, end_ts,
+    *interval_cols), timestamps as int64 epoch-µs.
+    """
+    joined = asof_join(
+        points_ds,
+        intervals_ds,
+        key=key,
+        left_ts=point_ts,
+        right_ts=start_ts,
+        right_tie=end_ts,
+        left_cols=point_cols,
+        right_cols=[start_ts, end_ts, *interval_cols],
+        n_buckets=n_buckets,
+    )
+
+    def keep_covered(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch[point_ts], batch[end_ts]))
+
+    return joined.map_batches(
+        keep_covered, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def hopping_window_agg(
     events_ds,
     *,

@@ -91,6 +91,55 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30, *, events_ds=None):
     )
 
 
+def session_intervals(sf_dir: str, gap_minutes: int = 30, *, events_ds=None):
+    """Per-user session WINDOWS: (user_id, session_no, start_us,
+    end_us) with the same gap rule and numbering as
+    :func:`sessionize_events` — non-overlapping by construction, the
+    interval side of a containment :func:`~kgrecrun.ops.temporal.range_join`."""
+    import ray.data
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def intervals(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = group.take(order)
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_session = new_user.copy()
+        new_session[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], n)
+        sess_idx = np.arange(len(starts))
+        user_first_sess = np.maximum.accumulate(
+            np.where(new_user[starts], sess_idx, 0)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_no": pa.array(sess_idx - user_first_sess + 1, pa.int64()),
+                "start_us": pa.array(ts[starts], pa.int64()),
+                "end_us": pa.array(ts[ends - 1], pa.int64()),
+            }
+        )
+
+    return _bucketed(ds, "user_id").groupby("__bucket").map_groups(
+        intervals, batch_format="pyarrow"
+    )
+
+
 def user_event_windows(sf_dir: str, roll: int = 3, *, events_ds=None):
     """Per-user ordered window functions (lag + rolling sum): for each
     event, the gap in µs since the user's previous event (null for the

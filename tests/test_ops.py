@@ -694,3 +694,56 @@ def test_frame_sample_audio_counts():
     assert out["error"].to_pylist()[1] is not None  # image row → error
     rms0 = out["frame_rms"][0].as_py()[0]
     assert abs(rms0 - float(np.sqrt(np.mean(samples[:flen].astype(np.float64) ** 2)))) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_matches_bruteforce():
+    import ray.data
+
+    from kgrecrun.ops.temporal import range_join
+
+    rng = np.random.RandomState(21)
+    # non-overlapping intervals per key: sorted starts with gaps
+    ivs = []
+    for k in range(4):
+        t = 0
+        for s in range(5):
+            start = t + rng.randint(1, 20)
+            end = start + rng.randint(0, 15)
+            ivs.append((k, start, end, len(ivs)))
+            t = end + 1  # strictly disjoint
+    pts = [(rng.randint(0, 5), rng.randint(0, 120), i) for i in range(300)]
+    points = pa.table(
+        {
+            "k": pa.array([p[0] for p in pts], pa.int64()),
+            "pt": pa.array([p[1] * 1_000_000 for p in pts], pa.int64()).cast(pa.timestamp("us")),
+            "pid": pa.array([p[2] for p in pts], pa.int64()),
+        }
+    )
+    intervals = pa.table(
+        {
+            "k": pa.array([v[0] for v in ivs], pa.int64()),
+            "start": pa.array([v[1] * 1_000_000 for v in ivs], pa.int64()),
+            "end": pa.array([v[2] * 1_000_000 for v in ivs], pa.int64()),
+            "iid": pa.array([v[3] for v in ivs], pa.int64()),
+        }
+    )
+    got = range_join(
+        ray.data.from_arrow(points).repartition(3),
+        ray.data.from_arrow(intervals).repartition(2),
+        key="k",
+        point_ts="pt",
+        start_ts="start",
+        end_ts="end",
+        point_cols=["pid"],
+        interval_cols=["iid"],
+        n_buckets=4,
+    ).to_pandas()
+    want = {}
+    for pk, pt, pid in pts:
+        for ik, s, e, iid in ivs:
+            if ik == pk and s <= pt <= e:
+                want[pid] = iid
+    assert sorted(got["pid"]) == sorted(want)
+    for _, r in got.iterrows():
+        assert r["iid"] == want[r["pid"]]

@@ -36,6 +36,7 @@ SUBSET = [
     "customers_without_events",
     "events_rollup",
     "events_user_distinct",
+    "events_in_sessions",
 ]
 
 
