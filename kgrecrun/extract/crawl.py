@@ -38,28 +38,84 @@ def resolve_next_pages(articles_ds):
     return articles_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _stitch_group(group: pa.Table) -> pa.Table:
-    """One root article's page rows → a single stitched row (pages in
-    page_no order; title from the first page that has one)."""
-    order = pc.sort_indices(group, sort_keys=[("page_no", "ascending")])
-    g = group.take(order)
-    texts = [t for t in g["text"].to_pylist() if t]
-    text = "\n\n".join(texts)
-    title = next((t for t in g["title"].to_pylist() if t), "")
-    return pa.table({
-        "url": pa.array([g["url"][0].as_py()], pa.string()),
-        "title": pa.array([title], pa.large_string()),
-        "text": pa.array([text], pa.large_string()),
-        "n_pages": pa.array([g.num_rows], pa.int64()),
-        "text_length_total": pa.array([sum(len(t) for t in texts)], pa.int64()),
-    })
+_STITCH_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("title", pa.large_string()),
+    ("text", pa.large_string()),
+    ("n_pages", pa.int64()),
+    ("text_length_total", pa.int64()),
+])
+
+
+def _stitch_by_url(pages_ds, *, n_buckets: int = 256):
+    """(url, title, text, page_no) rows → one stitched row per url
+    (pages in page_no order; title from the first page that has one).
+
+    Bucket-cogrouped: urls hash into ``n_buckets`` groups, ONE sort by
+    (url, page_no) per group, then an in-process segment sweep — group
+    dispatch stays at n_buckets no matter how many root articles exist
+    (per-url ``map_groups`` would cost one Python call per article,
+    corpus-order cardinality)."""
+    from ..kg.unionfind import hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", hash_bucket(batch["url"].combine_chunks(), n_buckets)
+        )
+
+    def stitch_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("url", "ascending"), ("page_no", "ascending")]
+        )
+        g = group.take(order)
+        urls = g["url"].to_pylist()
+        titles = g["title"].to_pylist()
+        texts = g["text"].to_pylist()
+        n = len(urls)
+        out_url, out_title, out_text, out_np, out_len = [], [], [], [], []
+        start = 0
+        for i in range(1, n + 1):
+            if i == n or urls[i] != urls[start]:
+                seg = [t for t in texts[start:i] if t]
+                out_url.append(urls[start])
+                out_title.append(next((t for t in titles[start:i] if t), ""))
+                out_text.append("\n\n".join(seg))
+                out_np.append(i - start)
+                out_len.append(sum(len(t) for t in seg))
+                start = i
+        return pa.table(
+            {
+                "url": pa.array(out_url, pa.string()),
+                "title": pa.array(out_title, pa.large_string()),
+                "text": pa.array(out_text, pa.large_string()),
+                "n_pages": pa.array(out_np, pa.int64()),
+                "text_length_total": pa.array(out_len, pa.int64()),
+            },
+            schema=_STITCH_SCHEMA,
+        )
+
+    tagged = pages_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("__bucket").map_groups(
+        stitch_bucket, batch_format="pyarrow"
+    )
+
+
+_PAGES_NORM_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.large_binary()),
+    ("text", pa.large_string()),
+    ("lang", pa.string()),
+])
 
 
 def _fetch_frontier(continuation_ds, frontier_ds):
     """Semi-join the page source against a one-column frontier url set:
-    union both sides (frontier rows null-padded to the pages schema) and
-    keep a url's page rows iff a frontier row landed in its group. One
-    hash shuffle of the payload; no driver state."""
+    ONE bucketed cogroup shuffle (urls hash into ~256 groups, a
+    vectorized acero left-semi join runs inside each — dispatch capped
+    at n_buckets, not at url cardinality). The frontier side ships
+    per-batch-distinct urls only; no driver state."""
+    from ..ops.cogroup import bucket_join
 
     def page_side(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -68,76 +124,63 @@ def _fetch_frontier(continuation_ds, frontier_ds):
             "html": pc.cast(batch["html"], pa.large_binary()),
             "text": pc.cast(batch["text"], pa.large_string()),
             "lang": pc.cast(batch["lang"], pa.string()),
-            "wanted": pa.array([0] * batch.num_rows, pa.int8()),
-        })
+        }, schema=_PAGES_NORM_SCHEMA)
 
     def frontier_side(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            "url": pc.cast(batch["url"], pa.string()),
-            "warc_ts": pa.nulls(n, pa.timestamp("us")),
-            "html": pa.nulls(n, pa.large_binary()),
-            "text": pa.nulls(n, pa.large_string()),
-            "lang": pa.nulls(n, pa.string()),
-            "wanted": pa.array([1] * n, pa.int8()),
-        })
+        return pa.table({"url": pc.cast(batch["url"], pa.string())})
 
-    def fetch_group(group: pa.Table) -> pa.Table:
-        if pc.max(group["wanted"]).as_py() == 1:  # url is on the frontier
-            return group.filter(pc.equal(group["wanted"], 0)).drop_columns(["wanted"])
-        return group.slice(0, 0).drop_columns(["wanted"])
-
-    return (
-        continuation_ds.map_batches(page_side, batch_format="pyarrow", zero_copy_batch=True)
-        .union(frontier_ds.map_batches(frontier_side, batch_format="pyarrow"))
-        .groupby("url")
-        .map_groups(fetch_group, batch_format="pyarrow")
+    return bucket_join(
+        continuation_ds.map_batches(
+            page_side, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        frontier_ds.map_batches(frontier_side, batch_format="pyarrow"),
+        key="url",
+        join_type="left semi",
+        left_schema=_PAGES_NORM_SCHEMA,
+        right_schema=pa.schema([("url", pa.string())]),
+        right_distinct=True,
     )
 
 
 def _relabel_to_parents(articles_ds, parent_pairs_ds, *, page_no: int):
     """Fan each extracted continuation's text out to EVERY parent that
-    discovered it: cogroup articles with (parent_url, next_url) pairs on
-    the continuation url. Output (url=parent, title='', text, page_no)."""
+    discovered it: an INNER bucket-cogroup join of articles with
+    (parent_url, next_url) pairs on the continuation url (acero emits
+    the full per-url cross product — one row per (link, article) pair,
+    the multi-parent fan-out). Dispatch capped at n_buckets, not url
+    cardinality. Output (url=parent, title='', text, page_no)."""
+    from ..ops.cogroup import bucket_join
 
     def article_side(batch: pa.Table) -> pa.Table:
         return pa.table({
             "url": pc.cast(batch["url"], pa.string()),
             "text": pc.cast(batch["text"], pa.large_string()),
-            "parent_url": pa.nulls(batch.num_rows, pa.string()),
-            "kind": pa.array([0] * batch.num_rows, pa.int8()),
         })
 
     def parent_side(batch: pa.Table) -> pa.Table:
         return pa.table({
             "url": pc.cast(batch["next_url"], pa.string()),
-            "text": pa.nulls(batch.num_rows, pa.large_string()),
             "parent_url": pc.cast(batch["parent_url"], pa.string()),
-            "kind": pa.array([1] * batch.num_rows, pa.int8()),
         })
 
-    def relabel_group(group: pa.Table) -> pa.Table:
-        arts = group.filter(pc.equal(group["kind"], 0))
-        pars = group.filter(pc.equal(group["kind"], 1))
-        out_urls: list[str] = []
-        out_texts: list[str] = []
-        for parent in pars["parent_url"].to_pylist():
-            for text in arts["text"].to_pylist():
-                out_urls.append(parent)
-                out_texts.append(text)
-        return pa.table({
-            "url": pa.array(out_urls, pa.string()),
-            "title": pa.array([""] * len(out_urls), pa.large_string()),
-            "text": pa.array(out_texts, pa.large_string()),
-            "page_no": pa.array([page_no] * len(out_urls), pa.int64()),
-        })
-
-    return (
-        articles_ds.map_batches(article_side, batch_format="pyarrow")
-        .union(parent_pairs_ds.map_batches(parent_side, batch_format="pyarrow"))
-        .groupby("url")
-        .map_groups(relabel_group, batch_format="pyarrow")
+    joined = bucket_join(
+        articles_ds.map_batches(article_side, batch_format="pyarrow"),
+        parent_pairs_ds.map_batches(parent_side, batch_format="pyarrow"),
+        key="url",
+        join_type="inner",
+        left_schema=pa.schema([("url", pa.string()), ("text", pa.large_string())]),
+        right_schema=pa.schema([("url", pa.string()), ("parent_url", pa.string())]),
     )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["parent_url"],
+            "title": pa.nulls(batch.num_rows, pa.large_string()).fill_null(""),
+            "text": batch["text"],
+            "page_no": pa.nulls(batch.num_rows, pa.int64()).fill_null(page_no),
+        })
+
+    return joined.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def crawl_multipage(pages_ds, continuation_ds, *, extract_kwargs=None):
@@ -156,9 +199,10 @@ def crawl_multipage(pages_ds, continuation_ds, *, extract_kwargs=None):
     pagination per document). No ``to_pandas``/broadcast dict, so the
     round holds when the pager fraction is itself billions of rows.
 
-    Both steps are ``union → groupby(url).map_groups`` cogroups (one
-    hash shuffle of the payload each, identical exchange volume to a
-    hash join). ``Dataset.join`` is deliberately NOT used here: Ray
+    Both steps are bucketed cogroup joins (ops.cogroup.bucket_join —
+    one hash shuffle of the payload each, identical exchange volume to
+    a hash join, group dispatch capped at n_buckets instead of one
+    Python call per url). ``Dataset.join`` is deliberately NOT used: Ray
     2.49's hash-shuffle join loses its one-shot schema broadcast when
     the first block dispatched on a side is empty
     (hash_shuffle.py:223 returns before broadcasting, join.py:103
@@ -209,7 +253,7 @@ def crawl_multipage(pages_ds, continuation_ds, *, extract_kwargs=None):
 
     both = articles.map_batches(first_page, batch_format="pyarrow").union(relinked)
 
-    return both.groupby("url").map_groups(_stitch_group, batch_format="pyarrow")
+    return _stitch_by_url(both)
 
 
 def crawl_rounds(pages_ds, continuation_ds, *, max_rounds: int = 3,
@@ -311,7 +355,7 @@ def crawl_rounds(pages_ds, continuation_ds, *, max_rounds: int = 3,
     union = parts[0]
     for p in parts[1:]:
         union = union.union(p)
-    return union.groupby("url").map_groups(_stitch_group, batch_format="pyarrow")
+    return _stitch_by_url(union)
 
 
 def next_page_candidates(articles_ds):

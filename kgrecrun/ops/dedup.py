@@ -2,22 +2,40 @@
 ``documents(doc_id, text)``-shaped Dataset (and an embeddings variant).
 
 Five family members, all with the same scale shape — per-row sketch in
-``map_batches`` → LSH/band blocking ``groupby`` → in-block verification
-→ connected components over the verified edge list → cluster map
-applied to every doc. Clustering is driver union-find + broadcast dict
-below ``DEDUP_EDGE_THRESHOLD`` verified edges, and distributed
+``map_batches`` → LSH/band blocking → BUCKETED in-block verification →
+connected components over the verified edge list → cluster map applied
+to every doc. Clustering is driver union-find + broadcast dict below
+``DEDUP_EDGE_THRESHOLD`` verified edges, and distributed
 min-label-propagation CC + a bucket-cogroup apply above it (no driver
 state that grows with the corpus):
 
-* exact          — md5 of normalized text, hash-partition + min-id
-* minhash        — word-shingle MinHash, banded LSH, signature-estimate verify
+* exact          — md5 of normalized text, ONE bucketed shuffle, segment-sweep min-id
+* minhash        — word-shingle MinHash, banded LSH, two-phase signature verify
 * simhash        — 64-bit SimHash, 4×16-bit band blocking, hamming verify
 * ngram_jaccard  — bottom-k shingle sketch, exact jaccard on sketches
 * embedding      — random-hyperplane LSH over an embedding column, cosine verify
 
+Dispatch cardinality is capped everywhere: band keys hash into
+``n_buckets`` groups and one ``map_groups`` call sweeps every band
+segment in the bucket with vectorized shifted comparisons — per-key
+``map_groups`` (one Python call per band/hash, ≈ docs×bands calls at
+corpus scale) appears nowhere. The minhash/ngram band shuffle carries
+only (band_key, doc_id) rows (16 B); signatures/sketches are attached
+to the (rare) collision candidates afterwards via two bucket-cogroup
+joins — a ~16× exchange reduction vs shipping the 512 B signature on
+every band row.
+
 Every variant returns a Dataset ``(doc_id, root_id)`` where
 ``root_id`` is the smallest doc_id of the duplicate cluster (root_id ==
 doc_id for uniques); ``kept(ds)`` filters to cluster roots.
+
+RECALL NOTE: in-block pair generation is windowed (``window`` nearest
+ids per band segment). A band segment larger than the window still
+clusters correctly when duplicates chain (adjacent ids link and
+connected components close the transitive hull — tested), but a
+pathological segment of mutually-similar docs with > window id spacing
+could miss pairs; :func:`oversized_band_count` makes that truncation
+measurable (used by tools/dedup_stress.py).
 """
 
 from __future__ import annotations
@@ -32,13 +50,16 @@ from ..kg.minhash import MinHasher, word_shingles
 from ..kg.unionfind import UnionFind
 from ..textnorm import normalize_ws
 
-
 # ---------- shared helpers ----------
 
 # above this many verified edges the driver union-find + broadcast dict
 # is replaced by distributed label-propagation CC + a cogroup apply —
 # a 100-TB crawl with 30-50% duplication breaks "edges fit one machine"
 DEDUP_EDGE_THRESHOLD = 2_000_000
+
+# dispatch cap for band-verify sweeps: band keys hash into this many
+# groups; one group call sweeps thousands of band segments vectorized
+VERIFY_BUCKETS = 256
 
 
 def _edges_to_mapping(edges_ds) -> dict:
@@ -148,96 +169,253 @@ def normalize_text(t: str) -> str:
     return normalize_ws(t)
 
 
+# ---------- bucketed band sweep (shared by all LSH variants) ----------
+
+def _sweep_edges(banded_ds, *, window: int, id_type: pa.DataType,
+                 pair_mask_fn=None, n_buckets: int = VERIFY_BUCKETS,
+                 banded_schema: pa.Schema | None = None):
+    """(band_key, doc_id, *payload) → verified (src, dst) edges.
+
+    ONE shuffle: band keys hash into ``n_buckets`` groups; inside a
+    group a single sort by (band_key, doc_id) + shifted-comparison
+    sweep generates the window-limited candidate pairs of EVERY band
+    segment at once (identical pair set to per-band dispatch, but
+    group-call count stays at n_buckets instead of docs×bands).
+
+    ``pair_mask_fn(g_sorted, lo, hi) -> bool mask`` applies the
+    variant's vectorized verification to candidate index pairs; None
+    keeps all candidates (two-phase variants verify later against
+    joined signatures). Pairs are emitted (src < dst), per-block
+    distinct."""
+    from ..kg.unionfind import hash_bucket
+
+    edge_schema = pa.schema([("src", id_type), ("dst", id_type)])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", hash_bucket(batch["band_key"].combine_chunks(), n_buckets)
+        )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("band_key", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        bk = g["band_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(bk)
+        lo_parts, hi_parts = [], []
+        for d in range(1, min(window, n - 1) + 1):
+            m = (bk[d:] == bk[:-d]) & (ids[d:] != ids[:-d])
+            lo = np.flatnonzero(m)
+            if len(lo):
+                lo_parts.append(lo)
+                hi_parts.append(lo + d)
+        if not lo_parts:
+            return edge_schema.empty_table()
+        lo = np.concatenate(lo_parts)
+        hi = np.concatenate(hi_parts)
+        if pair_mask_fn is not None:
+            keep = pair_mask_fn(g, lo, hi)
+            lo, hi = lo[keep], hi[keep]
+        if not len(lo):
+            return edge_schema.empty_table()
+        out = pa.table({
+            "src": pa.array(ids[lo]).cast(id_type),
+            "dst": pa.array(ids[hi]).cast(id_type),
+        })
+        return out.group_by(["src", "dst"]).aggregate([]).cast(edge_schema)
+
+    tagged = banded_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("__bucket").map_groups(sweep, batch_format="pyarrow")
+
+
+def oversized_band_count(banded_ds, *, window: int) -> int:
+    """Number of band groups whose membership exceeds ``window`` — the
+    regime where windowed pair generation relies on chain transitivity
+    instead of direct pairs. Narrow native aggregate (groupby count);
+    surfaced by tools/dedup_stress.py so truncation is visible at
+    scale."""
+    counts = banded_ds.groupby("band_key").count()
+
+    def over(batch: pa.Table) -> pa.Table:
+        if batch.num_columns < 2:  # empty aggregate blocks are schemaless
+            return pa.table({"n": pa.array([0], pa.int64())})
+        c = batch.rename_columns(["band_key", "cnt"])
+        n = pc.sum(pc.cast(pc.greater(c["cnt"], window), pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    return counts.map_batches(over, batch_format="pyarrow").sum("n") or 0
+
+
 # ---------- exact ----------
 
-def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id",
+                *, n_buckets: int = VERIFY_BUCKETS):
     """(doc_id, root_id) via content-hash grouping: ONE shuffle keyed by
-    the md5 (carrying only (hash, id) pairs, never text); each hash
-    group emits every member labeled with the group's min id. No join
-    and no driver-side state, so it holds at any corpus size."""
+    a hash BUCKET of the md5 (carrying only (hash, id) pairs, never
+    text); inside a bucket one sort by (hash, id) + a segment sweep
+    labels every member with its group's min id — group-call count is
+    ``n_buckets`` regardless of how many distinct documents exist (a
+    per-hash ``map_groups`` would cost one Python call per distinct doc,
+    ~10¹² at corpus scale). No join and no driver-side state."""
+    from ..kg.unionfind import hash_bucket
 
     def to_hashes(batch: pa.Table) -> pa.Table:
-        hs = [
-            hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest()
-            for t in batch[text_col].to_pylist()
-        ]
-        return pa.table({"h": pa.array(hs, pa.string()), id_col: batch[id_col]})
+        hs = pa.array(
+            [
+                hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest()
+                for t in batch[text_col].to_pylist()
+            ],
+            pa.string(),
+        )
+        return pa.table({
+            "__bucket": hash_bucket(hs, n_buckets),
+            "h": hs,
+            id_col: batch[id_col],
+        })
 
     hashed = docs_ds.map_batches(to_hashes, batch_format="pyarrow", zero_copy_batch=True)
 
-    def label_group(group: pa.Table) -> pa.Table:
-        root = pc.min(group[id_col])
-        return pa.table(
-            {
-                id_col: group[id_col],
-                "root_id": pa.array([root.as_py()] * group.num_rows, group[id_col].type),
-            }
+    def label_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), (id_col, "ascending")]
         )
+        g = group.take(order)
+        ids = g[id_col].combine_chunks()
+        h = g["h"].combine_chunks()
+        n = g.num_rows
+        neq = pc.not_equal(h.slice(1), h.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_seg = np.concatenate(([True], neq.astype(bool)))
+        pos = np.arange(n)
+        first = np.maximum.accumulate(np.where(new_seg, pos, 0))
+        return pa.table({id_col: ids, "root_id": ids.take(pa.array(first))})
 
-    return hashed.groupby("h").map_groups(label_group, batch_format="pyarrow")
+    return hashed.groupby("__bucket").map_groups(label_bucket, batch_format="pyarrow")
 
 
 # ---------- minhash LSH ----------
 
-class _MinhashBands:
-    def __init__(self, num_perm: int, bands: int, k: int, text_col: str, id_col: str):
+class _ComputeSigs:
+    """(doc_id, text) → (doc_id, sig): one signature per doc, computed
+    ONCE and reused for banding and candidate verification (the old
+    layout re-shipped the 512 B signature on all 16 band rows)."""
+
+    def __init__(self, num_perm: int, k: int, text_col: str, id_col: str):
         self.hasher = MinHasher(num_perm)
-        self.bands = bands
         self.k = k
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, ids, sigs = [], [], []
-        for i, t in enumerate(batch[self.text_col].to_pylist()):
-            sig = self.hasher.signature(word_shingles(t or "", self.k))
-            doc = batch[self.id_col][i].as_py()
-            sig_bytes = sig.tobytes()
-            for bk in self.hasher.band_keys(sig, self.bands):
+        sigs = [
+            self.hasher.signature(word_shingles(t or "", self.k)).tobytes()
+            for t in batch[self.text_col].to_pylist()
+        ]
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "sig": pa.array(sigs, pa.binary()),
+        })
+
+
+def _band_rows_from_sigs(num_perm: int, bands: int):
+    """(doc_id, sig) → (band_key, doc_id): 16 B per band row, no payload."""
+    hasher = MinHasher(num_perm)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys, ids = [], []
+        for i, s in enumerate(batch["sig"].to_pylist()):
+            sig = np.frombuffer(s, dtype=np.uint64)
+            doc = batch["doc_id"][i].as_py()
+            for bk in hasher.band_keys(sig, bands):
                 keys.append(bk)
                 ids.append(doc)
-                sigs.append(sig_bytes)
-        return pa.table(
-            {
-                "band_key": pa.array(keys, pa.int64()),
-                "doc_id": pa.array(ids),
-                "sig": pa.array(sigs, pa.binary()),
-            }
+        return pa.table({
+            "band_key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(ids, batch["doc_id"].type),
+        })
+
+    return f
+
+
+def _attach_and_verify_sigs(cands_ds, sigs_ds, *, id_type: pa.DataType,
+                            payload_col: str, verify_batch_fn):
+    """candidates (src, dst) + per-doc payload (doc_id, col) → verified
+    edges: two bucket-cogroup joins attach payload_a/payload_b, then a
+    vectorized per-batch verification filters. The payload ships ~2×
+    (once per join) instead of ``bands``× on every band row."""
+    from .cogroup import bucket_join
+
+    cand_schema = pa.schema([("src", id_type), ("dst", id_type)])
+    pay_type = pa.binary()
+
+    a_side = sigs_ds.map_batches(
+        lambda b: pa.table({"src": b["doc_id"], "pay_a": b[payload_col]}),
+        batch_format="pyarrow",
+    )
+    c1 = bucket_join(
+        cands_ds, a_side, key="src",
+        left_schema=cand_schema,
+        right_schema=pa.schema([("src", id_type), ("pay_a", pay_type)]),
+    )
+    b_side = sigs_ds.map_batches(
+        lambda b: pa.table({"dst": b["doc_id"], "pay_b": b[payload_col]}),
+        batch_format="pyarrow",
+    )
+    c2 = bucket_join(
+        c1, b_side, key="dst",
+        left_schema=pa.schema(
+            [("src", id_type), ("dst", id_type), ("pay_a", pay_type)]
+        ),
+        right_schema=pa.schema([("dst", id_type), ("pay_b", pay_type)]),
+    )
+    edge_schema = pa.schema([("src", id_type), ("dst", id_type)])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return edge_schema.empty_table()
+        keep = verify_batch_fn(batch)
+        return (
+            batch.select(["src", "dst"])
+            .filter(pa.array(keep, pa.bool_()))
+            .cast(edge_schema)
         )
 
-
-def _verify_sig_block(block: pa.Table, threshold: float, window: int) -> pa.Table:
-    ids = block["doc_id"].to_pylist()
-    sigs = [np.frombuffer(s, dtype=np.uint64) for s in block["sig"].to_pylist()]
-    order = sorted(range(len(ids)), key=lambda i: ids[i])
-    srcs, dsts = [], []
-    for pos in range(len(order)):
-        i = order[pos]
-        for pos2 in range(pos + 1, min(pos + 1 + window, len(order))):
-            j = order[pos2]
-            if ids[i] == ids[j]:
-                continue
-            est = float(np.mean(sigs[i] == sigs[j]))  # unbiased jaccard estimate
-            if est >= threshold:
-                a, b = sorted((ids[i], ids[j]))
-                srcs.append(a)
-                dsts.append(b)
-    return pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+    return c2.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_dedup(docs_ds, *, threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
                   shingle_k: int = 5, window: int = 32, text_col: str = "text", id_col: str = "doc_id",
                   edge_threshold: int = DEDUP_EDGE_THRESHOLD):
     """r=4, b=16 → collision prob ≥0.98 at jaccard 0.7 while the band
-    shuffle carries 4× less data than 128/32 (each band row ships the
-    full signature for in-block verification — at corpus scale the
-    signature bytes, not the band keys, dominate the exchange)."""
-    banded = docs_ds.map_batches(
-        _MinhashBands(num_perm, bands, shingle_k, text_col, id_col),
+    shuffle carries 4× less data than 128/32. Two-phase layout: band
+    rows are (band_key, doc_id) ONLY — candidate pairs from the bucketed
+    window sweep are verified against signatures attached by two
+    bucket-cogroup joins, so the signature bytes cross the wire ~2×
+    instead of ``bands``× (measured in tools/dedup_stress.py)."""
+    id_type = docs_ds.schema().types[docs_ds.schema().names.index(id_col)]
+    sigs = docs_ds.map_batches(
+        _ComputeSigs(num_perm, shingle_k, text_col, id_col),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=256,
+    ).materialize()  # (doc_id, 512 B) — object-store resident, reused 3×
+    banded = sigs.map_batches(
+        _band_rows_from_sigs(num_perm, bands), batch_format="pyarrow"
     )
-    edges = banded.groupby("band_key").map_groups(
-        lambda g: _verify_sig_block(g, threshold, window), batch_format="pyarrow"
+    cands = _sweep_edges(banded, window=window, id_type=id_type)
+
+    def est_keep(batch: pa.Table) -> np.ndarray:
+        a = np.frombuffer(
+            b"".join(batch["pay_a"].to_pylist()), dtype=np.uint64
+        ).reshape(-1, num_perm)
+        b = np.frombuffer(
+            b"".join(batch["pay_b"].to_pylist()), dtype=np.uint64
+        ).reshape(-1, num_perm)
+        return (a == b).mean(axis=1) >= threshold  # unbiased jaccard estimate
+
+    edges = _attach_and_verify_sigs(
+        cands, sigs, id_type=id_type, payload_col="sig", verify_batch_fn=est_keep
     )
     return _cluster_and_apply(docs_ds, edges, id_col, edge_threshold=edge_threshold)
 
@@ -247,6 +425,7 @@ def minhash_dedup(docs_ds, *, threshold: float = 0.7, num_perm: int = 64, bands:
 _WORD_BITS_CACHE: dict[str, np.ndarray] = {}
 _WORD_BITS_CACHE_MAX = 200_000
 _SIMHASH_POW2 = 1 << np.arange(64, dtype=np.uint64)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _word_bits(w: str) -> np.ndarray:
@@ -280,12 +459,23 @@ def simhash64(text: str) -> int:
     return int(((acc > 0).astype(np.uint64) * _SIMHASH_POW2).sum())
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a contiguous uint64 array."""
+    return _POPCOUNT8[np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)].sum(
+        axis=1
+    )
+
+
 def simhash_dedup(docs_ds, *, max_hamming: int = 3, window: int = 64,
                   text_col: str = "text", id_col: str = "doc_id",
                   edge_threshold: int = DEDUP_EDGE_THRESHOLD):
     """SimHash near-dup: 4×16-bit band blocking guarantees that any pair
     within hamming distance 3 shares at least one exact band
-    (pigeonhole); verification checks the true distance."""
+    (pigeonhole); verification checks the true distance with a
+    vectorized XOR+popcount over the bucketed window sweep (the 8 B
+    simhash rides the band row — single-phase is already the minimal
+    exchange here)."""
+    id_type = docs_ds.schema().types[docs_ds.schema().names.index(id_col)]
 
     def to_bands(batch: pa.Table) -> pa.Table:
         keys, ids, hashes = [], [], []
@@ -297,33 +487,20 @@ def simhash_dedup(docs_ds, *, max_hamming: int = 3, window: int = 64,
                 keys.append((b << 16) | band)
                 ids.append(doc)
                 hashes.append(sh)
-        return pa.table(
-            {
-                "band_key": pa.array(keys, pa.int64()),
-                "doc_id": pa.array(ids),
-                "simhash": pa.array(hashes, pa.uint64()),
-            }
-        )
+        return pa.table({
+            "band_key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(ids, id_type),
+            "simhash": pa.array(hashes, pa.uint64()),
+        })
 
-    def verify(block: pa.Table) -> pa.Table:
-        ids = block["doc_id"].to_pylist()
-        hs = block["simhash"].to_pylist()
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        srcs, dsts = [], []
-        for pos in range(len(order)):
-            i = order[pos]
-            for pos2 in range(pos + 1, min(pos + 1 + window, len(order))):
-                j = order[pos2]
-                if ids[i] == ids[j]:
-                    continue
-                if bin(hs[i] ^ hs[j]).count("1") <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    srcs.append(a)
-                    dsts.append(b)
-        return pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+    def hamming_mask(g: pa.Table, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        hs = g["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
+        return _popcount64(hs[lo] ^ hs[hi]) <= max_hamming
 
     banded = docs_ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-    edges = banded.groupby("band_key").map_groups(verify, batch_format="pyarrow")
+    edges = _sweep_edges(
+        banded, window=window, id_type=id_type, pair_mask_fn=hamming_mask
+    )
     return _cluster_and_apply(docs_ds, edges, id_col, edge_threshold=edge_threshold)
 
 
@@ -334,49 +511,50 @@ def ngram_jaccard_dedup(docs_ds, *, threshold: float = 0.7, sketch_k: int = 200,
                         window: int = 32, text_col: str = "text", id_col: str = "doc_id",
                         edge_threshold: int = DEDUP_EDGE_THRESHOLD):
     """Jaccard on bottom-k shingle sketches (exact on the sketch, an
-    unbiased estimator of the true jaccard); minhash-band blocking."""
+    unbiased estimator of the true jaccard); minhash-band blocking.
+    Same two-phase layout as :func:`minhash_dedup`: band rows carry no
+    payload; sketches attach to collision candidates via bucket-cogroup
+    joins (the ≤1.6 KB sketch would otherwise ship ``bands``×)."""
+    id_type = docs_ds.schema().types[docs_ds.schema().names.index(id_col)]
     hasher = MinHasher(num_perm)
 
-    def to_rows(batch: pa.Table) -> pa.Table:
-        keys, ids, sketches = [], [], []
+    def to_sketch_rows(batch: pa.Table) -> pa.Table:
+        ids, sketches, sigs = [], [], []
         for i, t in enumerate(batch[text_col].to_pylist()):
             sh = word_shingles(t or "", shingle_k)
-            sketch = np.array(sorted(sh)[:sketch_k], dtype=np.uint64)
-            sig = hasher.signature(sh)
-            doc = batch[id_col][i].as_py()
-            for bk in hasher.band_keys(sig, bands):
-                keys.append(bk)
-                ids.append(doc)
-                sketches.append(sketch.tobytes())
-        return pa.table(
-            {
-                "band_key": pa.array(keys, pa.int64()),
-                "doc_id": pa.array(ids),
-                "sketch": pa.array(sketches, pa.binary()),
-            }
-        )
+            sketches.append(np.array(sorted(sh)[:sketch_k], dtype=np.uint64).tobytes())
+            sigs.append(hasher.signature(sh).tobytes())
+            ids.append(batch[id_col][i].as_py())
+        return pa.table({
+            "doc_id": pa.array(ids, id_type),
+            "sketch": pa.array(sketches, pa.binary()),
+            "sig": pa.array(sigs, pa.binary()),
+        })
 
-    def verify(block: pa.Table) -> pa.Table:
-        ids = block["doc_id"].to_pylist()
-        sk = [set(np.frombuffer(s, dtype=np.uint64).tolist()) for s in block["sketch"].to_pylist()]
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        srcs, dsts = [], []
-        for pos in range(len(order)):
-            i = order[pos]
-            for pos2 in range(pos + 1, min(pos + 1 + window, len(order))):
-                j = order[pos2]
-                if ids[i] == ids[j]:
-                    continue
-                inter = len(sk[i] & sk[j])
-                union = len(sk[i] | sk[j])
-                if union and inter / union >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    srcs.append(a)
-                    dsts.append(b)
-        return pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+    sketched = docs_ds.map_batches(
+        to_sketch_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=256
+    ).materialize()
+    banded = sketched.map_batches(
+        _band_rows_from_sigs(num_perm, bands), batch_format="pyarrow"
+    )
+    cands = _sweep_edges(banded, window=window, id_type=id_type)
 
-    banded = docs_ds.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
-    edges = banded.groupby("band_key").map_groups(verify, batch_format="pyarrow")
+    def jaccard_keep(batch: pa.Table) -> np.ndarray:
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        for i, (a, b) in enumerate(
+            zip(batch["pay_a"].to_pylist(), batch["pay_b"].to_pylist())
+        ):
+            sa = np.frombuffer(a, dtype=np.uint64)
+            sb = np.frombuffer(b, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            keep[i] = bool(union) and inter / union >= threshold
+        return keep
+
+    edges = _attach_and_verify_sigs(
+        cands, sketched, id_type=id_type, payload_col="sketch",
+        verify_batch_fn=jaccard_keep,
+    )
     return _cluster_and_apply(docs_ds, edges, id_col, edge_threshold=edge_threshold)
 
 
@@ -386,7 +564,10 @@ def embedding_dedup(embeds_ds, *, threshold: float = 0.95, n_planes: int = 12,
                     window: int = 64, vec_col: str = "embedding", id_col: str = "vec_id",
                     seed: int = 13, edge_threshold: int = DEDUP_EDGE_THRESHOLD):
     """Near-dup by embedding cosine: random-hyperplane LSH bucket →
-    in-bucket cosine verify. Planes are seeded → deterministic buckets."""
+    bucketed window sweep with a vectorized pairwise-cosine mask.
+    Planes are seeded → deterministic buckets. Single-phase: each doc
+    emits ONE bucket row, so the vector ships once either way."""
+    id_type = embeds_ds.schema().types[embeds_ds.schema().names.index(id_col)]
     planes_by_dim: dict[int, np.ndarray] = {}
 
     def get_planes(dim: int) -> np.ndarray:
@@ -397,37 +578,28 @@ def embedding_dedup(embeds_ds, *, threshold: float = 0.95, n_planes: int = 12,
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col]
         planes = get_planes(vecs.shape[1])
         signs = (vecs @ planes.T) > 0
         keys = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
-        return pa.table(
-            {
-                "band_key": pa.array(keys, pa.int64()),
-                "doc_id": pa.array(ids),
-                "vec": pa.array([v.tobytes() for v in vecs], pa.binary()),
-            }
-        )
+        return pa.table({
+            "band_key": pa.array(keys, pa.int64()),
+            "doc_id": ids,
+            "vec": pa.array([v.tobytes() for v in vecs], pa.binary()),
+        })
 
-    def verify(block: pa.Table) -> pa.Table:
-        ids = block["doc_id"].to_pylist()
-        vecs = [np.frombuffer(v, dtype=np.float64) for v in block["vec"].to_pylist()]
-        norms = [np.linalg.norm(v) for v in vecs]
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        srcs, dsts = [], []
-        for pos in range(len(order)):
-            i = order[pos]
-            for pos2 in range(pos + 1, min(pos + 1 + window, len(order))):
-                j = order[pos2]
-                if ids[i] == ids[j]:
-                    continue
-                denom = norms[i] * norms[j]
-                if denom > 0 and float(vecs[i] @ vecs[j]) / denom >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    srcs.append(a)
-                    dsts.append(b)
-        return pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)})
+    def cosine_mask(g: pa.Table, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        raw = b"".join(g["vec"].to_pylist())
+        v = np.frombuffer(raw, dtype=np.float64).reshape(g.num_rows, -1)
+        norms = np.linalg.norm(v, axis=1)
+        sims = np.einsum("ij,ij->i", v[lo], v[hi])
+        denom = norms[lo] * norms[hi]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, sims / denom, -np.inf)
+        return (denom > 0) & (cos >= threshold)
 
     bucketed = embeds_ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
-    edges = bucketed.groupby("band_key").map_groups(verify, batch_format="pyarrow")
+    edges = _sweep_edges(
+        bucketed, window=window, id_type=id_type, pair_mask_fn=cosine_mask
+    )
     return _cluster_and_apply(embeds_ds, edges, id_col, edge_threshold=edge_threshold)

@@ -45,14 +45,20 @@ def training_mix(sf_dir: str, *, min_chars: int = 100, min_tokens: int = 20):
 
     gated = ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
+    from ..kg.unionfind import hash_bucket
+
     def to_hashes(batch: pa.Table) -> pa.Table:
-        hs = [
-            hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest()
-            for t in batch["text"].to_pylist()
-        ]
+        hs = pa.array(
+            [
+                hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest()
+                for t in batch["text"].to_pylist()
+            ],
+            pa.string(),
+        )
         return pa.table(
             {
-                "h": pa.array(hs, pa.string()),
+                "__bucket": hash_bucket(hs, 256),
+                "h": hs,
                 "doc_id": batch["doc_id"],
                 "n_tokens": batch["n_tokens"],
             }
@@ -60,12 +66,25 @@ def training_mix(sf_dir: str, *, min_chars: int = 100, min_tokens: int = 20):
 
     hashed = gated.map_batches(to_hashes, batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_root(group: pa.Table) -> pa.Table:
-        i = pc.index(group["doc_id"], pc.min(group["doc_id"]))
-        row = group.take(pa.array([i.as_py()]))
-        return row.select(["doc_id", "n_tokens"])
+    def keep_roots(group: pa.Table) -> pa.Table:
+        # hash-BUCKET cogroup (one Python call per bucket, not per
+        # distinct document): sort by (h, doc_id), keep each h-segment's
+        # first row — the group's min doc_id
+        import numpy as np
 
-    roots = hashed.groupby("h").map_groups(keep_root, batch_format="pyarrow")
+        order = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order)
+        h = g["h"].combine_chunks()
+        n = g.num_rows
+        neq = pc.not_equal(h.slice(1), h.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_seg = np.concatenate(([True], neq.astype(bool)))
+        return g.filter(pa.array(new_seg)).select(["doc_id", "n_tokens"])
+
+    roots = hashed.groupby("__bucket").map_groups(keep_roots, batch_format="pyarrow")
 
     def partial(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -24,38 +24,21 @@ import pyarrow.compute as pc
 
 
 def _cogroup_exists(left_ds, right_ds, key: str, *, keep_if_exists: bool):
-    left_schema = left_ds.schema()
-    names = list(left_schema.names)
-    arrow_schema = pa.schema(
-        [(n, t) for n, t in zip(left_schema.names, left_schema.types)]
+    """EXISTS/NOT-EXISTS via ONE bucketed cogroup shuffle: keys hash
+    into ~256 buckets and a vectorized acero left-semi/left-anti join
+    runs inside each bucket — group dispatch stays at n_buckets
+    regardless of key cardinality (a per-key ``groupby(key).map_groups``
+    would cost one Python call per distinct customer/url). The right
+    side ships only per-batch-distinct keys (the semi-join combiner)."""
+    from .cogroup import bucket_join
+
+    return bucket_join(
+        left_ds,
+        right_ds.select_columns([key]),
+        key=key,
+        join_type="left semi" if keep_if_exists else "left anti",
+        right_distinct=True,
     )
-
-    def tag_left(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__side", pa.nulls(batch.num_rows, pa.int8()).fill_null(0)
-        )
-
-    def tag_right(batch: pa.Table) -> pa.Table:
-        cols = {key: batch[key]}
-        for n in names:
-            if n != key:
-                cols[n] = pa.nulls(batch.num_rows, arrow_schema.field(n).type)
-        t = pa.table(cols).select(names)
-        return t.append_column("__side", pa.nulls(t.num_rows, pa.int8()).fill_null(1))
-
-    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
-        right_ds.select_columns([key]).map_batches(tag_right, batch_format="pyarrow")
-    )
-
-    def emit(group: pa.Table) -> pa.Table:
-        side = group["__side"]
-        has_right = pc.any(pc.equal(side, 1)).as_py()
-        keep = has_right if keep_if_exists else not has_right
-        if not keep:
-            return arrow_schema.empty_table()
-        return group.filter(pc.equal(side, 0)).select(names)
-
-    return tagged.groupby(key).map_groups(emit, batch_format="pyarrow")
 
 
 def _distinct_keys(right_ds, key: str):

@@ -43,8 +43,12 @@ def pack_by_token_budget(tokens_ds, *, budget: int = 1 << 14,
             tokens_col: pc.cast(batch[tokens_col], pa.int64()),
         })
 
+    # materialize: `ranged` feeds BOTH the per-range totals below and
+    # the final groupby-assign — without it the whole upstream
+    # (tokenization included) executes twice. Narrow (range_id, id,
+    # n_tokens) rows, object-store resident / spillable.
     ranged = tokens_ds.map_batches(tag_range, batch_format="pyarrow",
-                                   zero_copy_batch=True)
+                                   zero_copy_batch=True).materialize()
 
     # per-range totals → exclusive offsets (bounded driver aggregate)
     totals: dict[int, int] = {}

@@ -3,7 +3,7 @@
 :func:`group_quantiles` computes EXACT linear-interpolated quantiles
 per group from (group, value) → count partial histograms: money lives
 in integer cents, so each batch collapses to its distinct values before
-the single ``groupby(group)`` shuffle. The shuffle carries
+the single bucketed shuffle. The shuffle carries
 Σ_blocks |distinct values in block| rows — equal to raw rows only in
 the worst case of an all-unique domain, collapsing by orders of
 magnitude for quantized domains (latencies, scores, sizes). The
@@ -11,6 +11,12 @@ per-group quantile walk tolerates duplicate value bins (cumulative
 counts stay strictly increasing), so no global (group, value) reduce is
 needed — measured at sf0.1, that reduce was a full-data multi-key sort
 for ~1% compression, 3× the wall time.
+
+Both operators are BUCKET-cogrouped: keys hash into ``n_buckets``
+groups and one ``map_groups`` call processes every key in the bucket
+(vectorized arrow distinct / one sort + segment sweep) — group dispatch
+stays at n_buckets regardless of key cardinality, so the operators hold
+for corpus-order key domains, not just the benched small ones.
 
 Interpolation mirrors SQL ``quantile_cont``/numpy ``linear``: with
 sorted values v and idx = (n-1)·q, result = v[⌊idx⌋] +
@@ -25,6 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+N_BUCKETS = 256
+
 
 def approx_distinct(
     ds,
@@ -33,21 +41,26 @@ def approx_distinct(
     value_col: str,
     m: int = 4096,
     key_type: pa.DataType = pa.string(),
+    n_buckets: int = N_BUCKETS,
 ):
     """Approximate COUNT(DISTINCT value) per group via LINEAR COUNTING
     with a deterministic md5 slot hash: per-group state is a bitmap of
     at most ``m`` occupied slots regardless of cardinality, partials
     merge by set-union (each batch emits its distinct (group, slot)
     pairs — ≤ m rows per group per block), and the estimate
-    ``-m·ln(1 − z/m)`` corrects for hash collisions. Because the slot
-    hash is md5 (DuckDB ``md5_number_upper``), the occupied count AND
-    the estimate are bit-reproducible in SQL — a sketch with an exact
-    oracle. Standard error ≈ √m⁻¹·√(e^t − t − 1)·m/n; with m=4096 and
-    n ≤ m the estimate is within ~2% typical.
+    ``-m·ln(1 − z/m)`` corrects for hash collisions. At saturation
+    (z == m) the estimate clamps z to m−1 (standard linear-counting
+    practice — ln(0) is undefined; the bound is documented: with m=4096
+    the estimator saturates near ~34k distinct values/group). Because
+    the slot hash is md5 (DuckDB ``md5_number_upper``), the occupied
+    count AND the estimate are bit-reproducible in SQL — a sketch with
+    an exact oracle. Standard error ≈ √m⁻¹·√(e^t − t − 1)·m/n; with
+    m=4096 and n ≤ m the estimate is within ~2% typical.
 
     Output: (key, occupied int64, est_distinct float64 — round 6dp
     applied by the caller to match SQL ``round``).
     """
+    from ..kg.unionfind import hash_bucket
     from .sample import _hash64
 
     def slots_partial(batch: pa.Table) -> pa.Table:
@@ -60,27 +73,36 @@ def approx_distinct(
                 ),
             }
         )
-        return t.group_by([key, "slot"]).aggregate([])
+        t = t.group_by([key, "slot"]).aggregate([])
+        return t.append_column(
+            "__bucket", hash_bucket(t[key].combine_chunks(), n_buckets)
+        )
 
     partials = ds.map_batches(slots_partial, batch_format="pyarrow")
     out_schema = pa.schema(
         [(key, key_type), ("occupied", pa.int64()), ("est_distinct", pa.float64())]
     )
 
-    def estimate(group: pa.Table) -> pa.Table:
-        slots = group["slot"].combine_chunks().to_numpy(zero_copy_only=False)
-        z = len(np.unique(slots))
-        est = -float(m) * np.log(1.0 - z / float(m)) if z < m else float("inf")
+    def estimate_bucket(group: pa.Table) -> pa.Table:
+        # vectorized arrow distinct + grouped count over EVERY key in
+        # the bucket — no per-key Python dispatch
+        distinct = group.select([key, "slot"]).group_by([key, "slot"]).aggregate([])
+        occ = distinct.group_by([key]).aggregate([("slot", "count")])
+        z = occ["slot_count"].combine_chunks().to_numpy(zero_copy_only=False)
+        z_eff = np.minimum(z, m - 1).astype(np.float64)
+        est = -float(m) * np.log(1.0 - z_eff / float(m))
         return pa.table(
             {
-                key: pa.array([group[key][0].as_py()], key_type),
-                "occupied": pa.array([z], pa.int64()),
-                "est_distinct": pa.array([est], pa.float64()),
+                key: pc.cast(occ[key], key_type),
+                "occupied": pa.array(z.astype(np.int64), pa.int64()),
+                "est_distinct": pa.array(est, pa.float64()),
             },
             schema=out_schema,
         )
 
-    return partials.groupby(key).map_groups(estimate, batch_format="pyarrow")
+    return partials.groupby("__bucket").map_groups(
+        estimate_bucket, batch_format="pyarrow"
+    )
 
 
 def group_quantiles(
@@ -90,11 +112,13 @@ def group_quantiles(
     value_cents,
     qs: tuple[float, ...] = (0.25, 0.5, 0.75),
     key_type: pa.DataType = pa.string(),
+    n_buckets: int = N_BUCKETS,
 ):
     """Exact per-group quantiles of an integer-cents value. ``value_cents``
     is a callable batch→pa.Array producing the int64 cents column.
     Output: (key, q float64, qv float64 = interpolated quantile in cents).
     """
+    from ..kg.unionfind import hash_bucket
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -105,10 +129,13 @@ def group_quantiles(
             }
         )
         g = t.group_by([key, "v"]).aggregate([("one", "sum")])
-        return g.rename_columns([key, "v", "n_local"])
+        g = g.rename_columns([key, "v", "n_local"])
+        return g.append_column(
+            "__bucket", hash_bucket(g[key].combine_chunks(), n_buckets)
+        )
 
     # ONE shuffle: batch-partial histograms go straight into the
-    # per-key groupby. A global (key, v) reduce first would bound the
+    # bucketed groupby. A global (key, v) reduce first would bound the
     # per-group payload by |distinct v| — but measured at sf0.1 the
     # price domain is ~99% unique, so that reduce is a full-data
     # multi-key sort for no compression (9.9s → 3s without it). The
@@ -118,35 +145,53 @@ def group_quantiles(
 
     out_schema = pa.schema([(key, key_type), ("q", pa.float64()), ("qv", pa.float64())])
 
-    def quantiles(group: pa.Table) -> pa.Table:
-        v = group["v"].combine_chunks().to_numpy(zero_copy_only=False)
-        n = group["n_local"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.argsort(v, kind="stable")
-        v = v[order].astype(np.float64)
-        cum = np.cumsum(n[order])  # cum[i] = #values <= v[i]
-        total = int(cum[-1])
-        kval = group[key][0]
-        out_q, out_v = [], []
-        for q in qs:
-            idx = (total - 1) * q
-            lo = int(np.floor(idx))
-            frac = idx - lo
-            # rank r (0-based) lives at the first histogram bin with cum > r
-            a = v[np.searchsorted(cum, lo, side="right")]
-            if frac == 0.0:
-                res = a
-            else:
-                b = v[np.searchsorted(cum, lo + 1, side="right")]
-                res = a + (b - a) * frac
-            out_q.append(q)
-            out_v.append(res)
+    def quantiles_bucket(group: pa.Table) -> pa.Table:
+        # one sort of the whole bucket by (key, v); the per-key walk is
+        # an in-process loop over key segments (cheap — |qs| searches
+        # per key), not a per-key map_groups dispatch
+        order = pc.sort_indices(
+            group, sort_keys=[(key, "ascending"), ("v", "ascending")]
+        )
+        g = group.take(order)
+        ka = g[key].combine_chunks()
+        v_all = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_all = g["n_local"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(v_all)
+        neq = pc.not_equal(ka.slice(1), ka.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(neq.astype(bool)) + 1))
+        ends = np.append(starts[1:], n)
+        out_idx: list[int] = []
+        out_q: list[float] = []
+        out_v: list[float] = []
+        for s, e in zip(starts, ends):
+            v = v_all[s:e].astype(np.float64)
+            cum = np.cumsum(n_all[s:e])  # cum[i] = #values <= v[i]
+            total = int(cum[-1])
+            for q in qs:
+                idx = (total - 1) * q
+                lo = int(np.floor(idx))
+                frac = idx - lo
+                # rank r (0-based) lives at the first bin with cum > r
+                a = v[np.searchsorted(cum, lo, side="right")]
+                if frac == 0.0:
+                    res = a
+                else:
+                    b = v[np.searchsorted(cum, lo + 1, side="right")]
+                    res = a + (b - a) * frac
+                out_idx.append(int(s))
+                out_q.append(q)
+                out_v.append(res)
         return pa.table(
             {
-                key: pa.array([kval.as_py()] * len(qs), key_type),
+                key: pc.cast(ka.take(pa.array(out_idx, pa.int64())), key_type),
                 "q": pa.array(out_q, pa.float64()),
                 "qv": pa.array(out_v, pa.float64()),
             },
             schema=out_schema,
         )
 
-    return hist.groupby(key).map_groups(quantiles, batch_format="pyarrow")
+    return hist.groupby("__bucket").map_groups(
+        quantiles_bucket, batch_format="pyarrow"
+    )

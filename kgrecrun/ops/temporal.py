@@ -55,6 +55,13 @@ def asof_join(
     Returns (key, left_ts, *left_cols, *right_cols) with both ts columns
     as int64 epoch-us.
 
+    TYPE CONTRACT (int64-only): the key and every payload column are
+    hard-cast to int64 (the union's null padding is int64, so the two
+    sides must share that schema). String keys/payloads are not
+    supported — map them to dictionary codes upstream (or extend the
+    tag functions to derive pad types from the actual schemas).
+    Timestamp payload columns are converted to epoch-µs int64.
+
     Execution is BUCKET-vectorized: keys hash into ``n_buckets`` groups
     so one ``map_groups`` call processes thousands of keys at once with
     a single lexsort + forward-fill sweep — group dispatch stays at
@@ -66,8 +73,33 @@ def asof_join(
     (≤ is inclusive) and greatest tie last; forward-fill the latest
     right index; invalidate fills that crossed a key boundary.
     """
-    all_left = [key, left_ts, *left_cols]
-    all_right = [key, right_ts, right_tie, *[c for c in right_cols if c != right_tie]]
+    tag_left, tag_right, resolve_bucket = _asof_parts(
+        key=key, left_ts=left_ts, right_ts=right_ts, right_tie=right_tie,
+        left_cols=left_cols, right_cols=right_cols, n_buckets=n_buckets,
+    )
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    # NOTE: measured alternatives at 10M×1M rows / 100k keys (32 cpus):
+    # sort-groupby on the bucket column + this key-aware sweep = 19–24 s
+    # (1024 vs 256 buckets); HASH_SHUFFLE keyed repartition = 173 s
+    # (aggregator-actor spin-up dominates at this scale); per-key
+    # map_groups dispatch is the pathological one (100k Python group
+    # calls). The bucket sweep keeps group dispatch at n_buckets
+    # regardless of key cardinality.
+    return tagged.groupby("__bucket").map_groups(
+        resolve_bucket, batch_format="pyarrow"
+    )
+
+
+def _asof_parts(*, key, left_ts, right_ts, right_tie, left_cols, right_cols,
+                n_buckets):
+    """The as-of join's three building blocks (left/right taggers + the
+    per-bucket vectorized resolve), shared by the shuffling
+    :func:`asof_join` and the exchange-free
+    :func:`asof_join_prepartitioned`."""
     r_payload = [right_ts, *[c for c in right_cols if c != right_ts]]
 
     from ..kg.unionfind import hash_bucket
@@ -104,10 +136,6 @@ def asof_join(
                 else pc.cast(batch[c], pa.int64())
             )
         return pa.table(cols)
-
-    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
-        right_ds.map_batches(tag_right, batch_format="pyarrow")
-    )
 
     out_fields = [(key, pa.int64()), (left_ts, pa.int64())]
     out_fields += [(c, pa.int64()) for c in left_cols]
@@ -149,16 +177,93 @@ def asof_join(
             cols[c] = group[c].combine_chunks().take(r_orig)
         return pa.table(cols, schema=out_schema)
 
-    # NOTE: measured alternatives at 10M×1M rows / 100k keys (32 cpus):
-    # sort-groupby on the bucket column + this key-aware sweep = 19–24 s
-    # (1024 vs 256 buckets); HASH_SHUFFLE keyed repartition = 173 s
-    # (aggregator-actor spin-up dominates at this scale); per-key
-    # map_groups dispatch is the pathological one (100k Python group
-    # calls). The bucket sweep keeps group dispatch at n_buckets
-    # regardless of key cardinality.
-    return tagged.groupby("__bucket").map_groups(
-        resolve_bucket, batch_format="pyarrow"
+    return tag_left, tag_right, resolve_bucket
+
+
+def asof_join_prepartitioned(
+    n_buckets: int,
+    left_files,
+    right_files,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_tie: str,
+    left_cols: list[str],
+    right_cols: list[str],
+):
+    """Exchange-FREE as-of join over inputs already bucketed on disk:
+    ``left_files(b)`` / ``right_files(b)`` map a bucket id to parquet
+    path(s) holding exactly the rows whose ``hash_bucket(key) == b``
+    (e.g. written once by an upstream job that partitions both streams
+    with the same key). Each Ray task reads its bucket pair and runs the
+    SAME vectorized sweep as :func:`asof_join` in-process — no shuffle,
+    so the all-to-all exchange that bounds the shuffling variant at ~0.5
+    scaling efficiency is amortized into the (one-off) partitioned
+    write. Output is identical to :func:`asof_join` on the union of the
+    buckets. This is the 100-TB shape: partition once on the
+    co-location key, reuse across every downstream temporal operator."""
+    import ray.data
+
+    tag_left, tag_right, resolve_bucket = _asof_parts(
+        key=key, left_ts=left_ts, right_ts=right_ts, right_tie=right_tie,
+        left_cols=left_cols, right_cols=right_cols, n_buckets=n_buckets,
     )
+
+    def run_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for b in batch["id"].to_pylist():
+            lt = tag_left(pq.read_table(left_files(b)))
+            rt = tag_right(pq.read_table(right_files(b)))
+            outs.append(resolve_bucket(pa.concat_tables([lt, rt])))
+        return pa.concat_tables(outs)
+
+    return ray.data.range(n_buckets, override_num_blocks=n_buckets).map_batches(
+        run_bucket, batch_format="pyarrow"
+    )
+
+
+def count_interval_overlaps(
+    intervals_ds,
+    *,
+    key: str,
+    start_ts: str,
+    end_ts: str,
+    n_buckets: int = 256,
+):
+    """Number of intervals whose start precedes the previous interval's
+    end within the same key (i.e. violations of :func:`range_join`'s
+    non-overlap assumption). One bucketed shuffle of (key, start, end);
+    inside a bucket one lexsort + a vectorized previous-end comparison
+    masked at key boundaries."""
+    from ..kg.unionfind import hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch[key], pa.int64())
+        return pa.table({
+            "__bucket": hash_bucket(k, n_buckets),
+            "k": k,
+            "s": _epoch_us(batch[start_ts]),
+            "e": _epoch_us(batch[end_ts]),
+        })
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = group["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = group["e"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, s, k))
+        k_s, s_s, e_s = k[order], s[order], e[order]
+        same_key = k_s[1:] == k_s[:-1]
+        overlap = same_key & (s_s[1:] <= e_s[:-1])
+        return pa.table({"n": pa.array([int(overlap.sum())], pa.int64())})
+
+    tagged = intervals_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    counted = tagged.groupby("__bucket").map_groups(
+        count_bucket, batch_format="pyarrow"
+    )
+    return counted.sum("n") or 0
 
 
 def range_join(
@@ -172,6 +277,7 @@ def range_join(
     point_cols: list[str],
     interval_cols: list[str],
     n_buckets: int = 256,
+    validate: bool = False,
 ):
     """Containment range join: each point row attaches the interval of
     the same key with ``start_ts ≤ point_ts ≤ end_ts`` (inclusive ends,
@@ -181,11 +287,26 @@ def range_join(
     before the point, so this composes as the bucket-vectorized
     :func:`asof_join` on the interval start followed by a vectorized
     end-bound filter; with overlapping intervals only the
-    latest-starting cover matches (documented, not an error).
+    latest-starting cover matches. ``validate=True`` makes that misuse
+    fail LOUDLY: an eager :func:`count_interval_overlaps` pass over the
+    interval side raises ``ValueError`` if any key has overlapping
+    intervals (one extra narrow shuffle — opt-in because the caller
+    usually knows the intervals are windows by construction).
 
     Returns (key, point_ts, *point_cols, start_ts, end_ts,
     *interval_cols), timestamps as int64 epoch-µs.
     """
+    if validate:
+        n_overlap = count_interval_overlaps(
+            intervals_ds, key=key, start_ts=start_ts, end_ts=end_ts,
+            n_buckets=n_buckets,
+        )
+        if n_overlap:
+            raise ValueError(
+                f"range_join(validate=True): {n_overlap} interval(s) overlap a "
+                f"same-key predecessor — the non-overlap assumption is violated "
+                f"and only the latest-starting cover would match each point"
+            )
     joined = asof_join(
         points_ds,
         intervals_ds,

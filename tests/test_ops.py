@@ -747,3 +747,151 @@ def test_range_join_matches_bruteforce():
     assert sorted(got["pid"]) == sorted(want)
     for _, r in got.iterrows():
         assert r["iid"] == want[r["pid"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_bucket_mixes_strided_integer_keys():
+    """ADVICE r2: keys strided by a multiple of n_buckets must NOT
+    collapse into one bucket (splitmix64 mix before masking)."""
+    from kgrecrun.kg.unionfind import hash_bucket
+
+    n_buckets = 64
+    strided = pa.array(np.arange(0, 64 * 500, 64, dtype=np.int64))
+    buckets = hash_bucket(strided, n_buckets).to_pylist()
+    assert len(set(buckets)) > n_buckets // 2  # spread, not collapsed
+    # deterministic across calls
+    assert buckets == hash_bucket(strided, n_buckets).to_pylist()
+    # string path unchanged and in range
+    sb = hash_bucket(pa.array([f"u{i}" for i in range(100)]), 16).to_pylist()
+    assert set(sb) <= set(range(16))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_cc_long_chain_pointer_doubling_and_raise():
+    """ADVICE r2 (medium): a chain with diameter >> max_iters must either
+    converge via pointer doubling (default iters: yes, since rounds are
+    now O(log diameter)) or raise loudly instead of returning wrong
+    labels."""
+    import ray.data
+
+    from kgrecrun.kg.unionfind import connected_components_distributed
+
+    n = 300  # path graph 0-1-...-300: diameter 300 >> 50 plain iterations
+    edges = pa.table({
+        "src": pa.array(np.arange(n, dtype=np.int64)),
+        "dst": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+    })
+    ds = ray.data.from_arrow(edges).repartition(4)
+    df = connected_components_distributed(ds).to_pandas()
+    assert len(df) == n + 1
+    assert (df["label"] == 0).all()
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_distributed(ds, max_iters=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_band_window_truncation_chain_transitivity():
+    """VERDICT r2 item 5: a band segment larger than the verify window
+    still clusters fully — adjacent ids link within the window and CC
+    closes the transitive hull; oversized_band_count makes the
+    truncation regime visible."""
+    import ray.data
+
+    n_dup = 40
+    window = 4
+    texts = [BASE] * n_dup + [FAR]
+    t = _docs_table(texts, ids=list(range(n_dup + 1)))
+    ds = ray.data.from_arrow(t).repartition(4)
+    res = dedup.minhash_dedup(ds, window=window).to_pandas()
+    roots = dict(zip(res["doc_id"], res["root_id"]))
+    assert all(roots[i] == 0 for i in range(n_dup))  # one cluster despite window<segment
+    assert roots[n_dup] == n_dup
+
+    banded = ds.map_batches(
+        dedup._ComputeSigs(64, 5, "text", "doc_id"), batch_format="pyarrow"
+    ).map_batches(dedup._band_rows_from_sigs(64, 16), batch_format="pyarrow")
+    assert dedup.oversized_band_count(banded, window=window) >= 16  # all 16 bands oversize
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_validate_detects_overlap():
+    """VERDICT r2 item 6: overlapping intervals violate range_join's
+    partitioning assumption; validate=True fails loudly."""
+    import ray.data
+
+    from kgrecrun.ops.temporal import count_interval_overlaps, range_join
+
+    us = 1_000_000
+    good = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "start": pa.array([0, 20 * us, 5 * us], pa.int64()),
+        "end": pa.array([10 * us, 30 * us, 9 * us], pa.int64()),
+        "iid": pa.array([0, 1, 2], pa.int64()),
+    })
+    bad = pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "start": pa.array([0, 5 * us], pa.int64()),
+        "end": pa.array([10 * us, 15 * us], pa.int64()),  # overlaps [0,10]
+        "iid": pa.array([0, 1], pa.int64()),
+    })
+    points = pa.table({
+        "k": pa.array([1], pa.int64()),
+        "pt": pa.array([2 * us], pa.int64()),
+        "pid": pa.array([0], pa.int64()),
+    })
+    kw = dict(key="k", point_ts="pt", start_ts="start", end_ts="end",
+              point_cols=["pid"], interval_cols=["iid"], n_buckets=4)
+
+    assert count_interval_overlaps(
+        ray.data.from_arrow(good), key="k", start_ts="start", end_ts="end") == 0
+    ok = range_join(ray.data.from_arrow(points), ray.data.from_arrow(good),
+                    validate=True, **kw).to_pandas()
+    assert ok["iid"].tolist() == [0]
+
+    with pytest.raises(ValueError, match="overlap"):
+        range_join(ray.data.from_arrow(points), ray.data.from_arrow(bad),
+                   validate=True, **kw)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucket_join_matches_duckdb():
+    """The generic bucket-cogroup join (backbone of semi/anti, crawl and
+    dedup label application) against DuckDB on every join type."""
+    import duckdb
+    import ray.data
+
+    from kgrecrun.ops.cogroup import bucket_join
+
+    rng = np.random.RandomState(5)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 40, 300), pa.int64()),
+        "lv": pa.array(np.arange(300), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(rng.randint(20, 60, 80), pa.int64()),
+        "rv": pa.array(np.arange(80) * 10, pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    sqls = {
+        "inner": "SELECT l.k, lv, rv FROM l JOIN r ON l.k = r.k",
+        "left outer": "SELECT l.k, lv, rv FROM l LEFT JOIN r ON l.k = r.k",
+        "left semi": "SELECT k, lv FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
+        "left anti": "SELECT k, lv FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
+    }
+    for jt, sql in sqls.items():
+        got = bucket_join(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right).repartition(2),
+            key="k", join_type=jt, n_buckets=8,
+        ).to_pandas()
+        want = con.execute(sql).df()
+        gs = got.sort_values(list(got.columns)).reset_index(drop=True)
+        ws = want[list(got.columns)].sort_values(list(got.columns)).reset_index(drop=True)
+        assert gs.shape == ws.shape, (jt, gs.shape, ws.shape)
+        for c in gs.columns:
+            gv = gs[c].astype("float64").fillna(-1).tolist()
+            wv = ws[c].astype("float64").fillna(-1).tolist()
+            assert gv == wv, (jt, c)
