@@ -210,16 +210,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         invocation over the same sf_dir skips completed partitions —
         the north rule's resumability surface."""
         import glob
+        import hashlib
+        import os
+        import pathlib
 
+        import kgrecrun.corpus.synthgen as synthgen_mod
         from kgrecrun.corpus.synthgen import get_world, write_corpus
         from kgrecrun.runtime.checkpoint import run_checkpointed
         from kgrecrun.runtime.manifest import load_manifests
 
-        name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        out = f"/tmp/kgrecrun_materialize_{name}"
+        # key the scratch path by a CORPUS FINGERPRINT (doc count, seed,
+        # generator source hash), not just the sf name: a stale tree from
+        # a different corpus definition under the same name can no longer
+        # be mistaken for resumable state. The corpus stage itself is
+        # write-then-atomic-rename so concurrent driver runs with the
+        # same fingerprint can't observe a half-written input.
+        n = _n_docs(sf_dir)
+        gen_src = pathlib.Path(synthgen_mod.__file__).read_bytes()
+        fp = hashlib.md5(gen_src + f":{n}:42".encode()).hexdigest()[:12]
+        out = f"/tmp/kgrecrun_materialize_{fp}"
         corpus = f"{out}/_input"
         if not glob.glob(f"{corpus}/pages/*.parquet"):
-            write_corpus(corpus, _n_docs(sf_dir), seed=42, shard_size=500)
+            stage = f"{corpus}.stage.{os.getpid()}"
+            write_corpus(stage, n, seed=42, shard_size=500)
+            os.makedirs(out, exist_ok=True)
+            try:
+                os.rename(stage, corpus)
+            except OSError:  # lost the publish race — corpus already there
+                import shutil
+
+                shutil.rmtree(stage, ignore_errors=True)
         files = sorted(glob.glob(f"{corpus}/pages/*.parquet"))
         run_checkpointed(files, get_world(42).entity_table(), out, files_per_partition=1)
         rows = [
@@ -1018,6 +1038,19 @@ _IDHASH = "md5_number_upper(CAST(doc_id AS VARCHAR))"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # KG extraction goldens: REFERENCE output (unmodified kernel run
+        # under Node over the same seed-42 corpus the queries extract at
+        # the driver's sf0.01 correctness scale) served as parquet — an
+        # independent oracle for the flagship extraction surface; see
+        # tools/make_kg_oracle.py. Valid at sf0.01 (1500 docs).
+        "kg_articles": """
+            SELECT url, title, text_length, score
+            FROM read_parquet('/root/repo/tests/goldens/kg_articles_sf001.parquet')
+        """,
+        "kg_text_nodes": """
+            SELECT url, node_idx, node_text
+            FROM read_parquet('/root/repo/tests/goldens/kg_text_nodes_sf001.parquet')
+        """,
         "doc_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_IDHASH} % 5 < 1
@@ -1198,7 +1231,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_type, COUNT(*) AS occupied,
-                   round(-4096.0 * ln(1 - COUNT(*) / 4096.0), 6) AS est_distinct
+                   -- saturation clamp (z -> m-1) matches the engine's
+                   -- linear-counting practice; without it ln(0) errors
+                   round(-4096.0 * ln(1 - least(COUNT(*), 4095) / 4096.0), 6)
+                       AS est_distinct
             FROM s GROUP BY event_type
         """,
         "events_rollup": """
