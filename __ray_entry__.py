@@ -383,6 +383,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sum_name="sum_value_cents",
         )
 
+    def events_cube(sf_dir: str):
+        """CUBE(day, event_type): the ROLLUP sets plus per-type totals —
+        still one leaf shuffle; coarser sets re-aggregate the tiny leaf
+        (ops/rollup.py cube_count_sum)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents as as_cents
+        from kgrecrun.ops.rollup import cube_count_sum
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                    "event_type": b["event_type"],
+                    "cents": as_cents(b["value"]),
+                }
+            )
+
+        return cube_count_sum(
+            ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            "day",
+            "event_type",
+            value_col="cents",
+            count_name="n_events",
+            sum_name="sum_value_cents",
+        )
+
     def _events_as_custkey(sf_dir: str):
         import ray.data
 
@@ -468,6 +499,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         res = group_quantiles(
             ds, key="l_returnflag", value_cents=lambda b: as_cents(b["l_extendedprice"])
+        )
+        return res.map_batches(lambda b: _round6(b, ["qv"]), batch_format="pyarrow")
+
+    def lineitem_price_quantiles_approx(sf_dir: str):
+        """Quantized-histogram quantile sketch (±50 cents): the shuffle
+        is bounded by value_range/cell rows per group per block even for
+        near-unique domains; the estimate is deterministic and equals
+        quantile_cont over the bin midpoints — a sketch with an exact
+        SQL oracle (ops/stats.py approx_group_quantiles)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents as as_cents
+        from kgrecrun.ops.stats import approx_group_quantiles
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+        )
+        res = approx_group_quantiles(
+            ds, key="l_returnflag", cell=100,
+            value_cents=lambda b: as_cents(b["l_extendedprice"]),
         )
         return res.map_batches(lambda b: _round6(b, ["qv"]), batch_format="pyarrow")
 
@@ -792,9 +843,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": events_asof_orders,
         "events_hopping": events_hopping,
         "lineitem_price_quantiles": lineitem_price_quantiles,
+        "lineitem_price_quantiles_approx": lineitem_price_quantiles_approx,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
         "events_rollup": events_rollup,
+        "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,
         "events_in_sessions": events_in_sessions,
         # --- composed training-data funnel (SQL-checkable) ---
@@ -1246,6 +1299,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, event_type, COUNT(*) AS n_events,
                    CAST(SUM(cents) AS BIGINT) AS sum_value_cents
             FROM e GROUP BY ROLLUP(day, event_type)
+        """,
+        "events_cube": """
+            WITH e AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT day, event_type, COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+            FROM e GROUP BY CUBE(day, event_type)
+        """,
+        "lineitem_price_quantiles_approx": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       CAST((CAST(round(l_extendedprice * 100) AS BIGINT) // 100)
+                            * 100 + 50 AS DOUBLE) AS cents
+                FROM lineitem
+            )
+            SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,
+                   round(quantile_cont(cents, 0.25), 6) AS qv FROM c GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
+                   round(quantile_cont(cents, 0.5), 6) AS qv FROM c GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, CAST(0.75 AS DOUBLE) AS q,
+                   round(quantile_cont(cents, 0.75), 6) AS qv FROM c GROUP BY l_returnflag
         """,
         "customers_with_events": """
             SELECT * FROM customer c

@@ -87,7 +87,7 @@ def bench_main() -> None:
         "events_asof_orders", "events_hopping", "user_event_windows",
         "lineitem_price_quantiles", "doc_pii_scrub", "ann_ivf",
         "customers_without_events", "events_rollup", "events_user_distinct",
-        "events_in_sessions",
+        "events_in_sessions", "events_cube", "lineitem_price_quantiles_approx",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -15,7 +15,8 @@ import pyarrow.compute as pc
 
 
 def rollup_count_sum(ds, k1: str, k2: str, *, value_col: str,
-                     count_name: str = "n", sum_name: str = "total"):
+                     count_name: str = "n", sum_name: str = "total",
+                     _extra_sets: bool = False):
     """→ Dataset(k1, k2, count_name, sum_name) with the three ROLLUP
     levels: (k1,k2) leaves, (k1, NULL) subtotals, (NULL, NULL) grand
     total. ``value_col`` must already be an exact-summable int64."""
@@ -107,4 +108,33 @@ def rollup_count_sum(ds, k1: str, k2: str, *, value_col: str,
     leaves = leaf.map_batches(
         lambda b: as_out(b, null_k2=False, null_k1=False), batch_format="pyarrow"
     )
-    return leaves.union(sub).union(grand)
+    out = leaves.union(sub).union(grand)
+    if _extra_sets:
+        # CUBE's extra grouping set (NULL, k2): one more re-aggregation
+        # of the tiny leaf result, same epsilon cost as the subtotals
+        sub2 = (
+            leaf.groupby(k2)
+            .sum([count_name, sum_name])
+            .map_batches(
+                lambda b: as_out(
+                    b.rename_columns([k2, count_name, sum_name]).append_column(
+                        k1, pa.nulls(b.num_rows, pa.string())
+                    ),
+                    null_k2=False,
+                    null_k1=True,
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        out = out.union(sub2)
+    return out
+
+
+def cube_count_sum(ds, k1: str, k2: str, *, value_col: str,
+                   count_name: str = "n", sum_name: str = "total"):
+    """SQL ``GROUP BY CUBE(k1, k2)``: the ROLLUP levels plus the
+    (NULL, k2) grouping set — still ONE data shuffle (the leaf); every
+    coarser set re-aggregates the tiny leaf table."""
+    return rollup_count_sum(ds, k1, k2, value_col=value_col,
+                            count_name=count_name, sum_name=sum_name,
+                            _extra_sets=True)

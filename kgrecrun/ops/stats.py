@@ -195,3 +195,37 @@ def group_quantiles(
     return hist.groupby("__bucket").map_groups(
         quantiles_bucket, batch_format="pyarrow"
     )
+
+
+def approx_group_quantiles(
+    ds,
+    *,
+    key: str,
+    value_cents,
+    cell: int = 100,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    key_type: pa.DataType = pa.string(),
+    n_buckets: int = N_BUCKETS,
+):
+    """Bounded-exchange approximate quantiles: values quantize to a grid
+    of ``cell``-cent bins BEFORE the histogram partials, so the shuffle
+    carries at most ``value_range/cell`` rows per group per block no
+    matter how unique the raw domain is (the exact
+    :func:`group_quantiles` degrades to one row per raw value — correct
+    but unbounded for near-unique domains). Error ≤ cell/2 per
+    estimate; the estimate itself is DETERMINISTIC and SQL-mirrorable
+    exactly (it equals ``quantile_cont`` over the same bin midpoints:
+    ``(v // cell) * cell + cell/2``), so the sketch has a bit-exact
+    oracle like :func:`approx_distinct`."""
+
+    def quantized(batch: pa.Table) -> pa.Array:
+        v = value_cents(batch)
+        binned = pc.multiply(
+            pc.divide(pc.cast(v, pa.int64()), cell), cell
+        )
+        return pc.add(binned, cell // 2)
+
+    return group_quantiles(
+        ds, key=key, value_cents=quantized, qs=qs, key_type=key_type,
+        n_buckets=n_buckets,
+    )

@@ -895,3 +895,48 @@ def test_bucket_join_matches_duckdb():
             gv = gs[c].astype("float64").fillna(-1).tolist()
             wv = ws[c].astype("float64").fillna(-1).tolist()
             assert gv == wv, (jt, c)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_adds_k2_grouping_set():
+    """cube = rollup + (NULL, k2) marginals; totals consistent."""
+    import ray.data
+
+    from kgrecrun.ops.rollup import cube_count_sum, rollup_count_sum
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", "y", "y"], pa.string()),
+        "b": pa.array(["p", "q", "p", "p", "q"], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    cube = cube_count_sum(ds, "a", "b", value_col="v").to_pandas()
+    roll = rollup_count_sum(ds, "a", "b", value_col="v").to_pandas()
+    assert len(cube) == len(roll) + 2  # b in {p, q}
+    marg = cube[cube["a"].isna() & cube["b"].notna()].set_index("b")
+    assert marg.loc["p", "total"] == 1 + 3 + 4
+    assert marg.loc["q", "total"] == 2 + 5
+    grand = cube[cube["a"].isna() & cube["b"].isna()]
+    assert grand["total"].tolist() == [15]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_group_quantiles_error_bound():
+    """Quantized-histogram quantiles stay within cell/2 of exact."""
+    import ray.data
+
+    from kgrecrun.ops.stats import approx_group_quantiles, group_quantiles
+
+    rng = np.random.RandomState(11)
+    cents = rng.randint(100, 1_000_000, 20_000).astype(np.int64)
+    keys = np.take(np.array(["a", "b", "c"]), rng.randint(0, 3, 20_000))
+    t = pa.table({"k": pa.array(keys, pa.string()), "c": pa.array(cents, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    cell = 100
+    exact = group_quantiles(ds, key="k", value_cents=lambda b: b["c"]).to_pandas()
+    approx = approx_group_quantiles(
+        ds, key="k", cell=cell, value_cents=lambda b: b["c"]
+    ).to_pandas()
+    m = exact.merge(approx, on=["k", "q"], suffixes=("_e", "_a"))
+    assert len(m) == 9
+    assert (abs(m["qv_e"] - m["qv_a"]) <= cell / 2).all()

@@ -37,6 +37,10 @@ SUBSET = [
     "events_rollup",
     "events_user_distinct",
     "events_in_sessions",
+    # round-3 additions: CUBE grouping sets, quantized-quantile sketch
+    # (kg_articles/kg_text_nodes goldens are sf0.01-only → full sweep)
+    "events_cube",
+    "lineitem_price_quantiles_approx",
 ]
 
 
