@@ -56,6 +56,22 @@ def _synth_pages(sf_dir: str):
     return pages_dataset(_n_docs(sf_dir), seed=42)
 
 
+def _materialize_out_dir(sf_dir: str, seed: int = 42) -> str:
+    """kg_materialize scratch root, keyed by a corpus FINGERPRINT (doc
+    count, seed, generator source hash) rather than the sf name alone —
+    same corpus definition → same resumable tree; any change to the
+    generator or scale → a fresh tree, never mistaken-for-resumable
+    stale state."""
+    import hashlib
+    import pathlib
+
+    import kgrecrun.corpus.synthgen as synthgen_mod
+
+    gen_src = pathlib.Path(synthgen_mod.__file__).read_bytes()
+    fp = hashlib.md5(gen_src + f":{_n_docs(sf_dir)}:{seed}".encode()).hexdigest()[:12]
+    return f"/tmp/kgrecrun_materialize_{fp}"
+
+
 def _kg(sf_dir: str) -> dict:
     from kgrecrun.corpus.synthgen import get_world
     from kgrecrun.runtime.pipeline import kg_pipeline
@@ -210,11 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         invocation over the same sf_dir skips completed partitions —
         the north rule's resumability surface."""
         import glob
-        import hashlib
         import os
-        import pathlib
 
-        import kgrecrun.corpus.synthgen as synthgen_mod
         from kgrecrun.corpus.synthgen import get_world, write_corpus
         from kgrecrun.runtime.checkpoint import run_checkpointed
         from kgrecrun.runtime.manifest import load_manifests
@@ -226,9 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # write-then-atomic-rename so concurrent driver runs with the
         # same fingerprint can't observe a half-written input.
         n = _n_docs(sf_dir)
-        gen_src = pathlib.Path(synthgen_mod.__file__).read_bytes()
-        fp = hashlib.md5(gen_src + f":{n}:42".encode()).hexdigest()[:12]
-        out = f"/tmp/kgrecrun_materialize_{fp}"
+        out = _materialize_out_dir(sf_dir)
         corpus = f"{out}/_input"
         if not glob.glob(f"{corpus}/pages/*.parquet"):
             stage = f"{corpus}.stage.{os.getpid()}"

@@ -7,7 +7,8 @@ entity count):
 
     entities(entity_id, canonical)
       → flat_map: minhash signature → one row per LSH band key
-      → groupby(band_key).map_groups: verify pairs (jaccard ≥ τ) → edges
+      → groupby(hash(band_key) % n_buckets): bucketed segment sweep
+        verifies pairs (names_match) → edges
       → union-find (driver for the verified edges; see kg.unionfind for
         the fully-distributed label-propagation variant when even the
         edge list exceeds driver memory)
@@ -23,6 +24,7 @@ of O(n²). That is the salting analogue for blocking keys (SURVEY.md
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .minhash import MinHasher, jaccard, shingles
 from .unionfind import UnionFind
@@ -110,22 +112,62 @@ def _verify_block(block: pa.Table, window: int) -> pa.Table:
     return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
 
 
-def candidate_edges(entities_ds, *, num_perm: int = 64, bands: int = 32, window: int = 16):
+def candidate_edges(entities_ds, *, num_perm: int = 64, bands: int = 32, window: int = 16,
+                    n_buckets: int = 256):
     """entities Dataset → verified similarity edges Dataset (src < dst).
 
     bands=32 over 64 perms (r=2) keeps blocking recall ≥0.999 down to
     jaccard ≈ 0.5 — the hardest true duplicates ('X' vs 'X Incorporated')
     sit there. The permissive blocking is safe because verification
     (names_match) carries precision, and block cost is bounded by the
-    sort-window."""
+    sort-window.
+
+    Dispatch is BUCKETED (band keys hash into ``n_buckets`` groups; one
+    sort + segment sweep per group) — per-band ``map_groups`` would cost
+    one Python call per (entity, band) pair, ~entities×32 at catalog
+    scale. The pair set is identical: window over the (name, id)-sorted
+    order within each band segment."""
+    from .unionfind import hash_bucket
+
     banded = entities_ds.map_batches(
         BandEmitter(num_perm, bands), batch_format="pyarrow", batch_size=1024
     )
 
-    def verify(group: pa.Table) -> pa.Table:
-        return _verify_block(group, window)
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", hash_bucket(batch["band_key"].combine_chunks(), n_buckets)
+        )
 
-    return banded.groupby("band_key").map_groups(verify, batch_format="pyarrow")
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("band_key", "ascending"),
+                ("canonical", "ascending"),
+                ("entity_id", "ascending"),
+            ],
+        )
+        g = group.take(order)
+        bk = g["band_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g["entity_id"].to_pylist()
+        names = g["canonical"].to_pylist()
+        srcs, dsts = [], []
+        n = len(ids)
+        for pos in range(n):
+            for pos2 in range(pos + 1, min(pos + 1 + window, n)):
+                if bk[pos2] != bk[pos]:  # band-segment boundary
+                    break
+                if ids[pos] == ids[pos2]:
+                    continue
+                if names_match(names[pos], names[pos2]):
+                    a, b = sorted((ids[pos], ids[pos2]))
+                    srcs.append(a)
+                    dsts.append(b)
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string())})
+
+    return banded.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("__bucket").map_groups(verify_bucket, batch_format="pyarrow")
 
 
 def canonicalize(entities_ds, **kwargs) -> dict[str, str]:

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 N_BUCKETS = 256
 
-_JOIN_TYPES = ("inner", "left outer", "left semi", "left anti")
+_JOIN_TYPES = ("inner", "left outer", "full outer", "left semi", "left anti")
 
 
 def _arrow_schema(ds_schema) -> pa.Schema:
@@ -43,8 +43,9 @@ def bucket_join(
 ):
     """Join two Datasets on ``key`` via ONE bucketed cogroup shuffle.
 
-    ``join_type``: "inner" | "left outer" | "left semi" | "left anti"
-    (acero semantics; semi/anti output only left columns). Non-key
+    ``join_type``: "inner" | "left outer" | "full outer" | "left semi"
+    | "left anti" (acero semantics; semi/anti output only left columns,
+    full outer coalesces the key). Non-key
     column names must be disjoint across the two sides. The right key
     is cast to the left key's Arrow type. ``right_distinct`` applies a
     per-batch distinct to the right side before the shuffle — the right
@@ -116,11 +117,18 @@ def bucket_join(
             .rename_columns([key, *r_payload])
         )
         if lt.num_rows == 0:
+            if join_type == "full outer" and rt.num_rows:
+                padded = rt
+                for n in l_payload:
+                    padded = padded.append_column(
+                        n, pa.nulls(rt.num_rows, ls.field(n).type)
+                    )
+                return padded.select(out_schema.names).cast(out_schema)
             return out_schema.empty_table()
         if rt.num_rows == 0:
             if join_type == "left anti":
                 return lt.cast(pa.schema(out_fields[: 1 + len(l_payload)]))
-            if join_type == "left outer":
+            if join_type in ("left outer", "full outer"):
                 padded = lt
                 for n in r_payload:
                     padded = padded.append_column(

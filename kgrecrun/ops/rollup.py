@@ -14,8 +14,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# below this many leaf rows the coarser grouping sets are computed
+# driver-side from the (already materialized, bounded) leaf table —
+# each Ray groupby costs ~1-3 s of fixed sort overhead, pure waste on a
+# days x types result; above it the distributed re-aggregation runs
+ROLLUP_DRIVER_THRESHOLD = 100_000
+
+
 def rollup_count_sum(ds, k1: str, k2: str, *, value_col: str,
                      count_name: str = "n", sum_name: str = "total",
+                     driver_threshold: int = ROLLUP_DRIVER_THRESHOLD,
                      _extra_sets: bool = False):
     """→ Dataset(k1, k2, count_name, sum_name) with the three ROLLUP
     levels: (k1,k2) leaves, (k1, NULL) subtotals, (NULL, NULL) grand
@@ -51,6 +59,12 @@ def rollup_count_sum(ds, k1: str, k2: str, *, value_col: str,
         )
     )
     leaf = leaf.materialize()  # tiny (distinct key pairs); feeds 3 outputs
+
+    if leaf.count() <= driver_threshold:
+        return _coarse_levels_driver(
+            leaf, k1, k2, count_name=count_name, sum_name=sum_name,
+            schema=schema, extra_sets=_extra_sets,
+        )
 
     def as_out(batch: pa.Table, *, null_k2: bool, null_k1: bool) -> pa.Table:
         n = batch.num_rows
@@ -138,3 +152,43 @@ def cube_count_sum(ds, k1: str, k2: str, *, value_col: str,
     return rollup_count_sum(ds, k1, k2, value_col=value_col,
                             count_name=count_name, sum_name=sum_name,
                             _extra_sets=True)
+
+
+def _coarse_levels_driver(leaf, k1: str, k2: str, *, count_name: str,
+                          sum_name: str, schema: pa.Schema,
+                          extra_sets: bool):
+    """Coarser grouping sets computed in-process from the materialized
+    leaf (bounded by ``driver_threshold`` rows by the caller's check):
+    one vectorized Arrow group_by per set instead of one Ray groupby's
+    fixed sort cost per set. Output identical to the distributed path."""
+    import ray
+    import ray.data
+
+    tables = [t for t in ray.get(leaf.to_arrow_refs())
+              if count_name in t.column_names]
+    if not tables:
+        return leaf  # empty input -> empty result (SQL semantics)
+    t = pa.concat_tables([tb.combine_chunks() for tb in tables])
+
+    def agg(keys: list[str], null_cols: list[str]) -> pa.Table:
+        if keys:
+            g = t.group_by(keys).aggregate(
+                [(count_name, "sum"), (sum_name, "sum")]
+            ).rename_columns([*keys, count_name, sum_name])
+        else:
+            g = pa.table({
+                count_name: pa.array([pc.sum(t[count_name]).as_py() or 0], pa.int64()),
+                sum_name: pa.array([pc.sum(t[sum_name]).as_py() or 0], pa.int64()),
+            })
+        for c in null_cols:
+            g = g.append_column(c, pa.nulls(g.num_rows, pa.string()))
+        return g.select(schema.names).cast(schema)
+
+    parts = [
+        t.select(schema.names).cast(schema),     # leaves
+        agg([k1], [k2]),                         # (k1, NULL)
+        agg([], [k1, k2]),                       # grand total
+    ]
+    if extra_sets:
+        parts.append(agg([k2], [k1]))            # (NULL, k2) for CUBE
+    return ray.data.from_arrow(pa.concat_tables(parts))

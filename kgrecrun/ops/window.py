@@ -200,19 +200,39 @@ def user_event_windows(sf_dir: str, roll: int = 3, *, events_ds=None):
 
 def top_parts_per_brand(sf_dir: str, k: int = 3):
     """part → top-k per brand by retail price (window-rank): output
-    (p_brand, p_partkey, p_retailprice, rnk)."""
+    (p_brand, p_partkey, p_retailprice, rnk). Bucketed like every other
+    per-group operator: one sort of the bucket by (brand, -price,
+    partkey), then vectorized segment ranks — dispatch stays at
+    N_BUCKETS for any brand cardinality."""
     import ray.data
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_brand", "p_partkey", "p_retailprice"]
     )
 
-    def topk(group: pa.Table) -> pa.Table:
+    def topk_bucket(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(
             group,
-            sort_keys=[("p_retailprice", "descending"), ("p_partkey", "ascending")],
-        )[:k]
-        g = group.take(order)
-        return g.append_column("rnk", pa.array(range(1, g.num_rows + 1), pa.int64()))
+            sort_keys=[
+                ("p_brand", "ascending"),
+                ("p_retailprice", "descending"),
+                ("p_partkey", "ascending"),
+            ],
+        )
+        g = group.take(order).drop_columns(["__bucket"])
+        brand = g["p_brand"].combine_chunks()
+        n = g.num_rows
+        neq = pc.not_equal(brand.slice(1), brand.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_seg = np.concatenate(([True], neq.astype(bool)))
+        idx = np.arange(n)
+        rnk = idx - np.maximum.accumulate(np.where(new_seg, idx, 0)) + 1
+        keep = rnk <= k
+        return g.filter(pa.array(keep)).append_column(
+            "rnk", pa.array(rnk[keep], pa.int64())
+        )
 
-    return ds.groupby("p_brand").map_groups(topk, batch_format="pyarrow")
+    return _bucketed(ds, "p_brand").groupby("__bucket").map_groups(
+        topk_bucket, batch_format="pyarrow"
+    )

@@ -65,3 +65,23 @@ def test_config_change_invalidates(tmp_path):
     res = run_checkpointed(files, w.entity_table(), out, files_per_partition=2,
                            config={"pipeline": "kg_v2"})
     assert res["partitions_skipped"] == []  # config hash changed → re-run
+
+
+def test_materialize_out_dir_keyed_by_corpus_fingerprint():
+    """VERDICT r2 item 8: the kg_materialize scratch path is a function
+    of the corpus identity (doc count, seed, generator source), not the
+    sf name alone — different corpus definitions can never collide into
+    one resumable tree."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    a = E._materialize_out_dir("/root/testdata/sf0.001")
+    b = E._materialize_out_dir("/root/testdata/sf0.01")
+    c = E._materialize_out_dir("/some/other/prefix/sf0.001")
+    d = E._materialize_out_dir("/root/testdata/sf0.001", seed=7)
+    assert a != b            # different doc counts → different trees
+    assert a == c            # same corpus definition → same resumable tree
+    assert a != d            # different seed → different tree
+    assert a.startswith("/tmp/kgrecrun_materialize_")

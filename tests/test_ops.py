@@ -878,6 +878,8 @@ def test_bucket_join_matches_duckdb():
     sqls = {
         "inner": "SELECT l.k, lv, rv FROM l JOIN r ON l.k = r.k",
         "left outer": "SELECT l.k, lv, rv FROM l LEFT JOIN r ON l.k = r.k",
+        "full outer": ("SELECT COALESCE(l.k, r.k) AS k, lv, rv "
+                       "FROM l FULL JOIN r ON l.k = r.k"),
         "left semi": "SELECT k, lv FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
         "left anti": "SELECT k, lv FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
     }
