@@ -553,6 +553,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
         return hash_split(ds, splits={"train": 90, "val": 5, "test": 5})
 
+    def docs_lang_cap(sf_dir: str):
+        """Per-key quota sampling (the Common-Crawl per-domain cap):
+        keep <= 50 docs per lang in deterministic md5-hash order —
+        bucketed segment ranks, dispatch capped at n_buckets for any
+        key cardinality (ops/sample.py cap_per_key)."""
+        import ray.data
+
+        from kgrecrun.ops.sample import cap_per_key
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+        return cap_per_key(ds, key="lang", k=50)
+
+    def doc_decontaminate(sf_dir: str):
+        """Benchmark n-gram decontamination: flag docs sharing any word
+        8-gram with the (deterministic doc_id %% 97 == 0) benchmark
+        subset — broadcast the benchmark's distinct shingle hashes, count
+        overlap map-side (ops/decontam.py; exploded-cogroup path above
+        the broadcast bound)."""
+        import ray.data
+
+        from kgrecrun.ops.decontam import ngram_decontaminate
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+        def bench_filter(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 97 == 0))
+
+        bench = docs.map_batches(bench_filter, batch_format="pyarrow", zero_copy_batch=True)
+        return ngram_decontaminate(docs, bench, n=8)
+
     def token_packing(sf_dir: str):
         """Token-budgeted shard assignment via distributed prefix sum
         (coarse-range totals + broadcast offsets; text never shuffles)."""
@@ -830,6 +861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sampling / splits / packing / index build (SQL-checkable) ---
         "doc_sample": doc_sample,
         "doc_splits": doc_splits,
+        "docs_lang_cap": docs_lang_cap,
+        "doc_decontaminate": doc_decontaminate,
         "token_packing": token_packing,
         "term_stats": term_stats_q,
         "term_postings": term_postings,
@@ -1125,6 +1158,40 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {_IDHASH} % 100 < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "docs_lang_cap": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY {_IDHASH}, doc_id) AS rn
+                FROM documents) WHERE rn <= 50
+        """,
+        "doc_decontaminate": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(t) = 0 THEN []
+                                WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+                                ELSE [array_to_string(t[i:i+7], ' ')
+                                      for i in range(1, len(t) - 6)]
+                           END) AS s
+                FROM toks
+            ), hv AS (
+                SELECT doc_id, md5_number_upper(unnest(s)) AS h FROM sh
+            ), bench AS (
+                SELECT DISTINCT h FROM hv WHERE doc_id % 97 = 0
+            ), cnt AS (
+                SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS nc
+                FROM hv d JOIN bench USING (h) GROUP BY d.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(nc, 0) AS BIGINT) AS n_contaminated,
+                   CAST(CASE WHEN COALESCE(nc, 0) = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS clean
+            FROM toks t LEFT JOIN cnt USING (doc_id)
         """,
         "token_packing": f"""
             WITH t AS (

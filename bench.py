@@ -88,6 +88,7 @@ def bench_main() -> None:
         "lineitem_price_quantiles", "doc_pii_scrub", "ann_ivf",
         "customers_without_events", "events_rollup", "events_user_distinct",
         "events_in_sessions", "events_cube", "lineitem_price_quantiles_approx",
+        "docs_lang_cap", "doc_decontaminate",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

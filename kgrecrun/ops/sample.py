@@ -19,6 +19,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _hash64(ids) -> np.ndarray:
@@ -42,6 +43,58 @@ def hash_sample(ds, *, numer: int = 1, denom: int = 10, id_col: str = "doc_id"):
         return batch.filter(pa.array(h % denom < numer))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cap_per_key(ds, *, key: str, k: int, id_col: str = "doc_id",
+                n_buckets: int = 256):
+    """Per-key quota sampling: keep at most ``k`` rows per ``key``,
+    chosen deterministically by md5-hash order (the Common-Crawl
+    per-domain cap — no domain may dominate the training mix; the hash
+    order makes the kept subset stable across runs/resharding AND
+    unbiased w.r.t. any natural ordering of the data).
+
+    Bucketed like every per-group operator: ONE shuffle of (key, id,
+    hash) rows into ``n_buckets`` hash groups, one sort by (key, hash,
+    id) per group, vectorized segment ranks — dispatch capped at
+    n_buckets for any key cardinality (per-domain map_groups would be
+    one Python call per domain, ~10^8 at web scale).
+
+    Returns the capped (id_col, key) rows. SQL-mirrorable exactly:
+    ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY
+    md5_number_upper(CAST(id AS VARCHAR)), id) <= k``.
+    """
+    from ..kg.unionfind import hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        # top-bit flip maps uint64 order onto int64 order, so the arrow
+        # int64 sort below ranks exactly like SQL's unsigned HUGEINT
+        h = (_hash64(ids.to_pylist()) ^ np.uint64(1 << 63)).astype(np.int64)
+        return pa.table({
+            "__bucket": hash_bucket(batch[key].combine_chunks(), n_buckets),
+            key: batch[key],
+            id_col: ids,
+            "__h": pa.array(h, pa.int64()),
+        })
+
+    def cap_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(key, "ascending"), ("__h", "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(order)
+        ka = g[key].combine_chunks()
+        n = g.num_rows
+        neq = pc.not_equal(ka.slice(1), ka.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_seg = np.concatenate(([True], neq.astype(bool)))
+        idx = np.arange(n)
+        rnk = idx - np.maximum.accumulate(np.where(new_seg, idx, 0)) + 1
+        return g.filter(pa.array(rnk <= k)).select([id_col, key])
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("__bucket").map_groups(cap_bucket, batch_format="pyarrow")
 
 
 def hash_split(ds, *, splits: dict[str, int] | None = None, id_col: str = "doc_id"):

@@ -942,3 +942,61 @@ def test_approx_group_quantiles_error_bound():
     m = exact.merge(approx, on=["k", "q"], suffixes=("_e", "_a"))
     assert len(m) == 9
     assert (abs(m["qv_e"] - m["qv_a"]) <= cell / 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_paths_agree_and_detect_planted_overlap():
+    """Broadcast and exploded-cogroup decontamination must agree; a doc
+    sharing an 8-gram with the benchmark is flagged with the right
+    distinct-overlap count."""
+    import ray.data
+
+    from kgrecrun.ops.decontam import ngram_decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs_table(
+        [
+            bench_text,                                  # the benchmark doc itself
+            "prefix words " + bench_text + " suffix words",  # contains all bench 8-grams
+            "totally unrelated text with many distinct words here now",
+            "short",
+        ],
+        ids=[0, 1, 2, 3],
+    )
+    bench = _docs_table([bench_text], ids=[100])
+    dd = ray.data.from_arrow(docs).repartition(2)
+    bd = ray.data.from_arrow(bench)
+    bc = ngram_decontaminate(dd, bd, n=8).to_pandas().set_index("doc_id").sort_index()
+    ex = ngram_decontaminate(dd, bd, n=8, broadcast_threshold=0) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert bc["n_contaminated"].tolist() == ex["n_contaminated"].tolist()
+    assert bc["clean"].tolist() == ex["clean"].tolist()
+    # bench doc has 3 8-grams (10 words), all shared; doc 1 contains them all
+    assert bc.loc[0, "n_contaminated"] == 3
+    assert bc.loc[1, "n_contaminated"] == 3
+    assert bc.loc[2, "n_contaminated"] == 0 and bc.loc[2, "clean"] == 1
+    assert bc.loc[3, "n_contaminated"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cap_per_key_quota_and_determinism():
+    """cap_per_key keeps exactly min(k, group size) rows per key and the
+    SAME rows regardless of input partitioning."""
+    import ray.data
+
+    from kgrecrun.ops.sample import cap_per_key
+
+    rng = np.random.RandomState(3)
+    keys = np.take(np.array(["a", "b", "c", "d"]), rng.randint(0, 4, 500))
+    t = pa.table({
+        "doc_id": pa.array(np.arange(500), pa.int64()),
+        "lang": pa.array(keys, pa.string()),
+    })
+    got1 = cap_per_key(ray.data.from_arrow(t).repartition(2),
+                       key="lang", k=10).to_pandas()
+    got2 = cap_per_key(ray.data.from_arrow(t).repartition(7),
+                       key="lang", k=10).to_pandas()
+    assert got1.groupby("lang").size().max() == 10
+    s1 = set(map(tuple, got1.itertuples(index=False)))
+    s2 = set(map(tuple, got2.itertuples(index=False)))
+    assert s1 == s2 and len(s1) == 40
