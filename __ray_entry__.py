@@ -840,6 +840,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def graph_degrees(sf_dir: str):
+        """Out-degree histogram of the supplier-part bipartite graph
+        (distinct lineitem edges, map-side np.unique combiner): the
+        adjacency-table profile a KG consumer runs first."""
+        from kgrecrun.ops.graph import degree_histogram, supplier_part_edges
+
+        return degree_histogram(supplier_part_edges(sf_dir))
+
+    def graph_pagerank(sf_dir: str):
+        """Integer fixed-point PageRank (3 Pregel-style rounds, scaled
+        int64 floor arithmetic) over the supplier-part graph — bit-exact
+        vs the chained-CTE SQL oracle; float PageRank would be
+        summation-order-dependent (ops/graph.py docstring)."""
+        from kgrecrun.ops.graph import pagerank_fixedpoint, supplier_part_edges
+
+        return pagerank_fixedpoint(
+            supplier_part_edges(sf_dir), iters=3, symmetric=True,
+            # the node set is parts+suppliers — catalog-order, not
+            # corpus-order — so the rank vector broadcasts (raises if
+            # the bound is ever exceeded; exchange path for unbounded)
+            broadcast_ranks=50_000_000,
+        )
+
+    def graph_components_q(sf_dir: str):
+        """Connected components of the sparse (l_quantity<=2) subgraph
+        via the distributed min-label propagation + pointer doubling
+        (kg/unionfind.py) — the standalone, oracle-visible exercise of
+        the clustering machinery the dedup family uses."""
+        from kgrecrun.ops.graph import graph_components, supplier_part_edges
+
+        return graph_components(supplier_part_edges(sf_dir, max_quantity=2))
+
+    def term_heavy_hitters(sf_dir: str):
+        """Terms with frequency > n/100 via the two-pass
+        candidate/verify heavy-hitter scheme — no vocabulary-order
+        shuffle, exact output (ops/heavy.py)."""
+        import ray.data
+
+        from kgrecrun.ops.heavy import heavy_hitters
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        return heavy_hitters(ds, k=100)
+
+    def events_value_ntile(sf_dir: str):
+        """Per-user NTILE(4) of event value — rank-based all-integer
+        window, bucketed segment sweep (ops/window.py)."""
+        from kgrecrun.ops.window import user_value_ntile
+
+        return user_value_ntile(sf_dir, tiles=4)
+
+    def events_tumbling(sf_dir: str):
+        """Tumbling 1-hour windows per event_type = hopping windows
+        with hop == width (each event lands in exactly one window)."""
+        import ray.data
+
+        from kgrecrun.ops.temporal import hopping_window_agg
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        return hopping_window_agg(
+            ds, width_us=3600 * 1_000_000, hop_us=3600 * 1_000_000
+        )
+
     return {
         # --- KG flagship (rows-only; gated by pytest P/R + byte parity) ---
         "kg_articles": kg_articles,
@@ -898,6 +962,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix": training_mix_q,
         # --- skew-aware shuffle (SQL-checkable) ---
         "events_by_user_salted": events_by_user_salted,
+        # --- graph analytics over the materialized adjacency (SQL-checkable) ---
+        "graph_degrees": graph_degrees,
+        "graph_pagerank": graph_pagerank,
+        "graph_components": graph_components_q,
+        # --- sketch + window additions (SQL-checkable) ---
+        "term_heavy_hitters": term_heavy_hitters,
+        "events_value_ntile": events_value_ntile,
+        "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_customers": R.top_customers,
@@ -977,6 +1049,51 @@ def _cc_sql(pairs_cte: str, base_table: str, id_expr: str, out_id: str) -> str:
         )
         SELECT a AS {out_id}, MIN(b) AS root_id FROM reach GROUP BY a
     """
+
+
+# distinct symmetric supplier-part edges, node encoding 2p / 2s+1 —
+# mirrors kgrecrun/ops/graph.supplier_part_edges
+_GRAPH_EDGES_SQL = """edges AS (
+            SELECT CAST(l_partkey AS BIGINT) * 2 AS src,
+                   CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+            FROM lineitem
+            UNION
+            SELECT CAST(l_suppkey AS BIGINT) * 2 + 1,
+                   CAST(l_partkey AS BIGINT) * 2
+            FROM lineitem
+        )"""
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 10**12, d_num: int = 85,
+                  d_den: int = 100) -> str:
+    """Chained-CTE mirror of ops/graph.pagerank_fixedpoint: one CTE per
+    Pregel round, all-integer floor arithmetic (``//``; every operand
+    is nonnegative so trunc == floor in both engines), SUM folds exact
+    in int64/int128 — bit-equal ranks."""
+    parts = [
+        _GRAPH_EDGES_SQL,
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
+        f"params AS (SELECT CAST({scale} AS BIGINT) // COUNT(*) AS r0 "
+        "FROM nodes)",
+        "r0 AS (SELECT node, (SELECT r0 FROM params) AS rank FROM nodes)",
+    ]
+    base = f"(({d_den - d_num} * (SELECT r0 FROM params)) // {d_den})"
+    for i in range(iters):
+        parts.append(f"""r{i + 1} AS (
+            SELECT n.node,
+                   CAST({base} + ({d_num} * COALESCE(s.s, 0)) // {d_den}
+                        AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(r.rank // o.od) AS s
+                FROM edges e
+                JOIN r{i} r ON e.src = r.node
+                JOIN outdeg o ON e.src = o.src
+                GROUP BY e.dst
+            ) s ON n.node = s.node
+        )""")
+    return ("WITH " + ",\n        ".join(parts)
+            + f"\n        SELECT node, rank AS rank_fp FROM r{iters}")
 
 
 def _ngram_jaccard_sql(k: int = 4, threshold: float = 0.7) -> str:
@@ -1298,6 +1415,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, ts, event_id, o_orderdate, o_orderkey
             FROM j WHERE rn = 1
+        """,
+        "graph_degrees": f"""
+            WITH {_GRAPH_EDGES_SQL},
+            deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+            SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_nodes
+            FROM deg GROUP BY degree
+        """,
+        "graph_pagerank": _pagerank_sql(iters=3),
+        "graph_components": _cc_sql(
+            """pairs AS (
+                SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+                       CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+                FROM lineitem WHERE l_quantity <= 2
+            )""",
+            "(SELECT u AS id FROM pairs UNION SELECT v AS id FROM pairs) gn",
+            "id",
+            "node",
+        ),
+        "term_heavy_hitters": f"""
+            WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+            tot AS (SELECT COUNT(*) AS n FROM toks),
+            c AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term)
+            SELECT term, cnt FROM c, tot WHERE cnt * 100 > n
+        """,
+        "events_value_ntile": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(ntile(4) OVER (PARTITION BY user_id
+                                       ORDER BY cents, event_id)
+                        AS BIGINT) AS tile
+            FROM e
+        """,
+        "events_tumbling": """
+            SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events
+            GROUP BY window_start_us, event_type
         """,
         "events_hopping": """
             WITH e AS (

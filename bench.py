@@ -89,6 +89,8 @@ def bench_main() -> None:
         "customers_without_events", "events_rollup", "events_user_distinct",
         "events_in_sessions", "events_cube", "lineitem_price_quantiles_approx",
         "docs_lang_cap", "doc_decontaminate",
+        "graph_degrees", "graph_pagerank", "term_heavy_hitters",
+        "events_value_ntile", "events_tumbling",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -1,0 +1,415 @@
+"""Graph analytics over relational edge lists — the query-side
+companions to the KG "graph materialize" stage (SURVEY.md §2.4): once
+triples/adjacency land in partitioned Parquet, these are the standard
+follow-on computations (degree profiles, importance ranking, component
+labeling) a KG consumer runs.
+
+Edges are a ``(src, dst)`` int64 Dataset. The demo graph is the
+supplier–part bipartite graph from ``lineitem`` (node encoding
+``part → 2·p_partkey``, ``supplier → 2·s_suppkey + 1`` keeps the two
+key spaces disjoint in one int64 column), but every operator takes any
+edge Dataset.
+
+Scale notes:
+- ``distinct`` edges: per-batch ``np.unique`` combiner first, so the
+  global distinct shuffle carries at most one copy of each edge per
+  block — the hot-edge analogue of the term_stats combiner.
+- ``pagerank_fixedpoint`` is **integer fixed-point** PageRank: ranks
+  are int64 scaled by 1e12 and every step is floor arithmetic
+  (``rank // outdeg``, ``(d_num · Σ) // d_den``). Float PageRank sums
+  are summation-order-dependent and therefore NOT reproducible across
+  engines (or even across reduce trees); the fixed-point variant is
+  bit-exact vs a chained-CTE DuckDB oracle AND run-to-run — the same
+  determinism-over-ulps trade the repo's cents arithmetic makes.
+  Per iteration: one bucket_join (ranks → edges on src), one
+  ``groupby(dst).sum`` fold, one left-outer bucket_join back onto the
+  node set — 3 key-partitioned exchanges of (edge | node)-order rows,
+  the canonical Pregel-style round. Rank/node tables are materialized
+  per round (node-set-bounded, object-store-resident). On a cluster,
+  pre-partitioning edges by src (see asof_join_prepartitioned) removes
+  the per-round edge exchange entirely; iteration count is the knob —
+  this is a ranking signal, not a convergence study, so small fixed
+  ``iters`` is the intended use.
+- dangling nodes (out-degree 0) contribute no mass (their share is
+  dropped, the common simplification); with symmetric edge lists every
+  node has out-edges so the case never arises there.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .cogroup import bucket_join
+
+PR_SCALE = 10**12
+
+
+def _i64(name: str) -> pa.Field:
+    return pa.field(name, pa.int64())
+
+
+EDGE_SCHEMA = pa.schema([_i64("src"), _i64("dst")])
+
+
+def supplier_part_edges(sf_dir: str, *, max_quantity: int | None = None):
+    """Distinct symmetric supplier–part edges from lineitem.
+
+    ``max_quantity`` keeps only lineitems with ``l_quantity <=
+    max_quantity`` — a sparser subgraph that splits into multiple
+    components (used by :func:`graph_components`); ``None`` keeps all.
+    """
+    import ray.data
+
+    cols = ["l_partkey", "l_suppkey"] + (
+        ["l_quantity"] if max_quantity is not None else []
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        t = batch
+        if max_quantity is not None:
+            t = t.filter(pc.less_equal(t["l_quantity"], max_quantity))
+        p = pc.cast(t["l_partkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        s = pc.cast(t["l_suppkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        a = p * 2
+        b = s * 2 + 1
+        # both directions; per-batch distinct (combiner for the global
+        # distinct shuffle). Edges travel as ONE packed int64 — the
+        # global distinct then groups by a 256-value hash bucket and
+        # np.uniques inside, instead of a full high-cardinality
+        # (src,dst) sort (measured 13.2 s → bucketed sweep ~2 s at 1.2M
+        # edges: Ray's sort cost is driven by key cardinality/width)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        k = np.unique((src << np.int64(32)) | dst)
+        return pa.table({"k": pa.array(k, pa.int64())})
+
+    from ..kg.unionfind import hash_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", hash_bucket(batch["k"].combine_chunks(), 256)
+        )
+
+    def distinct_bucket(group: pa.Table) -> pa.Table:
+        k = np.unique(
+            group["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return pa.table({
+            "src": pa.array(k >> np.int64(32), pa.int64()),
+            "dst": pa.array(k & np.int64(0xFFFFFFFF), pa.int64()),
+        })
+
+    dedup = (
+        ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(distinct_bucket, batch_format="pyarrow")
+    )
+    # coalesce the per-group output blocks; every downstream sort pays
+    # per-block cost (memory note: 64 near-empty blocks ≈ 2× the sort
+    # cost of 8 full)
+    return dedup.repartition(16)
+
+
+def degree_histogram(edges_ds):
+    """→ Dataset (degree, n_nodes): how many nodes have each
+    out-degree. Two grouped folds, both with Ray's built-in partial
+    aggregation; rows after the first fold = node count, after the
+    second = distinct-degree count."""
+    def partial(b: pa.Table) -> pa.Table:
+        # map-side combiner: the shuffle carries ≤ |nodes in block|
+        # (src, partial-count) rows instead of one row per edge
+        return (
+            b.select(["src"]).group_by("src").aggregate([([], "count_all")])
+            .rename_columns(["src", "d"])
+        )
+
+    deg = (
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("src")
+        .sum("d")
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"degree": pc.cast(b.column(1), pa.int64())})
+
+    hist = (
+        deg.map_batches(rename, batch_format="pyarrow")
+        .groupby("degree")
+        .count()
+    )
+    return hist.map_batches(
+        lambda b: pa.table({
+            "degree": pc.cast(b["degree"], pa.int64()),
+            "n_nodes": pc.cast(b.column(1), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_fixedpoint(
+    edges_ds,
+    *,
+    iters: int = 3,
+    scale: int = PR_SCALE,
+    d_num: int = 85,
+    d_den: int = 100,
+    symmetric: bool = False,
+    broadcast_ranks: int | None = None,
+):
+    """Deterministic integer fixed-point PageRank (see module
+    docstring). → Dataset (node, rank_fp:int64).
+
+    r₀(v) = scale // N;  base = ((d_den−d_num)·(scale//N)) // d_den
+    rₜ₊₁(v) = base + (d_num · Σ_{u→v} (rₜ(u) // outdeg(u))) // d_den
+
+    ``symmetric=True`` asserts the edge list contains (v,u) for every
+    (u,v): then every node has in-edges, the per-round grouped sum
+    already covers the full node set, and the left-outer fold back onto
+    ``nodes`` (one bucket-cogroup exchange per round) is skipped —
+    identical output, 2 exchanges per round instead of 3.
+
+    ``broadcast_ranks=N`` (requires ``symmetric``) asserts the node set
+    is ≤ N (catalog-order, e.g. a parts+suppliers graph — NOT
+    corpus-order): the rank table is then ``ray.put`` once per round
+    and joined map-side, so a round costs ONE exchange of per-block
+    (node, partial-sum) combiner rows instead of re-shuffling the edge
+    list — the broadcast_lookup trade (ops/joins.py) applied to the
+    Pregel loop. Raises if the node count exceeds the bound. Identical
+    output to the exchange paths (tests/test_graph.py).
+    """
+    edges = edges_ds.materialize()
+
+    od = edges.groupby("src").count()
+    outdeg = od.map_batches(
+        lambda b: pa.table({
+            "src": pc.cast(b["src"], pa.int64()),
+            "od": pc.cast(b.column(1), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    ewd = bucket_join(
+        edges, outdeg, key="src",
+        left_schema=EDGE_SCHEMA,
+        right_schema=pa.schema([_i64("src"), _i64("od")]),
+    ).repartition(16).materialize()
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            b["src"].combine_chunks().to_numpy(zero_copy_only=False),
+            b["dst"].combine_chunks().to_numpy(zero_copy_only=False),
+        ])
+        return pa.table({"node": pa.array(np.unique(both), pa.int64())})
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(lambda b: b.select(["node"]), batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank_fp": pa.array([], pa.int64())})
+        )
+    r_init = scale // n_nodes
+    base = ((d_den - d_num) * r_init) // d_den
+    node_schema = pa.schema([_i64("node")])
+    rank_schema = pa.schema([_i64("node"), _i64("rank_fp")])
+
+    if broadcast_ranks is not None:
+        if not symmetric:
+            raise ValueError("broadcast_ranks requires symmetric=True")
+        if n_nodes > broadcast_ranks:
+            raise ValueError(
+                f"node set ({n_nodes}) exceeds the caller's broadcast "
+                f"bound ({broadcast_ranks}) — use the exchange path"
+            )
+        return _pagerank_broadcast(
+            ewd, nodes, n_nodes, iters=iters, r_init=r_init, base=base,
+            d_num=d_num, d_den=d_den,
+        )
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank_fp", pa.nulls(b.num_rows, pa.int64()).fill_null(r_init)
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    # node-order tables stay at a fixed small block count between
+    # rounds (same reasoning as unionfind's n_label_blocks)
+    n_rank_blocks = 8
+
+    for _ in range(iters):
+        # attach each sender's current rank to its outgoing edges
+        sends = bucket_join(
+            ewd,
+            ranks.map_batches(
+                lambda b: b.rename_columns(["src", "rank_fp"]),
+                batch_format="pyarrow",
+            ),
+            key="src",
+            left_schema=pa.schema([_i64("src"), _i64("dst"), _i64("od")]),
+            right_schema=pa.schema([_i64("src"), _i64("rank_fp")]),
+        )
+
+        def contrib(b: pa.Table) -> pa.Table:
+            r = b["rank_fp"].combine_chunks().to_numpy(zero_copy_only=False)
+            o = b["od"].combine_chunks().to_numpy(zero_copy_only=False)
+            t = pa.table({
+                "node": b["dst"],
+                "c": pa.array(r // o, pa.int64()),
+            })
+            # map-side combiner: the global fold shuffles ≤ |nodes in
+            # block| partials instead of one row per edge
+            return (
+                t.group_by("node").aggregate([("c", "sum")])
+                .rename_columns(["node", "c"])
+            )
+
+        sums = (
+            sends.map_batches(contrib, batch_format="pyarrow")
+            .groupby("node")
+            .sum("c")
+        )
+        if symmetric:
+            def apply_direct(b: pa.Table) -> pa.Table:
+                s = pc.cast(b.column(1), pa.int64()).combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                return pa.table({
+                    "node": pc.cast(b["node"], pa.int64()),
+                    "rank_fp": pa.array(
+                        base + (d_num * s) // d_den, pa.int64()
+                    ),
+                })
+
+            ranks = sums.map_batches(
+                apply_direct, batch_format="pyarrow"
+            ).repartition(n_rank_blocks).materialize()
+            continue
+        folded = bucket_join(
+            nodes,
+            sums.map_batches(
+                lambda b: pa.table({
+                    "node": pc.cast(b["node"], pa.int64()),
+                    "s": pc.cast(b.column(1), pa.int64()),
+                }),
+                batch_format="pyarrow",
+            ),
+            key="node",
+            join_type="left outer",
+            left_schema=node_schema,
+            right_schema=pa.schema([_i64("node"), _i64("s")]),
+        )
+
+        def apply(b: pa.Table) -> pa.Table:
+            s = b["s"].combine_chunks().fill_null(0).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table({
+                "node": b["node"],
+                "rank_fp": pa.array(base + (d_num * s) // d_den, pa.int64()),
+            })
+
+        ranks = (
+            folded.map_batches(apply, batch_format="pyarrow")
+            .repartition(n_rank_blocks)
+            .materialize()
+        )
+
+    return ranks
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+
+
+def _pagerank_broadcast(ewd, nodes, n_nodes, *, iters, r_init, base,
+                        d_num, d_den):
+    """Broadcast-ranks Pregel rounds (see pagerank_fixedpoint): the
+    rank vector lives as one ray.put object per round, edges never
+    re-shuffle, and the only exchange is the grouped fold of per-block
+    combiner partials."""
+    import ray
+    import ray.data
+
+    node_np = np.sort(
+        _collect(nodes)["node"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+    )
+    rank_np = np.full(n_nodes, r_init, dtype=np.int64)
+
+    for _ in range(iters):
+        ref = ray.put((node_np, rank_np))
+
+        def contrib_bc(b: pa.Table) -> pa.Table:
+            nv, rv = ray.get(ref)
+            s = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            o = b["od"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = rv[np.searchsorted(nv, s)] // o
+            t = pa.table({
+                "node": pa.array(d, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            })
+            return (
+                t.group_by("node").aggregate([("c", "sum")])
+                .rename_columns(["node", "c"])
+            )
+
+        # stream the per-block combiner partials straight into the rank
+        # vector — no per-round Ray groupby; driver holds one block of
+        # (node, partial) rows at a time, bounded by the broadcast
+        # contract
+        s_vec = np.zeros(n_nodes, dtype=np.int64)
+        for b in ewd.map_batches(
+            contrib_bc, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            idx = np.searchsorted(
+                node_np,
+                b["node"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+            # integer scatter-add (np.bincount's float64 weights would
+            # break bit-exactness above 2^53)
+            np.add.at(
+                s_vec, idx,
+                b["c"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        rank_np = base + (d_num * s_vec) // d_den
+
+    return ray.data.from_arrow(
+        pa.table({
+            "node": pa.array(node_np, pa.int64()),
+            "rank_fp": pa.array(rank_np, pa.int64()),
+        })
+    )
+
+
+def graph_components(edges_ds):
+    """Component labeling of an edge Dataset via the distributed
+    min-label propagation (kg/unionfind.py) → (node, root_id), root =
+    smallest member — the same labeling the recursive-CTE SQL oracle
+    computes."""
+    from ..kg.unionfind import connected_components_distributed
+
+    labels = connected_components_distributed(edges_ds)
+    return labels.map_batches(
+        lambda b: b.rename_columns(["node", "root_id"]),
+        batch_format="pyarrow",
+    )

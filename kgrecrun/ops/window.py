@@ -198,6 +198,66 @@ def user_event_windows(sf_dir: str, roll: int = 3, *, events_ds=None):
     )
 
 
+def user_value_ntile(sf_dir: str, tiles: int = 4, *, events_ds=None):
+    """Per-user NTILE(tiles) of event value: rank-based, all-integer →
+    bit-exact vs the SQL window oracle. Ordering within a user is
+    (value_cents, event_id) — total, so tile assignment is
+    deterministic. Output: (event_id, user_id, tile).
+
+    Same bucketed segment-sweep dispatch as every window op here: one
+    lexsort per hash bucket, tile formula vectorized over all users in
+    the bucket (first ``n % tiles`` tiles get ``n // tiles + 1`` rows —
+    DuckDB/ANSI NTILE semantics)."""
+    import ray.data
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def tile_bucket(group: pa.Table) -> pa.Table:
+        from .relational import cents as to_cents
+
+        g = group.append_column("__cents", to_cents(group["value"]))
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("__cents", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        idx = np.arange(n)
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        # per-row segment length: scatter seg ends back over the segment
+        starts = np.flatnonzero(new_user)
+        ends = np.append(starts[1:], n)
+        seg_len = np.repeat(ends - starts, ends - starts)
+        p = idx - seg_start  # 0-based position within the user
+        q, r = seg_len // tiles, seg_len % tiles
+        big_span = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+        in_big = p < big_span
+        tile = np.where(
+            in_big,
+            p // (q + 1) + 1,
+            # q can be 0 only when every row is in_big; guard the divide
+            r + (p - big_span) // np.maximum(q, 1) + 1,
+        )
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "tile": pa.array(tile.astype(np.int64), pa.int64()),
+        })
+
+    return _bucketed(ds, "user_id").groupby("__bucket").map_groups(
+        tile_bucket, batch_format="pyarrow"
+    )
+
+
 def top_parts_per_brand(sf_dir: str, k: int = 3):
     """part → top-k per brand by retail price (window-rank): output
     (p_brand, p_partkey, p_retailprice, rnk). Bucketed like every other

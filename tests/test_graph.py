@@ -1,0 +1,205 @@
+"""Graph-analytics + heavy-hitter operator tests: synthetic-graph
+reference checks (pure-Python mirrors of the integer recurrences) and
+shard-invariance. Oracle parity for the corpus-scale variants runs in
+test_oracles.py / tools/check_oracles.py."""
+
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _edges_ds(ray, pairs):
+    """Symmetric edge Dataset from undirected (u, v) pairs."""
+    src, dst = [], []
+    for u, v in pairs:
+        src += [u, v]
+        dst += [v, u]
+    return ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    )
+
+
+def _pagerank_ref(pairs, iters, scale=10**12, d_num=85, d_den=100):
+    """Driver-side mirror of the fixed-point recurrence."""
+    adj: dict[int, list[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    nodes = sorted(adj)
+    r = {n: scale // len(nodes) for n in nodes}
+    base = ((d_den - d_num) * (scale // len(nodes))) // d_den
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for u, nbrs in adj.items():
+            c = r[u] // len(nbrs)
+            for v in nbrs:
+                s[v] += c
+        r = {n: base + (d_num * s[n]) // d_den for n in nodes}
+    return r
+
+
+PAIRS = [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (6, 7)]
+
+
+def test_pagerank_matches_reference_recurrence(ray_session):
+    from kgrecrun.ops.graph import pagerank_fixedpoint
+
+    ds = _edges_ds(ray_session, PAIRS)
+    got = {
+        row["node"]: row["rank_fp"]
+        for row in pagerank_fixedpoint(ds, iters=4).take_all()
+    }
+    assert got == _pagerank_ref(PAIRS, iters=4)
+
+
+def test_pagerank_symmetric_shortcut_identical(ray_session):
+    from kgrecrun.ops.graph import pagerank_fixedpoint
+
+    generic = pagerank_fixedpoint(
+        _edges_ds(ray_session, PAIRS), iters=3
+    ).take_all()
+    shortcut = pagerank_fixedpoint(
+        _edges_ds(ray_session, PAIRS), iters=3, symmetric=True
+    ).take_all()
+    key = lambda r: r["node"]  # noqa: E731
+    assert sorted(generic, key=key) == sorted(shortcut, key=key)
+
+
+def test_pagerank_broadcast_path_identical(ray_session):
+    from kgrecrun.ops.graph import pagerank_fixedpoint
+
+    exchange = pagerank_fixedpoint(
+        _edges_ds(ray_session, PAIRS), iters=3
+    ).take_all()
+    broadcast = pagerank_fixedpoint(
+        _edges_ds(ray_session, PAIRS), iters=3, symmetric=True,
+        broadcast_ranks=1000,
+    ).take_all()
+    key = lambda r: r["node"]  # noqa: E731
+    assert sorted(exchange, key=key) == sorted(broadcast, key=key)
+
+
+def test_pagerank_broadcast_bound_enforced(ray_session):
+    from kgrecrun.ops.graph import pagerank_fixedpoint
+
+    with pytest.raises(ValueError, match="broadcast bound"):
+        pagerank_fixedpoint(
+            _edges_ds(ray_session, PAIRS), iters=1, symmetric=True,
+            broadcast_ranks=3,
+        )
+
+
+def test_graph_components_vs_unionfind(ray_session):
+    from kgrecrun.kg.unionfind import UnionFind
+    from kgrecrun.ops.graph import graph_components
+
+    uf = UnionFind()
+    for u, v in PAIRS:
+        uf.union(u, v)
+    want = uf.components()
+    got = {
+        row["node"]: row["root_id"]
+        for row in graph_components(_edges_ds(ray_session, PAIRS)).take_all()
+    }
+    assert got == want
+
+
+def test_supplier_part_edges_distinct_symmetric(ray_session):
+    from kgrecrun.ops.graph import supplier_part_edges
+
+    rows = supplier_part_edges(SF_DIR).take_all()
+    edges = [(r["src"], r["dst"]) for r in rows]
+    assert len(edges) == len(set(edges)), "edges must be distinct"
+    es = set(edges)
+    assert all((d, s) in es for s, d in es), "edge list must be symmetric"
+    # bipartite encoding: parts even, suppliers odd, never same parity
+    assert all((s % 2) != (d % 2) for s, d in es)
+
+
+def test_degree_histogram_counts(ray_session):
+    from kgrecrun.ops.graph import degree_histogram
+
+    # node 4 has degree 3; nodes 1,2,3 degree 2; nodes 5,6,7 degree 1
+    hist = {
+        r["degree"]: r["n_nodes"]
+        for r in degree_histogram(_edges_ds(ray_session, PAIRS)).take_all()
+    }
+    assert hist == {1: 3, 2: 3, 3: 1}
+
+
+def test_heavy_hitters_exact_and_shard_invariant(ray_session):
+    from collections import Counter
+
+    from kgrecrun.ops.heavy import heavy_hitters
+    from kgrecrun.textnorm import ascii_words
+
+    docs = (
+        ["aa bb aa cc"] * 5
+        + ["bb dd ee ff gg hh ii jj kk ll"] * 2
+        + ["mm nn oo pp qq rr ss tt uu vv ww xx yy zz ab cd ef gh ij kl"]
+    )
+    cnt = Counter()
+    for t in docs:
+        cnt.update(ascii_words(t.lower()))
+    n = sum(cnt.values())
+    k = 10
+    want = {w: c for w, c in cnt.items() if c * k > n}
+    tbl = pa.table({"text": pa.array(docs, pa.string())})
+    for shards in (1, 4):
+        ds = ray_session.data.from_arrow(tbl).repartition(shards)
+        got = {
+            r["term"]: r["cnt"]
+            for r in heavy_hitters(ds, k=k).take_all()
+        }
+        assert got == want, f"shards={shards}"
+
+
+def test_heavy_hitters_candidate_bound(ray_session):
+    """The candidate scan never emits more than k terms per block."""
+    from kgrecrun.ops.heavy import heavy_hitters
+
+    # uniform distribution: nothing is globally heavy
+    docs = [f"w{i} w{i + 1} w{i + 2}" for i in range(0, 300, 3)]
+    ds = ray_session.data.from_arrow(
+        pa.table({"text": pa.array(docs, pa.string())})
+    ).repartition(4)
+    assert heavy_hitters(ds, k=5).take_all() == []
+
+
+def test_user_value_ntile_matches_duckdb(ray_session):
+    import duckdb
+
+    from kgrecrun.ops.window import user_value_ntile
+
+    got = sorted(
+        (r["event_id"], r["user_id"], r["tile"])
+        for r in user_value_ntile(SF_DIR, tiles=4).take_all()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"""
+        SELECT event_id, user_id,
+               CAST(ntile(4) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(round(value*100) AS BIGINT),
+                                            event_id) AS BIGINT)
+        FROM read_parquet('{SF_DIR}/events.parquet')
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_pagerank_empty_edges(ray_session):
+    from kgrecrun.ops.graph import pagerank_fixedpoint
+
+    empty = ray_session.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    )
+    assert pagerank_fixedpoint(empty, iters=2).take_all() == []

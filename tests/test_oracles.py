@@ -41,6 +41,14 @@ SUBSET = [
     # (kg_articles/kg_text_nodes goldens are sf0.01-only → full sweep)
     "events_cube",
     "lineitem_price_quantiles_approx",
+    # round-3 additions: graph family + heavy hitters + ntile/tumbling
+    # (graph_pagerank / graph_components are shuffle-heavy at any sf —
+    # unit-tested against reference recurrences in test_graph.py and
+    # swept at sf0.01 by tools/check_oracles.py)
+    "graph_degrees",
+    "term_heavy_hitters",
+    "events_value_ntile",
+    "events_tumbling",
 ]
 
 
