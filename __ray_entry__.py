@@ -883,6 +883,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
         return heavy_hitters(ds, k=100)
 
+    def bm25_topk_q(sf_dir: str):
+        """Fixed-point BM25 top-20 for a 5-term query: rational
+        idf/saturation in scaled-int64 floor arithmetic — bit-equal vs
+        SQL (float BM25's ln differs by 1 ulp across libms; see
+        ops/rank.py). Corpus text never shuffles: broadcast terms,
+        combiner df rows, local-topk → tiny reduce."""
+        import ray.data
+
+        from kgrecrun.ops.rank import bm25_topk
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return bm25_topk(ds, _BM25_TERMS, k=20)
+
     def events_value_ntile(sf_dir: str):
         """Per-user NTILE(4) of event value — rank-based all-integer
         window, bucketed segment sweep (ops/window.py)."""
@@ -968,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": graph_components_q,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
+        "bm25_topk": bm25_topk_q,
         "events_value_ntile": events_value_ntile,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
@@ -1062,6 +1078,41 @@ _GRAPH_EDGES_SQL = """edges AS (
                    CAST(l_partkey AS BIGINT) * 2
             FROM lineitem
         )"""
+
+
+_BM25_TERMS = ["query", "merge", "vector", "hash", "stream"]
+
+
+def _bm25_sql(terms: list[str], k: int = 20, scale: int = 10**6) -> str:
+    """SQL mirror of ops/rank.bm25_topk's fixed-point arithmetic (all
+    integer ``//`` on nonnegative operands — trunc == floor in both
+    engines; SUM folds exact)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN ({in_list}) GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+            WHERE term IN ({in_list}) GROUP BY term
+        ),
+        sc AS (
+            SELECT t.doc_id,
+                   SUM(((((2 * (SELECT n FROM nn) - 2 * d.df + 1) * {scale})
+                          // (2 * d.df + 1))
+                        * ((11 * t.tf * {scale}) // (5 * t.tf + 6)))
+                       // {scale}) AS score_fp
+            FROM tf t JOIN df d USING (term)
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, CAST(score_fp AS BIGINT) AS score_fp FROM sc
+        ORDER BY score_fp DESC, doc_id LIMIT {k}
+    """
 
 
 def _pagerank_sql(iters: int = 3, scale: int = 10**12, d_num: int = 85,
@@ -1439,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term)
             SELECT term, cnt FROM c, tot WHERE cnt * 100 > n
         """,
+        "bm25_topk": _bm25_sql(_BM25_TERMS),
         "events_value_ntile": """
             WITH e AS (
                 SELECT event_id, user_id,

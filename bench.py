@@ -90,7 +90,7 @@ def bench_main() -> None:
         "events_in_sessions", "events_cube", "lineitem_price_quantiles_approx",
         "docs_lang_cap", "doc_decontaminate",
         "graph_degrees", "graph_pagerank", "term_heavy_hitters",
-        "events_value_ntile", "events_tumbling",
+        "bm25_topk", "events_value_ntile", "events_tumbling",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

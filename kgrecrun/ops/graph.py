@@ -186,61 +186,113 @@ def pagerank_fixedpoint(
     output to the exchange paths (tests/test_graph.py).
     """
     edges = edges_ds.materialize()
+    from ..kg.unionfind import hash_bucket
 
-    od = edges.groupby("src").count()
-    outdeg = od.map_batches(
-        lambda b: pa.table({
-            "src": pc.cast(b["src"], pa.int64()),
-            "od": pc.cast(b.column(1), pa.int64()),
-        }),
-        batch_format="pyarrow",
+    # outdeg: map-side combiner partials, folded per hash BUCKET (a
+    # 256-value int32 sort) instead of per src — Ray's sort-groupby at
+    # node-order key cardinality cost 12.5 s vs ~2 s bucketed at 2M
+    # edges / 200k nodes (tools/graph_stress.py calibration)
+    def od_partial(b: pa.Table) -> pa.Table:
+        t = (
+            b.select(["src"]).group_by("src").aggregate([([], "count_all")])
+            .rename_columns(["src", "odp"])
+        )
+        return t.append_column(
+            "__bucket", hash_bucket(t["src"].combine_chunks(), 256)
+        )
+
+    def od_fold(group: pa.Table) -> pa.Table:
+        agg = (
+            group.select(["src", "odp"]).group_by("src")
+            .aggregate([("odp", "sum")])
+        )
+        return pa.table({
+            "src": pc.cast(agg["src"], pa.int64()),
+            "od": pc.cast(agg["odp_sum"], pa.int64()),
+        })
+
+    outdeg = (
+        edges.map_batches(od_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(od_fold, batch_format="pyarrow")
     )
-    ewd = bucket_join(
-        edges, outdeg, key="src",
-        left_schema=EDGE_SCHEMA,
-        right_schema=pa.schema([_i64("src"), _i64("od")]),
-    ).repartition(16).materialize()
 
-    def node_rows(b: pa.Table) -> pa.Table:
-        both = np.concatenate([
-            b["src"].combine_chunks().to_numpy(zero_copy_only=False),
-            b["dst"].combine_chunks().to_numpy(zero_copy_only=False),
-        ])
-        return pa.table({"node": pa.array(np.unique(both), pa.int64())})
-
-    nodes = (
-        edges.map_batches(node_rows, batch_format="pyarrow")
-        .groupby("node")
-        .count()
-        .map_batches(lambda b: b.select(["node"]), batch_format="pyarrow")
-        .repartition(8)
-        .materialize()
-    )
-    n_nodes = nodes.count()
-    if n_nodes == 0:
+    def _empty():
         import ray.data
 
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
                       "rank_fp": pa.array([], pa.int64())})
         )
-    r_init = scale // n_nodes
-    base = ((d_den - d_num) * r_init) // d_den
-    node_schema = pa.schema([_i64("node")])
-    rank_schema = pa.schema([_i64("node"), _i64("rank_fp")])
 
     if broadcast_ranks is not None:
         if not symmetric:
             raise ValueError("broadcast_ranks requires symmetric=True")
+        # in a symmetric graph the src set IS the node set, so the
+        # collected outdeg table doubles as both (bounded by the
+        # caller's contract) — no nodes dataset, no edge join at all
+        od_tbl = _collect(outdeg)
+        n_nodes = od_tbl.num_rows
+        if n_nodes == 0:
+            return _empty()
         if n_nodes > broadcast_ranks:
             raise ValueError(
                 f"node set ({n_nodes}) exceeds the caller's broadcast "
                 f"bound ({broadcast_ranks}) — use the exchange path"
             )
+        order = np.argsort(
+            od_tbl["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        node_np = od_tbl["src"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )[order]
+        od_np = od_tbl["od"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )[order]
+        r_init = scale // n_nodes
+        base = ((d_den - d_num) * r_init) // d_den
         return _pagerank_broadcast(
-            ewd, nodes, n_nodes, iters=iters, r_init=r_init, base=base,
+            edges, node_np, od_np, iters=iters, r_init=r_init, base=base,
             d_num=d_num, d_den=d_den,
         )
+
+    ewd = bucket_join(
+        edges, outdeg, key="src",
+        left_schema=EDGE_SCHEMA,
+        right_schema=pa.schema([_i64("src"), _i64("od")]),
+    ).repartition(16).materialize()
+
+    # node set via the same bucketed-distinct pattern
+    def node_partial(b: pa.Table) -> pa.Table:
+        both = np.unique(np.concatenate([
+            b["src"].combine_chunks().to_numpy(zero_copy_only=False),
+            b["dst"].combine_chunks().to_numpy(zero_copy_only=False),
+        ]))
+        t = pa.table({"node": pa.array(both, pa.int64())})
+        return t.append_column(
+            "__bucket", hash_bucket(t["node"].combine_chunks(), 256)
+        )
+
+    def node_fold(group: pa.Table) -> pa.Table:
+        u = np.unique(
+            group["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    nodes = (
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(node_fold, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return _empty()
+    r_init = scale // n_nodes
+    base = ((d_den - d_num) * r_init) // d_den
+    node_schema = pa.schema([_i64("node")])
+    rank_schema = pa.schema([_i64("node"), _i64("rank_fp")])
 
     ranks = nodes.map_batches(
         lambda b: b.append_column(
@@ -274,15 +326,32 @@ def pagerank_fixedpoint(
             })
             # map-side combiner: the global fold shuffles ≤ |nodes in
             # block| partials instead of one row per edge
-            return (
+            t = (
                 t.group_by("node").aggregate([("c", "sum")])
                 .rename_columns(["node", "c"])
             )
+            from ..kg.unionfind import hash_bucket
 
+            return t.append_column(
+                "__bucket", hash_bucket(t["node"].combine_chunks(), 256)
+            )
+
+        def sum_fold(group: pa.Table) -> pa.Table:
+            agg = (
+                group.select(["node", "c"]).group_by("node")
+                .aggregate([("c", "sum")])
+            )
+            return pa.table({
+                "node": pc.cast(agg["node"], pa.int64()),
+                "c": pc.cast(agg["c_sum"], pa.int64()),
+            })
+
+        # bucketed fold (256-value int32 sort) — a groupby(node) here
+        # re-pays the node-order sort cardinality every round
         sums = (
             sends.map_batches(contrib, batch_format="pyarrow")
-            .groupby("node")
-            .sum("c")
+            .groupby("__bucket")
+            .map_groups(sum_fold, batch_format="pyarrow")
         )
         if symmetric:
             def apply_direct(b: pa.Table) -> pa.Table:
@@ -339,31 +408,29 @@ def _collect(ds) -> pa.Table:
     )
 
 
-def _pagerank_broadcast(ewd, nodes, n_nodes, *, iters, r_init, base,
+def _pagerank_broadcast(edges, node_np, od_np, *, iters, r_init, base,
                         d_num, d_den):
     """Broadcast-ranks Pregel rounds (see pagerank_fixedpoint): the
-    rank vector lives as one ray.put object per round, edges never
-    re-shuffle, and the only exchange is the grouped fold of per-block
-    combiner partials."""
+    (sorted node, outdeg, rank) vectors live as one ray.put object per
+    round and are looked up map-side, so edges NEVER shuffle — not even
+    once for the outdeg attach — and the only cross-task traffic is the
+    per-block (node, partial-sum) combiner rows streamed back into the
+    rank vector."""
     import ray
     import ray.data
 
-    node_np = np.sort(
-        _collect(nodes)["node"].combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-    )
+    n_nodes = len(node_np)
     rank_np = np.full(n_nodes, r_init, dtype=np.int64)
 
     for _ in range(iters):
-        ref = ray.put((node_np, rank_np))
+        ref = ray.put((node_np, od_np, rank_np))
 
         def contrib_bc(b: pa.Table) -> pa.Table:
-            nv, rv = ray.get(ref)
+            nv, ov, rv = ray.get(ref)
             s = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
-            o = b["od"].combine_chunks().to_numpy(zero_copy_only=False)
             d = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-            c = rv[np.searchsorted(nv, s)] // o
+            i = np.searchsorted(nv, s)
+            c = rv[i] // ov[i]
             t = pa.table({
                 "node": pa.array(d, pa.int64()),
                 "c": pa.array(c, pa.int64()),
@@ -378,8 +445,8 @@ def _pagerank_broadcast(ewd, nodes, n_nodes, *, iters, r_init, base,
         # (node, partial) rows at a time, bounded by the broadcast
         # contract
         s_vec = np.zeros(n_nodes, dtype=np.int64)
-        for b in ewd.map_batches(
-            contrib_bc, batch_format="pyarrow"
+        for b in edges.map_batches(
+            contrib_bc, batch_format="pyarrow", zero_copy_batch=True
         ).iter_batches(batch_format="pyarrow", batch_size=None):
             idx = np.searchsorted(
                 node_np,

@@ -195,6 +195,44 @@ def test_user_value_ntile_matches_duckdb(ray_session):
     assert got == want
 
 
+def test_bm25_topk_shard_invariant_and_tiebreak(ray_session):
+    from kgrecrun.ops.rank import SCALE, bm25_topk
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array([
+            "alpha alpha beta",   # 0: tf(alpha)=2
+            "alpha beta",         # 1: tie with 2 -> doc_id order
+            "alpha beta",         # 2
+            "beta beta beta",     # 3
+            "gamma gamma",        # 4: no query term
+            "alpha",              # 5
+            "", "delta",          # 6,7: no terms
+        ], pa.string()),
+    })
+    # reference: idf/sat recurrence on paper
+    n = 8
+    df = {"alpha": 4, "beta": 4}
+    idf = {t: ((2 * n - 2 * d + 1) * SCALE) // (2 * d + 1)
+           for t, d in df.items()}
+    sat = lambda f: (11 * f * SCALE) // (5 * f + 6)  # noqa: E731
+    score = {
+        0: (idf["alpha"] * sat(2)) // SCALE + (idf["beta"] * sat(1)) // SCALE,
+        1: (idf["alpha"] * sat(1)) // SCALE + (idf["beta"] * sat(1)) // SCALE,
+        2: (idf["alpha"] * sat(1)) // SCALE + (idf["beta"] * sat(1)) // SCALE,
+        3: (idf["beta"] * sat(3)) // SCALE,
+        5: (idf["alpha"] * sat(1)) // SCALE,
+    }
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    for shards in (1, 4):
+        ds = ray_session.data.from_arrow(docs).repartition(shards)
+        got = [
+            (r["doc_id"], r["score_fp"])
+            for r in bm25_topk(ds, ["alpha", "beta"], k=3).take_all()
+        ]
+        assert got == want, f"shards={shards}"
+
+
 def test_pagerank_empty_edges(ray_session):
     from kgrecrun.ops.graph import pagerank_fixedpoint
 

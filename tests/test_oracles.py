@@ -47,6 +47,7 @@ SUBSET = [
     # swept at sf0.01 by tools/check_oracles.py)
     "graph_degrees",
     "term_heavy_hitters",
+    "bm25_topk",
     "events_value_ntile",
     "events_tumbling",
 ]

@@ -1,0 +1,122 @@
+"""Scale stress for the graph family: synthesize a deterministic random
+symmetric graph (N directed edge rows over K nodes, seeded per block),
+run `pagerank_fixedpoint` through BOTH the exchange path (unbounded node
+sets: 2 bucket-cogroup exchanges per Pregel round) and the
+broadcast-ranks path (catalog-bounded node sets: ranks ray.put once per
+round, one combiner-partial fold), and report wall time + rank-vector
+checksums — the two paths must be BIT-IDENTICAL.
+
+Two-parallelism protocol: run once at 8 and once at 32 cpus in fresh
+processes and compare edge throughput (BENCH/BASELINE.md).
+
+Usage: python tools/graph_stress.py [n_edge_rows] [n_nodes] [num_cpus]
+       [--skip-exchange]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, "/root/repo")
+
+
+def synth_edges(n_rows: int, n_nodes: int, num_blocks: int = 128):
+    """Deterministic symmetric multigraph: block index seeds the RNG;
+    both directions of each sampled pair are emitted."""
+    import ray.data
+
+    per = n_rows // (2 * num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        out = []
+        for b in batch["id"].to_pylist():
+            rng = np.random.RandomState(zlib.crc32(f"g-{b}".encode()) % (2**31))
+            u = rng.randint(0, n_nodes, per).astype(np.int64)
+            v = rng.randint(0, n_nodes, per).astype(np.int64)
+            keep = u != v
+            u, v = u[keep], v[keep]
+            out.append(pa.table({
+                "src": pa.array(np.concatenate([u, v]), pa.int64()),
+                "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    return ray.data.range(num_blocks, override_num_blocks=num_blocks).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
+def _checksum(ranks) -> tuple[int, int, int]:
+    """(n, Σ rank, Σ rank·splitmix(node) mod 2^64) — order- and
+    partition-invariant (everything is elementwise mod-2^64 wraparound
+    plus an associative sum), collision-resistant enough to certify
+    bit-identity."""
+    n = 0
+    s = 0
+    mix = 0
+    M = 1 << 64
+    for b in ranks.iter_batches(batch_format="pyarrow", batch_size=None):
+        node = b["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        r = b["rank_fp"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = node.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = x ^ (x >> np.uint64(31))
+        n += len(r)
+        s += int(r.sum())
+        mix = (mix + int((r.astype(np.uint64) * x).sum())) % M
+    return n, s, mix
+
+
+def main() -> None:
+    import ray
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_rows = int(args[0]) if args else 10_000_000
+    n_nodes = int(args[1]) if len(args) > 1 else 1_000_000
+    num_cpus = int(args[2]) if len(args) > 2 else 32
+    skip_exchange = "--skip-exchange" in sys.argv
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False)
+    from kgrecrun.ops.graph import pagerank_fixedpoint
+
+    edges = synth_edges(n_rows, n_nodes).materialize()
+    n_edges = edges.count()
+    rec: dict = {"n_edge_rows": n_edges, "n_nodes": n_nodes,
+                 "num_cpus": num_cpus, "iters": 3}
+
+    t0 = time.time()
+    bc = pagerank_fixedpoint(edges, iters=3, symmetric=True,
+                             broadcast_ranks=n_nodes + 1)
+    cs_bc = _checksum(bc)
+    rec["broadcast_sec"] = round(time.time() - t0, 2)
+    rec["broadcast_edges_per_sec"] = round(
+        3 * n_edges / rec["broadcast_sec"], 0
+    )
+    rec["checksum_broadcast"] = cs_bc
+
+    if not skip_exchange:
+        t0 = time.time()
+        ex = pagerank_fixedpoint(edges, iters=3, symmetric=True)
+        cs_ex = _checksum(ex)
+        rec["exchange_sec"] = round(time.time() - t0, 2)
+        rec["exchange_edges_per_sec"] = round(
+            3 * n_edges / rec["exchange_sec"], 0
+        )
+        rec["checksum_exchange"] = cs_ex
+        rec["paths_identical"] = cs_ex == cs_bc
+        assert rec["paths_identical"], "broadcast != exchange ranks"
+
+    print(json.dumps(rec))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
