@@ -533,6 +533,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return res.map_batches(lambda b: _round6(b, ["qv"]), batch_format="pyarrow")
 
+    def lineitem_qty_price_corr(sf_dir: str):
+        """Per-returnflag Pearson correlation + OLS slope of quantity
+        vs price (price quantized to hundreds of dollars so the exact
+        int64 sufficient statistics stay below 2^63 through sf1). The
+        shuffle carries only (key, n, Σx, Σy, Σxy, Σx², Σy²) partials —
+        ≤ |keys-in-block| rows/block — and the final doubles follow an
+        identical IEEE-754 sequence on both engines (ops/stats.py
+        group_corr)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from kgrecrun.ops.stats import group_corr
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        return group_corr(
+            ds, key="l_returnflag", x_col="l_quantity", y_col="l_extendedprice",
+            x_fn=lambda b: pc.cast(b["l_quantity"], pa.int64()),
+            y_fn=lambda b: pc.cast(
+                pc.round(pc.divide(b["l_extendedprice"], 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
+        )
+
     def doc_sample(sf_dir: str):
         """Deterministic md5-hash 1/5 sample — stable across runs,
         resumes and re-sharding (no RNG; SQL-mirrorable)."""
@@ -967,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": events_hopping,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "lineitem_price_quantiles_approx": lineitem_price_quantiles_approx,
+        "lineitem_qty_price_corr": lineitem_qty_price_corr,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
         "events_rollup": events_rollup,
@@ -1616,6 +1644,30 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_returnflag, CAST(0.75 AS DOUBLE) AS q,
                    round(quantile_cont(cents, 0.75), 6) AS qv FROM c GROUP BY l_returnflag
+        """,
+        "lineitem_qty_price_corr": """
+            WITH s AS (
+                SELECT l_returnflag AS k,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_extendedprice / 100.0) AS BIGINT) AS y
+                FROM lineitem
+            ), a AS (
+                SELECT k, COUNT(*) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                       SUM(x*x) AS sxx, SUM(y*y) AS syy
+                FROM s GROUP BY k
+            )
+            SELECT k AS l_returnflag, n,
+                   CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                        THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+                                   / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                          * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                   END AS corr6,
+                   CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                        THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+                                   / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+                   END AS slope6
+            FROM a
         """,
         "customers_with_events": """
             SELECT * FROM customer c

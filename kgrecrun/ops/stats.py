@@ -229,3 +229,93 @@ def approx_group_quantiles(
         ds, key=key, value_cents=quantized, qs=qs, key_type=key_type,
         n_buckets=n_buckets,
     )
+
+
+def group_corr(ds, *, key: str, x_col: str, y_col: str,
+               x_fn=None, y_fn=None):
+    """Per-group Pearson correlation + OLS slope from integer
+    sufficient statistics: each block contributes exact int64 partials
+    (n, Σx, Σy, Σxy, Σx², Σy²) per key — a ≤|keys-in-block|-row
+    shuffle — and the final r/slope are computed from the exact sums
+    through an IDENTICAL IEEE-754 double sequence on the engine and SQL
+    sides, then rounded to 6 dp:
+
+        cxy = n·Σxy − Σx·Σy ;  cxx = n·Σx² − (Σx)² ;  cyy likewise
+        r = cxy / sqrt(double(cxx) · double(cyy)) ;  slope = cxy / cxx
+
+    Every int is exact, int→double casts and *,/,sqrt are correctly
+    rounded, so both engines produce the same double bit pattern.
+    Magnitude contract (docstring bound, like asof_join's int64
+    contract): n·max|x|² must stay below 2^63 per group — pass integer-
+    valued or coarsely-quantized columns (``x_fn``/``y_fn`` map the raw
+    arrow column to int64; default is a plain int64 cast). For wider
+    domains, accumulate two-limb or pre-aggregate per partition.
+
+    Output: (key, n, corr6, slope6); groups with zero variance in x or
+    y emit null corr6/slope6 (matches the SQL NULLIF guard).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = (x_fn(batch) if x_fn is not None
+             else pc.cast(batch[x_col], pa.int64()))
+        y = (y_fn(batch) if y_fn is not None
+             else pc.cast(batch[y_col], pa.int64()))
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        if isinstance(y, pa.ChunkedArray):
+            y = y.combine_chunks()
+        xn = x.to_numpy(zero_copy_only=False)
+        yn = y.to_numpy(zero_copy_only=False)
+        t = pa.table({
+            key: batch[key],
+            "n_p": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+            "sx": pa.array(xn, pa.int64()),
+            "sy": pa.array(yn, pa.int64()),
+            "sxy": pa.array(xn * yn, pa.int64()),
+            "sxx": pa.array(xn * xn, pa.int64()),
+            "syy": pa.array(yn * yn, pa.int64()),
+        })
+        return (
+            t.group_by(key)
+            .aggregate([("n_p", "sum"), ("sx", "sum"), ("sy", "sum"),
+                        ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")])
+            .rename_columns([key, "n_p", "sx", "sy", "sxy", "sxx", "syy"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .sum(["n_p", "sx", "sy", "sxy", "sxx", "syy"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.rename_columns(
+            [key, "n", "sx", "sy", "sxy", "sxx", "syy"]
+        )
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        syy = b["syy"].to_numpy(zero_copy_only=False)
+        cxy = (n * sxy - sx * sy).astype(np.float64)
+        cxx = (n * sxx - sx * sx).astype(np.float64)
+        cyy = (n * syy - sy * sy).astype(np.float64)
+        ok = (cxx > 0) & (cyy > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = cxy / np.sqrt(cxx * cyy)
+            slope = cxy / cxx
+        # 6-dp half-away rounding == DuckDB round() (np.round is
+        # banker's — a parity hazard at exact .5 boundaries)
+        corr6 = pc.round(pa.array(r, pa.float64(), mask=~ok),
+                         ndigits=6, round_mode="half_towards_infinity")
+        slope6 = pc.round(pa.array(slope, pa.float64(), mask=~ok),
+                          ndigits=6, round_mode="half_towards_infinity")
+        return pa.table({
+            key: b[key],
+            "n": b["n"],
+            "corr6": corr6,
+            "slope6": slope6,
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1000,3 +1000,44 @@ def test_cap_per_key_quota_and_determinism():
     s1 = set(map(tuple, got1.itertuples(index=False)))
     s2 = set(map(tuple, got2.itertuples(index=False)))
     assert s1 == s2 and len(s1) == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_corr_matches_numpy_and_shard_invariant():
+    """group_corr's exact-integer sufficient statistics reproduce
+    numpy's float corrcoef/OLS to 6 dp, are partitioning-invariant,
+    and zero-variance groups yield null corr/slope."""
+    import ray.data
+
+    from kgrecrun.ops.stats import group_corr
+
+    rng = np.random.RandomState(7)
+    keys = np.take(np.array(["a", "b", "c"]), rng.randint(0, 3, 4000))
+    x = rng.randint(1, 50, 4000)
+    y = (3 * x + rng.randint(-40, 40, 4000)).astype(np.int64)
+    # group "z": constant y → zero variance → null outputs
+    keys = np.concatenate([keys, np.array(["z"] * 10)])
+    x = np.concatenate([x, np.arange(10)])
+    y = np.concatenate([y, np.full(10, 5)])
+    t = pa.table({
+        "g": pa.array(keys), "x": pa.array(x, pa.int64()),
+        "y": pa.array(y, pa.int64()),
+    })
+    outs = []
+    for parts in (3, 11):
+        df = (
+            group_corr(ray.data.from_arrow(t).repartition(parts),
+                       key="g", x_col="x", y_col="y")
+            .to_pandas().set_index("g").sort_index()
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])  # shard-invariant, bit-equal
+    df = outs[0]
+    for g in "abc":
+        m = keys == g
+        assert df.loc[g, "n"] == m.sum()
+        assert abs(df.loc[g, "corr6"] - np.corrcoef(x[m], y[m])[0, 1]) < 1e-6
+        slope = np.polyfit(x[m].astype(float), y[m].astype(float), 1)[0]
+        assert abs(df.loc[g, "slope6"] - slope) < 1e-5
+    assert df.loc["z", "n"] == 10
+    assert np.isnan(df.loc["z", "corr6"]) and np.isnan(df.loc["z", "slope6"])
