@@ -899,6 +899,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return graph_components(supplier_part_edges(sf_dir, max_quantity=2))
 
+    def part_copurchase_triangles(sf_dir: str):
+        """Per-part triangle counts of the co-purchase graph (parts
+        sharing an order) — degree-oriented wedge counting: orientation
+        from the (deg, id)-smaller endpoint bounds every out-degree at
+        O(√m), so wedge volume is O(m^1.5) instead of Σdeg² (hot parts
+        become wedge middles, never sources). All stages bucketed
+        cogroups / native sums; exact (ops/graph.py triangle_counts)."""
+        from kgrecrun.ops.graph import copurchase_edges, triangle_counts
+
+        return triangle_counts(copurchase_edges(sf_dir))
+
     def term_heavy_hitters(sf_dir: str):
         """Terms with frequency > n/100 via the two-pass
         candidate/verify heavy-hitter scheme — no vocabulary-order
@@ -1009,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degrees": graph_degrees,
         "graph_pagerank": graph_pagerank,
         "graph_components": graph_components_q,
+        "part_copurchase_triangles": part_copurchase_triangles,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
@@ -1018,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_customers": R.top_customers,
         "events_daily": R.events_daily,
+        "daily_activity_outer": R.daily_activity_outer,
         "part_topk": R.part_topk,
         "supplier_region": R.supplier_region,
         "segment_revenue": R.segment_revenue,
@@ -1512,6 +1525,25 @@ def oracle_sql() -> dict[str, str]:
             "id",
             "node",
         ),
+        "part_copurchase_triangles": """
+            WITH pp AS (
+                SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT a.p AS u, b.p AS v
+                FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+            ), tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            )
+            SELECT part, COUNT(*) AS n_triangles FROM (
+                SELECT a AS part FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY part
+        """,
         "term_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
             tot AS (SELECT COUNT(*) AS n FROM toks),
@@ -1748,6 +1780,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "daily_activity_outer": """
+            WITH e AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+                FROM events GROUP BY 1
+            ), o AS (
+                SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT COALESCE(e.day, o.day) AS day, e.n_events, o.n_orders
+            FROM e FULL JOIN o ON e.day = o.day
         """,
         "part_topk": """
             SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_size > 25

@@ -480,3 +480,322 @@ def graph_components(edges_ds):
         lambda b: b.rename_columns(["node", "root_id"]),
         batch_format="pyarrow",
     )
+
+
+def _pairs_within_segments(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered index pairs (i < j) inside contiguous segments, fully
+    vectorized. ``w`` is each element's 0-based within-segment position;
+    returns (i, j) index arrays into the flattened layout — element j
+    pairs with the w[j] elements immediately before it."""
+    total = int(w.sum())
+    j = np.repeat(np.arange(len(w), dtype=np.int64), w)
+    base = np.repeat(np.arange(len(w), dtype=np.int64) - w, w)
+    starts = np.concatenate([[0], np.cumsum(w)[:-1]]) if len(w) else np.array([], np.int64)
+    step = np.arange(total, dtype=np.int64) - np.repeat(starts, w)
+    return base + step, j
+
+
+def _segment_positions(keys: np.ndarray) -> np.ndarray:
+    """0-based within-segment position for a SORTED key array."""
+    n = len(keys)
+    if n == 0:
+        return np.array([], np.int64)
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=new_seg[1:])
+    idx = np.arange(n, dtype=np.int64)
+    seg_start = idx[new_seg]
+    seg_id = np.cumsum(new_seg) - 1
+    return idx - seg_start[seg_id]
+
+
+def copurchase_edges(sf_dir: str, *, n_buckets: int = 256):
+    """Distinct part–part co-purchase edges: parts appearing in the
+    same order, canonical ``src < dst`` (raw partkeys). Two bucketed
+    shuffles, dispatch capped at n_buckets at any corpus size:
+
+    1. bucket by ``hash(orderkey)`` — within a bucket, sort the packed
+       ``(orderkey<<32)|partkey`` ids (lexicographic == (o, p) sort),
+       drop consecutive duplicates, and emit every within-order pair
+       via the vectorized segment-pair sweep. Pair fan-out per order is
+       bounded by the lines-per-order cap (≤7 in TPC-H-shaped data), so
+       this stage is linear, not quadratic, in corpus size.
+    2. bucket by ``hash(packed edge)`` — np.unique inside the bucket
+       dedupes pairs that co-occurred in many orders (per-bucket
+       combiner ran in stage 1 already).
+
+    int64-packing contract: orderkey and partkey must each fit 32 bits
+    (TPC-H sf ≤ ~700 does).
+    """
+    import ray.data
+
+    from ..kg.unionfind import hash_bucket
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def pack_op(batch: pa.Table) -> pa.Table:
+        o = pc.cast(batch["l_orderkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        p = pc.cast(batch["l_partkey"], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        op = np.unique((o << np.int64(32)) | p)
+        t = pa.table({"op": pa.array(op, pa.int64())})
+        return t.append_column(
+            "__bucket",
+            hash_bucket(pa.array(op >> np.int64(32), pa.int64()), n_buckets),
+        )
+
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        op = np.unique(
+            group["op"].combine_chunks().to_numpy(zero_copy_only=False)
+        )  # sorted → (o, p) lexicographic, distinct
+        o = op >> np.int64(32)
+        p = op & np.int64(0xFFFFFFFF)
+        w = _segment_positions(o)
+        i, j = _pairs_within_segments(w)
+        # within an order, p is strictly increasing → p[i] < p[j]
+        k = np.unique((p[i] << np.int64(32)) | p[j])
+        t = pa.table({"k": pa.array(k, pa.int64())})
+        return t.append_column(
+            "__bucket2", hash_bucket(t["k"].combine_chunks(), n_buckets)
+        )
+
+    def distinct_bucket(group: pa.Table) -> pa.Table:
+        k = np.unique(group["k"].combine_chunks().to_numpy(zero_copy_only=False))
+        return pa.table({
+            "src": pa.array(k >> np.int64(32), pa.int64()),
+            "dst": pa.array(k & np.int64(0xFFFFFFFF), pa.int64()),
+        })
+
+    edges = (
+        ds.map_batches(pack_op, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(pairs_bucket, batch_format="pyarrow")
+        .groupby("__bucket2")
+        .map_groups(distinct_bucket, batch_format="pyarrow")
+    )
+    return edges.repartition(16)
+
+
+def triangle_counts(edges_ds, *, n_buckets: int = 256,
+                    broadcast_edges: int | None = 50_000_000):
+    """Per-node triangle participation counts over a distinct
+    undirected edge list (``src < dst`` by id) — the degree-oriented
+    wedge algorithm, every stage a bounded-dispatch bucket cogroup:
+
+    1. degrees per node (map-side partials, native groupby-sum);
+    2. attach deg to both endpoints (two bucket_joins), orient each
+       edge from its (deg, id)-smaller endpoint — out-degree is then
+       O(√m) for any node, the classic bound that makes wedge volume
+       O(m^1.5) instead of Σ deg² (hot nodes are wedge MIDDLES, never
+       wedge sources);
+    3. wedges: bucket by hash(u), sort (u, v), emit out-neighbor pairs
+       (x < y by id) via the segment-pair sweep, packed as
+       ``(x<<32)|y``;
+    4. close the wedges against the canonical edge set;
+    5. per-node +1 for all three corners → (part, n_triangles) via
+       map-side partials + native groupby-sum.
+
+    Steps 2 and 4 have two physical paths, the same broadcast-vs-
+    exchange trade as ``pagerank_fixedpoint``: when the DISTINCT edge
+    set fits the ``broadcast_edges`` bound (packed int64, 8 B/edge —
+    part catalogs are catalog-order even when the corpus is 100 TB),
+    it is ``ray.put`` once as a sorted array, degrees/orientation are
+    searchsorted lookups folded into the map side (no bucket_joins),
+    and every wedge task closes its own wedges with a vectorized
+    searchsorted — the O(m^1.5) wedge set NEVER leaves the task that
+    generated it (measured 48.6 s → 15.5 s wall at 1.2M edges / ~75M
+    wedges / 1.88M triangles, sf0.1, 32 cpus). Larger edge sets fall
+    back to the fully-distributed path: two bucket_joins to attach
+    degrees, then a left-semi bucket_join of wedge rows against packed
+    edges — bounded-dispatch exchanges of (edge | wedge)-order rows.
+
+    Output: one row per node in ≥1 triangle. Exact (the orientation is
+    a bijection on triangles), deterministic, no driver state beyond
+    the optional broadcast edge array.
+    """
+    import ray
+
+    from ..kg.unionfind import hash_bucket
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    use_broadcast = broadcast_edges is not None and n_edges <= broadcast_edges
+
+    def _gen_wedges(group: pa.Table):
+        u = group["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = group["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        # sort by (u, v-id): out-neighbor lists contiguous and id-sorted
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        w = _segment_positions(u)
+        i, j = _pairs_within_segments(w)
+        # v[i] < v[j] by id → packed wedge matches canonical src<dst edges
+        return (v[i] << np.int64(32)) | v[j], u[j], v[i], v[j]
+
+    if use_broadcast:
+        packed = np.sort(
+            np.concatenate([
+                (t["src"].to_numpy(zero_copy_only=False) << np.int64(32))
+                | t["dst"].to_numpy(zero_copy_only=False)
+                for t in ray.get(edges_ds.to_arrow_refs())
+            ] or [np.array([], np.int64)])
+        )
+        src_all = packed >> np.int64(32)
+        dst_all = packed & np.int64(0xFFFFFFFF)
+        nodes, degs = np.unique(
+            np.concatenate([src_all, dst_all]), return_counts=True
+        )
+        edge_ref = ray.put(packed)
+        deg_ref = ray.put((nodes, degs))
+
+        def orient_close_bucket(batch: pa.Table) -> pa.Table:
+            s = batch["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = batch["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            nd, dg = ray.get(deg_ref)
+            ds_ = dg[np.searchsorted(nd, s)]
+            dd = dg[np.searchsorted(nd, d)]
+            src_first = (ds_ < dd) | ((ds_ == dd) & (s < d))
+            u = np.where(src_first, s, d)
+            v = np.where(src_first, d, s)
+            t = pa.table({
+                "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64()),
+            })
+            return t.append_column(
+                "__bucket", hash_bucket(t["u"].combine_chunks(), n_buckets)
+            )
+
+        def wedges_close_bucket(group: pa.Table) -> pa.Table:
+            k, wu, x, y = _gen_wedges(group)
+            arr = ray.get(edge_ref)  # shared-memory, zero-copy
+            if len(arr) == 0 or len(k) == 0:
+                return pa.table({
+                    "part": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                })
+            pos = np.searchsorted(arr, k)
+            hit = pos < len(arr)
+            hit[hit] = arr[pos[hit]] == k[hit]
+            corners = np.concatenate([wu[hit], x[hit], y[hit]])
+            node, cnt = np.unique(corners, return_counts=True)
+            return pa.table({
+                "part": pa.array(node, pa.int64()),
+                "t": pa.array(cnt, pa.int64()),
+            })
+
+        out = (
+            edges_ds.map_batches(orient_close_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(wedges_close_bucket, batch_format="pyarrow")
+            .groupby("part")
+            .sum("t")
+        )
+        return out.map_batches(
+            lambda b: b.rename_columns(["part", "n_triangles"]),
+            batch_format="pyarrow",
+        )
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        s = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        node, cnt = np.unique(np.concatenate([s, d]), return_counts=True)
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "d": pa.array(cnt, pa.int64()),
+        })
+
+    deg = (
+        edges_ds.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum("d")
+    )
+    deg = deg.map_batches(
+        lambda b: b.rename_columns(["node", "d"]), batch_format="pyarrow"
+    )
+
+    def as_src(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["src", "deg_src"])
+
+    def as_dst(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["dst", "deg_dst"])
+
+    e1 = bucket_join(
+        edges_ds, deg.map_batches(as_src, batch_format="pyarrow"),
+        key="src", n_buckets=n_buckets,
+        left_schema=edge_schema,
+        right_schema=pa.schema([("src", pa.int64()), ("deg_src", pa.int64())]),
+    )
+    e2 = bucket_join(
+        e1, deg.map_batches(as_dst, batch_format="pyarrow"),
+        key="dst", n_buckets=n_buckets,
+        left_schema=pa.schema([
+            ("src", pa.int64()), ("dst", pa.int64()), ("deg_src", pa.int64())
+        ]),
+        right_schema=pa.schema([("dst", pa.int64()), ("deg_dst", pa.int64())]),
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        ds_ = b["deg_src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dd = b["deg_dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        src_first = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        u = np.where(src_first, s, d)
+        v = np.where(src_first, d, s)
+        t = pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+        return t.append_column(
+            "__bucket", hash_bucket(t["u"].combine_chunks(), n_buckets)
+        )
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_bucket(group: pa.Table) -> pa.Table:
+        k, wu, _, _ = _gen_wedges(group)
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "wu": pa.array(wu, pa.int64()),
+        })
+
+    wedges = oriented.groupby("__bucket").map_groups(
+        wedges_bucket, batch_format="pyarrow"
+    )
+
+    def pack_edges(b: pa.Table) -> pa.Table:
+        s = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array((s << np.int64(32)) | d, pa.int64())})
+
+    closed = bucket_join(
+        wedges,
+        edges_ds.map_batches(pack_edges, batch_format="pyarrow"),
+        key="k", join_type="left semi", n_buckets=n_buckets,
+        left_schema=pa.schema([("k", pa.int64()), ("wu", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64())]),
+        right_distinct=True,
+    )
+
+    def corner_partial(b: pa.Table) -> pa.Table:
+        k = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        wu = b["wu"].combine_chunks().to_numpy(zero_copy_only=False)
+        corners = np.concatenate([wu, k >> np.int64(32), k & np.int64(0xFFFFFFFF)])
+        node, cnt = np.unique(corners, return_counts=True)
+        return pa.table({
+            "part": pa.array(node, pa.int64()),
+            "t": pa.array(cnt, pa.int64()),
+        })
+
+    out = (
+        closed.map_batches(corner_partial, batch_format="pyarrow")
+        .groupby("part")
+        .sum("t")
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["part", "n_triangles"]),
+        batch_format="pyarrow",
+    )

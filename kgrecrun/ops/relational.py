@@ -299,3 +299,41 @@ def supplier_region(sf_dir: str):
         lambda b: b.rename_columns(["r_name", "n_suppliers", "sum_acctbal_cents"]),
         batch_format="pyarrow",
     )
+
+
+def daily_activity_outer(sf_dir: str):
+    """Per-day event counts FULL OUTER JOIN per-day order counts via
+    the generic bucket-cogroup join (ops/cogroup.py): each side
+    pre-aggregates map-side so the shuffle carries day-level partials
+    only, and the outer join null-pads whichever side had no activity
+    that day. Event days (recent) and order days (TPC-H 1992-1998)
+    barely overlap, so both unmatched paths execute for real."""
+    import ray.data
+
+    from .cogroup import bucket_join
+
+    def day_counts(path, ts_col, out_name):
+        ds = ray.data.read_parquet(path, columns=[ts_col])
+
+        def pre(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "day": pc.strftime(batch[ts_col], format="%Y-%m-%d"),
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+            })
+            return (t.group_by("day").aggregate([("one", "sum")])
+                    .rename_columns(["day", "n_local"]))
+
+        agg = (ds.map_batches(pre, batch_format="pyarrow")
+               .groupby("day").sum("n_local"))
+        return agg.map_batches(
+            lambda b: b.rename_columns(["day", out_name]),
+            batch_format="pyarrow",
+        )
+
+    ev = day_counts(f"{sf_dir}/events.parquet", "ts", "n_events")
+    od = day_counts(f"{sf_dir}/orders.parquet", "o_orderdate", "n_orders")
+    return bucket_join(
+        ev, od, key="day", join_type="full outer", n_buckets=32,
+        left_schema=pa.schema([("day", pa.string()), ("n_events", pa.int64())]),
+        right_schema=pa.schema([("day", pa.string()), ("n_orders", pa.int64())]),
+    )

@@ -241,3 +241,61 @@ def test_pagerank_empty_edges(ray_session):
                   "dst": pa.array([], pa.int64())})
     )
     assert pagerank_fixedpoint(empty, iters=2).take_all() == []
+
+
+def test_triangle_counts_matches_bruteforce_both_paths(ray_session):
+    """triangle_counts vs an O(n^3) reference on a random graph, with
+    the broadcast-edge path and the bucket_join exchange path
+    producing identical tables."""
+    import numpy as np
+    import ray
+
+    from kgrecrun.ops.graph import triangle_counts
+
+    rng = np.random.RandomState(23)
+    n = 50
+    adj = np.triu(rng.rand(n, n) < 0.2, 1)
+    src, dst = np.where(adj)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    A = adj | adj.T
+    tri = np.zeros(n, dtype=np.int64)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if not A[a, b]:
+                continue
+            common = A[a] & A[b]
+            common[: b + 1] = False
+            for c in np.where(common)[0]:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    want = {i: int(tri[i]) for i in range(n) if tri[i]}
+
+    for bc in (50_000_000, None):  # broadcast path, exchange path
+        got = triangle_counts(ds, n_buckets=8, broadcast_edges=bc).to_pandas()
+        got_d = dict(zip(got["part"], got["n_triangles"]))
+        assert got_d == want, f"broadcast_edges={bc}"
+
+
+def test_triangle_counts_trianglefree_and_planted(ray_session):
+    """A star graph (triangle-free) yields an empty result; planting
+    one closing edge yields exactly one triangle on the right nodes."""
+    import ray
+
+    from kgrecrun.ops.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 8)]
+    t = pa.table({"src": pa.array([a for a, _ in star], pa.int64()),
+                  "dst": pa.array([b for _, b in star], pa.int64())})
+    out = triangle_counts(ray.data.from_arrow(t), n_buckets=4).to_pandas()
+    assert len(out) == 0
+
+    closed = star + [(3, 5)]
+    t2 = pa.table({"src": pa.array([a for a, _ in closed], pa.int64()),
+                   "dst": pa.array([b for _, b in closed], pa.int64())})
+    out2 = (triangle_counts(ray.data.from_arrow(t2), n_buckets=4)
+            .to_pandas().set_index("part")["n_triangles"])
+    assert dict(out2) == {0: 1, 3: 1, 5: 1}
