@@ -560,6 +560,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.int64()),
         )
 
+    def user_modal_event(sf_dir: str):
+        """Per-user modal event_type (plurality vote, deterministic
+        tie-break: max count then min value) — the majority-vote-label
+        pattern. Pair-count partials bound the first exchange; the
+        per-key argmax is a bucketed sort + ordered arrow first
+        (ops/stats.py group_mode)."""
+        import ray.data
+
+        from kgrecrun.ops.stats import group_mode
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        return group_mode(ds, key="user_id", value_col="event_type")
+
     def doc_sample(sf_dir: str):
         """Deterministic md5-hash 1/5 sample — stable across runs,
         resumes and re-sharding (no RNG; SQL-mirrorable)."""
@@ -1006,6 +1021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "lineitem_price_quantiles_approx": lineitem_price_quantiles_approx,
         "lineitem_qty_price_corr": lineitem_qty_price_corr,
+        "user_modal_event": user_modal_event,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
         "events_rollup": events_rollup,
@@ -1780,6 +1796,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "user_modal_event": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY n DESC, event_type ASC) AS rn
+                FROM c
+            )
+            SELECT user_id, event_type, n FROM r WHERE rn = 1
         """,
         "daily_activity_outer": """
             WITH e AS (

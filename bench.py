@@ -91,6 +91,8 @@ def bench_main() -> None:
         "docs_lang_cap", "doc_decontaminate",
         "graph_degrees", "graph_pagerank", "term_heavy_hitters",
         "bm25_topk", "events_value_ntile", "events_tumbling",
+        "part_copurchase_triangles", "daily_activity_outer",
+        "lineitem_qty_price_corr",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -319,3 +319,54 @@ def group_corr(ds, *, key: str, x_col: str, y_col: str,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def group_mode(ds, *, key: str, value_col: str, n_buckets: int = 256):
+    """Per-key modal value (plurality vote — majority-vote labeling,
+    dominant-language-per-domain, etc.) with a DETERMINISTIC tie-break:
+    highest count, then smallest value.
+
+    Shape: map-side (key, value) count partials bound the first
+    exchange at |distinct pairs per block|; the global pair-count
+    groupby is native (vectorized sum); the per-key argmax is a
+    bucketed cogroup — arrow sort + ordered ``group_by(...).first``
+    inside each of ``n_buckets`` groups, so dispatch stays capped at
+    n_buckets for any key cardinality. Works for string or integer
+    keys/values (arrow kernels throughout, no numpy dtype limits).
+
+    Output: (key, value_col, n) — one row per key.
+    """
+    from ..kg.unionfind import hash_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], value_col: batch[value_col]})
+        g = t.group_by([key, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key, value_col, "c"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key, value_col])
+        .sum("c")
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns([key, value_col, "c"])
+        return t.append_column(
+            "__bucket", hash_bucket(t[key].combine_chunks(), n_buckets)
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[
+            (key, "ascending"), ("c", "descending"), (value_col, "ascending"),
+        ])
+        t = group.take(idx).select([key, value_col, "c"])
+        out = t.group_by(key, use_threads=False).aggregate(
+            [(value_col, "first"), ("c", "first")]
+        )
+        return out.rename_columns([key, value_col, "n"])
+
+    return (
+        agg.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pick, batch_format="pyarrow")
+    )

@@ -1041,3 +1041,31 @@ def test_group_corr_matches_numpy_and_shard_invariant():
         assert abs(df.loc[g, "slope6"] - slope) < 1e-5
     assert df.loc["z", "n"] == 10
     assert np.isnan(df.loc["z", "corr6"]) and np.isnan(df.loc["z", "slope6"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_mode_tiebreak_and_shard_invariance():
+    """group_mode picks the max-count value with min-value tie-break,
+    identically at any input partitioning."""
+    import ray.data
+
+    from kgrecrun.ops.stats import group_mode
+
+    keys = ["a"] * 6 + ["b"] * 4 + ["c"] * 1
+    vals = ["x", "x", "y", "y", "z", "z",      # a: 3-way tie → "x"
+            "q", "p", "q", "p",                # b: tie p/q → "p"
+            "solo"]                            # c: singleton
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    outs = []
+    for parts in (1, 5):
+        df = (
+            group_mode(ray.data.from_arrow(t).repartition(parts),
+                       key="k", value_col="v", n_buckets=4)
+            .to_pandas().set_index("k").sort_index()
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    assert df.loc["a", "v"] == "x" and df.loc["a", "n"] == 2
+    assert df.loc["b", "v"] == "p" and df.loc["b", "n"] == 2
+    assert df.loc["c", "v"] == "solo" and df.loc["c", "n"] == 1
