@@ -607,6 +607,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
         return cap_per_key(ds, key="lang", k=50)
 
+    def docs_balanced_mix(sf_dir: str):
+        """Stratified downsampling to a UNIFORM language mix (the
+        training-data-mixing step): the scarcest lang keeps all rows,
+        every other lang keeps the deterministic md5-hash fraction
+        c_min/c_k — exact integer thresholds, no RNG, stable under
+        resumes and resharding (ops/sample.py rebalance_to_mix)."""
+        import ray.data
+
+        from kgrecrun.ops.sample import rebalance_to_mix
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        return rebalance_to_mix(ds, key="lang")
+
     def doc_decontaminate(sf_dir: str):
         """Benchmark n-gram decontamination: flag docs sharing any word
         8-gram with the (deterministic doc_id %% 97 == 0) benchmark
@@ -994,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": doc_sample,
         "doc_splits": doc_splits,
         "docs_lang_cap": docs_lang_cap,
+        "docs_balanced_mix": docs_balanced_mix,
         "doc_decontaminate": doc_decontaminate,
         "token_packing": token_packing,
         "term_stats": term_stats_q,
@@ -1376,6 +1392,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_IDHASH} % 5 < 1
+        """,
+        "docs_balanced_mix": f"""
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            m AS (SELECT MIN(n) AS mn FROM c),
+            r AS (SELECT lang, (mn * 1048576) // n AS numer
+                  FROM c CROSS JOIN m)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE {_IDHASH} % 1048576 < r.numer
         """,
         "doc_splits": f"""
             SELECT doc_id,

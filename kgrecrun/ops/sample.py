@@ -115,3 +115,59 @@ def hash_split(ds, *, splits: dict[str, int] | None = None, id_col: str = "doc_i
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rebalance_to_mix(ds, *, key: str, weights: dict | None = None,
+                     id_col: str = "doc_id", denom_bits: int = 20):
+    """Deterministic stratified DOWNSAMPLING to a target mix — the
+    data-mixing step of a training pipeline (e.g. balance languages /
+    domains without upsampling anything).
+
+    ``weights`` maps key → integer target weight (None = uniform). The
+    scarcest key relative to its target keeps 100% of its rows; every
+    other key keeps the deterministic md5-hash fraction that lands the
+    kept corpus exactly on the target proportions (in expectation):
+    with counts c_k, weights w_k (sum W), feasible total
+    T = min_k floor(c_k·W/w_k) and per-key keep threshold
+    numer_k = floor(w_k·T·D / (W·c_k)) over denominator D = 2^denom_bits
+    — all exact Python-int arithmetic on the driver.
+
+    Two stages: a native groupby count (rows = |key domain| — this op
+    assumes a BOUNDED key domain, langs/domains/sources, like
+    approx_distinct's documented assumption; the counts table lives on
+    the driver) and an embarrassingly-parallel hash filter (no
+    shuffle, stable across runs/resumes/resharding). Magnitude
+    contract: c_min · D < 2^63 (c_min < 8.8e12 at D=2^20).
+
+    Output: (id_col, key) kept rows.
+    """
+    counts = (
+        ds.map_batches(
+            lambda b: (
+                b.select([key]).group_by(key).aggregate([([], "count_all")])
+                .rename_columns([key, "n_local"])
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby(key)
+        .sum("n_local")
+    ).to_pandas()
+    counts.columns = [key, "n"]
+    c = dict(zip(counts[key], counts["n"]))
+    w = {k: 1 for k in c} if weights is None else weights
+    W = sum(w.values())
+    D = 1 << denom_bits
+    # exact integer arithmetic (Python ints — no overflow)
+    T = min((int(c[k]) * W) // w[k] for k in c if w.get(k))
+    numer = {
+        k: (w[k] * T * D) // (W * int(c[k])) if w.get(k) else 0 for k in c
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _hash64(batch[id_col].to_pylist()) % np.uint64(D)
+        thr = np.array(
+            [numer.get(k, 0) for k in batch[key].to_pylist()], np.uint64
+        )
+        return batch.filter(pa.array(h < thr)).select([id_col, key])
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -1069,3 +1069,36 @@ def test_group_mode_tiebreak_and_shard_invariance():
     assert df.loc["a", "v"] == "x" and df.loc["a", "n"] == 2
     assert df.loc["b", "v"] == "p" and df.loc["b", "n"] == 2
     assert df.loc["c", "v"] == "solo" and df.loc["c", "n"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rebalance_to_mix_weighted_and_deterministic():
+    """rebalance_to_mix hits the target proportions (±hash noise), keeps
+    the binding key entirely, and is partitioning-invariant."""
+    import ray.data
+
+    from kgrecrun.ops.sample import rebalance_to_mix
+
+    rng = np.random.RandomState(9)
+    langs = np.take(np.array(["en", "de", "fr"]), rng.choice(3, 6000, p=[.7, .2, .1]))
+    t = pa.table({
+        "doc_id": pa.array(np.arange(6000), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    # target 2:1:1 — "fr" (scarcest vs target) binds and keeps ~100%
+    kept1 = rebalance_to_mix(
+        ray.data.from_arrow(t).repartition(3),
+        key="lang", weights={"en": 2, "de": 1, "fr": 1},
+    ).to_pandas()
+    kept2 = rebalance_to_mix(
+        ray.data.from_arrow(t).repartition(8),
+        key="lang", weights={"en": 2, "de": 1, "fr": 1},
+    ).to_pandas()
+    s1 = set(map(tuple, kept1.itertuples(index=False)))
+    assert s1 == set(map(tuple, kept2.itertuples(index=False)))
+    by = kept1.groupby("lang").size()
+    n_fr = (langs == "fr").sum()
+    assert by["fr"] >= n_fr * 0.999          # binding key: all kept
+    # achieved mix ≈ 2:1:1 within hash noise
+    assert abs(by["en"] / by["fr"] - 2.0) < 0.15
+    assert abs(by["de"] / by["fr"] - 1.0) < 0.12
