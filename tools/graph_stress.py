@@ -10,7 +10,11 @@ Two-parallelism protocol: run once at 8 and once at 32 cpus in fresh
 processes and compare edge throughput (BENCH/BASELINE.md).
 
 Usage: python tools/graph_stress.py [n_edge_rows] [n_nodes] [num_cpus]
-       [--skip-exchange]
+       [--skip-exchange] [--triangles]
+
+--triangles: stress `triangle_counts` instead — distinct canonical
+edge list, broadcast-edge vs bucket_join-exchange paths, per-node
+triangle-count checksums (must be bit-identical).
 """
 
 from __future__ import annotations
@@ -53,8 +57,52 @@ def synth_edges(n_rows: int, n_nodes: int, num_blocks: int = 128):
     )
 
 
-def _checksum(ranks) -> tuple[int, int, int]:
-    """(n, Σ rank, Σ rank·splitmix(node) mod 2^64) — order- and
+def synth_distinct_edges(n_rows: int, n_nodes: int, num_blocks: int = 128):
+    """Deterministic DISTINCT canonical (src < dst) edge list — the
+    triangle_counts input contract. Block-seeded pair sampling, packed
+    per-block unique, then one bucketed global distinct (the same
+    two-stage distinct copurchase_edges uses)."""
+    import ray.data
+
+    from kgrecrun.kg.unionfind import hash_bucket
+
+    per = n_rows // num_blocks
+
+    def gen(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        out = []
+        for b in batch["id"].to_pylist():
+            rng = np.random.RandomState(zlib.crc32(f"t-{b}".encode()) % (2**31))
+            u = rng.randint(0, n_nodes, per).astype(np.int64)
+            v = rng.randint(0, n_nodes, per).astype(np.int64)
+            keep = u != v
+            u, v = u[keep], v[keep]
+            k = np.unique((np.minimum(u, v) << np.int64(32)) | np.maximum(u, v))
+            t = pa.table({"k": pa.array(k, pa.int64())})
+            out.append(t.append_column(
+                "__bucket", hash_bucket(t["k"].combine_chunks(), 256)
+            ))
+        return pa.concat_tables(out)
+
+    def distinct_bucket(group: pa.Table) -> pa.Table:
+        k = np.unique(group["k"].combine_chunks().to_numpy(zero_copy_only=False))
+        return pa.table({
+            "src": pa.array(k >> np.int64(32), pa.int64()),
+            "dst": pa.array(k & np.int64(0xFFFFFFFF), pa.int64()),
+        })
+
+    return (
+        ray.data.range(num_blocks, override_num_blocks=num_blocks)
+        .map_batches(gen, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(distinct_bucket, batch_format="pyarrow")
+        .repartition(64)
+    )
+
+
+def _checksum(ranks, key_col: str = "node", val_col: str = "rank_fp"):
+    """(n, Σ val, Σ val·splitmix(key) mod 2^64) — order- and
     partition-invariant (everything is elementwise mod-2^64 wraparound
     plus an associative sum), collision-resistant enough to certify
     bit-identity."""
@@ -63,8 +111,8 @@ def _checksum(ranks) -> tuple[int, int, int]:
     mix = 0
     M = 1 << 64
     for b in ranks.iter_batches(batch_format="pyarrow", batch_size=None):
-        node = b["node"].combine_chunks().to_numpy(zero_copy_only=False)
-        r = b["rank_fp"].combine_chunks().to_numpy(zero_copy_only=False)
+        node = b[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+        r = b[val_col].combine_chunks().to_numpy(zero_copy_only=False)
         x = node.astype(np.uint64)
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         x = x ^ (x >> np.uint64(31))
@@ -86,6 +134,35 @@ def main() -> None:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              log_to_driver=False)
     from kgrecrun.ops.graph import pagerank_fixedpoint
+
+    if "--triangles" in sys.argv:
+        from kgrecrun.ops.graph import triangle_counts
+
+        edges = synth_distinct_edges(n_rows, n_nodes).materialize()
+        m = edges.count()
+        rec = {"mode": "triangles", "n_edges": m, "n_nodes": n_nodes,
+               "num_cpus": num_cpus}
+
+        t0 = time.time()
+        bc = triangle_counts(edges).materialize()
+        rec["broadcast_sec"] = round(time.time() - t0, 2)
+        cs_bc = _checksum(bc, "part", "n_triangles")
+        rec["checksum_broadcast"] = cs_bc
+        rec["n_triangle_nodes"] = cs_bc[0]
+        rec["total_triangles"] = cs_bc[1] // 3
+
+        if not skip_exchange:
+            t0 = time.time()
+            ex = triangle_counts(edges, broadcast_edges=None).materialize()
+            rec["exchange_sec"] = round(time.time() - t0, 2)
+            cs_ex = _checksum(ex, "part", "n_triangles")
+            rec["checksum_exchange"] = cs_ex
+            rec["paths_identical"] = cs_ex == cs_bc
+            assert rec["paths_identical"], "broadcast != exchange triangles"
+
+        print(json.dumps(rec))
+        ray.shutdown()
+        return
 
     edges = synth_edges(n_rows, n_nodes).materialize()
     n_edges = edges.count()
