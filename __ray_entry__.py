@@ -560,6 +560,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.int64()),
         )
 
+    def events_value_zscore(sf_dir: str):
+        """Per-event-type standardization of value (dollars): z-score
+        from exact int64 sufficient statistics, identical IEEE double
+        sequence in engine and SQL, shuffle-free broadcast stats join
+        (ops/stats.py group_zscore)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from kgrecrun.ops.stats import group_zscore
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+        return group_zscore(
+            ds, key="event_type", x_col="value", id_cols=["event_id"],
+            x_fn=lambda b: pc.cast(
+                pc.round(b["value"], round_mode="half_towards_infinity"),
+                pa.int64()),
+        )
+
     def user_modal_event(sf_dir: str):
         """Per-user modal event_type (plurality vote, deterministic
         tie-break: max count then min value) — the majority-vote-label
@@ -1038,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles_approx": lineitem_price_quantiles_approx,
         "lineitem_qty_price_corr": lineitem_qty_price_corr,
         "user_modal_event": user_modal_event,
+        "events_value_zscore": events_value_zscore,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
         "events_rollup": events_rollup,
@@ -1821,6 +1844,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_value_zscore": """
+            WITH e AS (
+                SELECT event_id, event_type,
+                       CAST(round(value) AS BIGINT) AS x
+                FROM events
+            ), s AS (
+                SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+                       SUM(x*x) AS sxx
+                FROM e GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN s.n*s.sxx - s.sx*s.sx > 0
+                        THEN round(CAST(s.n*e.x - s.sx AS DOUBLE)
+                                   / sqrt(CAST(s.n*s.sxx - s.sx*s.sx
+                                               AS DOUBLE)), 6)
+                   END AS z6
+            FROM e JOIN s USING (event_type)
         """,
         "user_modal_event": """
             WITH c AS (

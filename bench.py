@@ -92,7 +92,7 @@ def bench_main() -> None:
         "graph_degrees", "graph_pagerank", "term_heavy_hitters",
         "bm25_topk", "events_value_ntile", "events_tumbling",
         "part_copurchase_triangles", "daily_activity_outer",
-        "lineitem_qty_price_corr",
+        "lineitem_qty_price_corr", "events_value_zscore",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

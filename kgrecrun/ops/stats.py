@@ -370,3 +370,105 @@ def group_mode(ds, *, key: str, value_col: str, n_buckets: int = 256):
         .groupby("__bucket")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def group_zscore(ds, *, key: str, x_col: str, id_cols: list[str],
+                 x_fn=None, n_buckets: int = 256,
+                 broadcast_stats: int = 1_000_000):
+    """Per-group standardization (the ML-preprocessing z-score):
+    ``z = (x − μ_k)/σ_k`` computed as ``(n·x − Σx)/sqrt(n·Σx² − (Σx)²)``
+    from exact int64 sufficient statistics — every integer exact, the
+    final doubles follow an identical IEEE-754 sequence on the engine
+    and SQL sides, 6-dp half-away rounding (the group_corr parity
+    recipe). ``x_fn`` maps the batch to the int64 x column (default:
+    plain cast); magnitude contract: n·max|x|² < 2^63 per group —
+    quantize coarsely for wide domains.
+
+    The (key, n, Σx, Σx²) stats table is key-domain-order. When it has
+    ≤ ``broadcast_stats`` rows it is ``ray.put`` ONCE and the z map is
+    shuffle-free (vectorized arrow hash join per batch); larger key
+    domains fall back to a bucket_join of stats onto rows — one
+    bounded-dispatch exchange.
+
+    Output: (*id_cols, key, z6); zero-variance groups emit null z6.
+    """
+    import ray
+
+    from .cogroup import bucket_join
+    from .joins import broadcast_lookup
+
+    def _x(batch: pa.Table) -> np.ndarray:
+        x = (x_fn(batch) if x_fn is not None
+             else pc.cast(batch[x_col], pa.int64()))
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        return x.to_numpy(zero_copy_only=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xn = _x(batch)
+        t = pa.table({
+            key: batch[key],
+            "n_p": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+            "sx": pa.array(xn, pa.int64()),
+            "sxx": pa.array(xn * xn, pa.int64()),
+        })
+        return (
+            t.group_by(key)
+            .aggregate([("n_p", "sum"), ("sx", "sum"), ("sxx", "sum")])
+            .rename_columns([key, "n_p", "sx", "sxx"])
+        )
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .sum(["n_p", "sx", "sxx"])
+        .map_batches(
+            lambda b: b.rename_columns([key, "n", "sx", "sxx"]),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    def rows(batch: pa.Table) -> pa.Table:
+        xn = _x(batch)
+        cols = {c: batch[c] for c in id_cols}
+        cols[key] = batch[key]
+        cols["x"] = pa.array(xn, pa.int64())
+        return pa.table(cols)
+
+    left = ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        xn = batch["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = batch["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        sx = batch["sx"].combine_chunks().to_numpy(zero_copy_only=False)
+        sxx = batch["sxx"].combine_chunks().to_numpy(zero_copy_only=False)
+        var_n = (n * sxx - sx * sx).astype(np.float64)
+        ok = var_n > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (n * xn - sx).astype(np.float64) / np.sqrt(var_n)
+        z6 = pc.round(pa.array(z, pa.float64(), mask=~ok),
+                      ndigits=6, round_mode="half_towards_infinity")
+        cols = {c: batch[c] for c in id_cols}
+        cols[key] = batch[key]
+        cols["z6"] = z6
+        return pa.table(cols)
+
+    if stats.count() <= broadcast_stats:
+        # all-empty Ray blocks are schemaless — drop them before concat
+        blocks = [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows]
+        stats_tbl = pa.concat_tables(blocks) if blocks else pa.table({
+            key: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "sx": pa.array([], pa.int64()),
+            "sxx": pa.array([], pa.int64()),
+        })
+        joined = broadcast_lookup(left, stats_tbl, key=key)
+    else:
+        joined = bucket_join(
+            left, stats, key=key, n_buckets=n_buckets,
+            left_schema=pa.schema(
+                [(c, pa.int64()) for c in id_cols]
+                + [(key, pa.string()), ("x", pa.int64())]
+            ),
+        )
+    return joined.map_batches(finish, batch_format="pyarrow")

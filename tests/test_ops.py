@@ -1102,3 +1102,38 @@ def test_rebalance_to_mix_weighted_and_deterministic():
     # achieved mix ≈ 2:1:1 within hash noise
     assert abs(by["en"] / by["fr"] - 2.0) < 0.15
     assert abs(by["de"] / by["fr"] - 1.0) < 0.12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_zscore_matches_numpy_and_null_variance():
+    """group_zscore equals numpy population z-scores to 6 dp; constant
+    groups yield null; identical at any partitioning."""
+    import ray.data
+
+    from kgrecrun.ops.stats import group_zscore
+
+    rng = np.random.RandomState(13)
+    keys = np.take(np.array(["a", "b"]), rng.randint(0, 2, 3000))
+    x = rng.randint(-100, 100, 3000)
+    keys = np.concatenate([keys, ["c"] * 5])
+    x = np.concatenate([x, [7] * 5])
+    t = pa.table({
+        "event_id": pa.array(np.arange(3005), pa.int64()),
+        "g": pa.array(keys), "x": pa.array(x, pa.int64()),
+    })
+    outs = []
+    for parts in (2, 9):
+        df = (
+            group_zscore(ray.data.from_arrow(t).repartition(parts),
+                         key="g", x_col="x", id_cols=["event_id"])
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    for g in "ab":
+        m = keys == g
+        want = (x[m] - x[m].mean()) / x[m].std()  # population std
+        got = df[df["g"] == g]["z6"].to_numpy()
+        assert np.abs(got - want).max() < 1e-6
+    assert df[df["g"] == "c"]["z6"].isna().all()
