@@ -995,6 +995,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return user_value_ntile(sf_dir, tiles=4)
 
+    def user_value_rank(sf_dir: str):
+        """ROW_NUMBER / RANK / DENSE_RANK / PERCENT_RANK per user over
+        value DESC — the SQL ranking-window family, one bucketed
+        segment sweep, integers bit-exact and percent_rank a single
+        IEEE division (ops/window.py group_rank_windows)."""
+        from kgrecrun.ops.window import group_rank_windows
+
+        return group_rank_windows(sf_dir)
+
+    def user_event_gini(sf_dir: str):
+        """Per-user Gini impurity of the event_type distribution —
+        rational diversity statistic from exact int64 (n, Σc²)
+        sufficient stats (ops/stats.py group_gini)."""
+        import ray.data
+
+        from kgrecrun.ops.stats import group_gini
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        return group_gini(ds, key="user_id", label_col="event_type")
+
+    def events_value_histogram(sf_dir: str):
+        """$10-wide value histogram per event_type — all-integer floor
+        binning, map-side (key, bin) combiner (ops/stats.py
+        value_histogram)."""
+        import ray.data
+
+        from kgrecrun.ops.stats import value_histogram
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        return value_histogram(ds, key="event_type", value_col="value",
+                               width_cents=1000)
+
     def events_tumbling(sf_dir: str):
         """Tumbling 1-hour windows per event_type = hopping windows
         with hop == width (each event lands in exactly one window)."""
@@ -1080,6 +1116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
         "events_value_ntile": events_value_ntile,
+        "user_value_rank": user_value_rank,
+        "user_event_gini": user_event_gini,
+        "events_value_histogram": events_value_histogram,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1626,6 +1665,48 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY cents, event_id)
                         AS BIGINT) AS tile
             FROM e
+        """,
+        "user_value_rank": """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY cents DESC, event_id) AS BIGINT) AS rn,
+                   CAST(RANK() OVER (PARTITION BY user_id
+                        ORDER BY cents DESC) AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                        ORDER BY cents DESC) AS BIGINT) AS drnk,
+                   round(PERCENT_RANK() OVER (PARTITION BY user_id
+                         ORDER BY cents DESC), 6) AS pr6
+            FROM e
+        """,
+        "user_event_gini": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT user_id, SUM(c) AS n, SUM(c * c) AS c2
+                FROM c GROUP BY 1
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   round(1.0 - CAST(c2 AS DOUBLE)
+                             / CAST(n * n AS DOUBLE), 6) AS gini6
+            FROM s
+        """,
+        "events_value_histogram": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(floor(CAST(cents AS DOUBLE) / 1000) AS BIGINT)
+                       AS bin,
+                   COUNT(*) AS cnt
+            FROM e GROUP BY 1, 2
         """,
         "events_tumbling": """
             SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,

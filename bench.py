@@ -93,6 +93,7 @@ def bench_main() -> None:
         "bm25_topk", "events_value_ntile", "events_tumbling",
         "part_copurchase_triangles", "daily_activity_outer",
         "lineitem_qty_price_corr", "events_value_zscore",
+        "user_value_rank", "user_event_gini", "events_value_histogram",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

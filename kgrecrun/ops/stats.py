@@ -472,3 +472,99 @@ def group_zscore(ds, *, key: str, x_col: str, id_cols: list[str],
             ),
         )
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def group_gini(ds, *, key: str, label_col: str):
+    """Per-group Gini impurity / Simpson diversity of a categorical
+    column: ``gini = 1 − Σ_labels (c/n)²`` — the label-diversity /
+    data-mix-audit statistic. Deliberately Gini rather than Shannon
+    entropy: log2 differs by 1 ulp between numpy and DuckDB libm
+    (measured, ops/rank.py), while Gini is rational — exact int64
+    (n, Σc²) sufficient statistics, one final IEEE expression
+    ``1.0 − c2/(n·n)`` identical on both sides, 6-dp rounding.
+
+    Shuffle shape: map-side (key, label) combiner collapses each block
+    to its distinct pairs; global pair reduce is keys×labels rows;
+    second reduce keys rows. The raw column never shuffles. Output:
+    (key, n, gini6).
+    """
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key], label_col: batch[label_col]})
+        agg = t.group_by([key, label_col]).aggregate([([], "count_all")])
+        return agg.rename_columns([key, label_col, "c"])
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby([key, label_col])
+        .sum("c")
+        .map_batches(lambda b: b.rename_columns([key, label_col, "c"]),
+                     batch_format="pyarrow")
+    )
+
+    def sq_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: batch[key],
+            "n": batch["c"],
+            "c2": pa.array(c * c, pa.int64()),
+        })
+
+    stats = (
+        pairs.map_batches(sq_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby(key)
+        .sum(["n", "c2"])
+        .map_batches(lambda b: b.rename_columns([key, "n", "c2"]),
+                     batch_format="pyarrow")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        c2 = batch["c2"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = 1.0 - c2.astype(np.float64) / (n * n).astype(np.float64)
+        g6 = pc.round(pa.array(g, pa.float64()), ndigits=6,
+                      round_mode="half_towards_infinity")
+        return pa.table({key: batch[key], "n": batch["n"], "gini6": g6})
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def value_histogram(ds, *, key: str, value_col: str, width_cents: int,
+                    value_fn=None):
+    """Fixed-width histogram per group: bin = floor(cents / width),
+    count per (key, bin) — the distribution-profiling primitive. All
+    integer (floor division on int64 cents), bit-exact vs SQL
+    ``CAST(floor(c / w) AS BIGINT)`` (int÷int ≤ 2^53 is correctly
+    rounded, and a true integer quotient is exactly representable, so
+    the floor never misrounds; numpy ``//`` is floor division, matching
+    SQL floor() on negatives too).
+
+    Shuffle shape: each block collapses to its distinct (key, bin)
+    pairs map-side; the one global reduce carries keys×bins rows.
+    Output: (key, bin, cnt).
+    """
+    from .relational import cents as to_cents
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = (value_fn(batch) if value_fn is not None
+             else to_cents(batch[value_col]))
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cn = c.to_numpy(zero_copy_only=False)
+        t = pa.table({
+            key: batch[key],
+            "bin": pa.array(cn // width_cents, pa.int64()),
+        })
+        agg = t.group_by([key, "bin"]).aggregate([([], "count_all")])
+        return agg.rename_columns([key, "bin", "cnt"])
+
+    return (
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby([key, "bin"])
+        .sum("cnt")
+        .map_batches(lambda b: b.rename_columns([key, "bin", "cnt"]),
+                     batch_format="pyarrow")
+    )

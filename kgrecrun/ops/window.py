@@ -296,3 +296,80 @@ def top_parts_per_brand(sf_dir: str, k: int = 3):
     return _bucketed(ds, "p_brand").groupby("__bucket").map_groups(
         topk_bucket, batch_format="pyarrow"
     )
+
+
+def group_rank_windows(sf_dir: str, *, events_ds=None):
+    """SQL ranking-window family per partition, one bucketed sweep:
+    ROW_NUMBER / RANK / DENSE_RANK over (PARTITION BY user_id ORDER
+    BY value_cents DESC) with event_id as the ROW_NUMBER tiebreak —
+    all integer, bit-exact vs the window-function oracle — plus
+    PERCENT_RANK ``(rank−1)/(n−1)`` (0.0 for single-row partitions,
+    the ANSI/DuckDB convention), a single IEEE division from exact
+    ints rounded to 6 dp. Output: (event_id, user_id, rn, rnk, drnk,
+    pr6).
+
+    Dispatch is ``groupby(bucket)`` at N_BUCKETS groups regardless of
+    partition-key cardinality; one lexsort per bucket ranks every key
+    in it via segment masks (the module-level pattern). The partition
+    key must be fine-grained (a bucket holds many whole keys) — a
+    5-value key like event_type would put a whole partition in one
+    bucket; rank over coarse keys needs the distributed
+    sort+prefix-offset path (ops/pack.py) instead."""
+    import ray.data
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    )
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        from .relational import cents as to_cents
+
+        g = group.append_column("__cents", to_cents(group["value"]))
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("__cents", "descending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        key = g["user_id"].combine_chunks()
+        c = g["__cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(c)
+        new_key = np.ones(n, dtype=bool)
+        eq = pc.equal(key.slice(1), key.slice(0, n - 1))
+        new_key[1:] = ~eq.to_numpy(zero_copy_only=False)
+        change = new_key.copy()
+        change[1:] |= c[1:] != c[:-1]  # new tie-run within the key
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        run_start = np.maximum.accumulate(np.where(change, idx, 0))
+        starts = np.flatnonzero(new_key)
+        ends = np.append(starts[1:], n)
+        seg_len = np.repeat(ends - starts, ends - starts)
+        rn = idx - seg_start + 1
+        rnk = run_start - seg_start + 1
+        dr_global = np.cumsum(change)
+        drnk = dr_global - dr_global[seg_start] + 1
+        denom = seg_len - 1
+        pr = np.where(
+            denom > 0,
+            (rnk - 1).astype(np.float64) / np.maximum(denom, 1).astype(np.float64),
+            0.0,
+        )
+        pr6 = pc.round(pa.array(pr, pa.float64()), ndigits=6,
+                       round_mode="half_towards_infinity")
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "rn": pa.array(rn, pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "drnk": pa.array(drnk, pa.int64()),
+            "pr6": pr6,
+        })
+
+    return _bucketed(ds, "user_id").groupby("__bucket").map_groups(
+        rank_bucket, batch_format="pyarrow"
+    )

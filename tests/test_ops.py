@@ -4,6 +4,7 @@ driver's read-only testdata tables are used where real data helps.
 """
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -1137,3 +1138,109 @@ def test_group_zscore_matches_numpy_and_null_variance():
         got = df[df["g"] == g]["z6"].to_numpy()
         assert np.abs(got - want).max() < 1e-6
     assert df[df["g"] == "c"]["z6"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_rank_windows_matches_duckdb_incl_singleton():
+    """Rank family equals DuckDB window functions, including the
+    percent_rank=0.0 single-row-partition convention; identical at any
+    partitioning."""
+    import duckdb
+    import ray.data
+
+    from kgrecrun.ops.window import group_rank_windows
+
+    rng = np.random.RandomState(7)
+    n = 2000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.randint(0, 60, n), pa.int64()),
+        # coarse grid forces real ties within a user
+        "value": pa.array(rng.randint(0, 25, n) * 1.0, pa.float64()),
+    })
+    # singleton partition
+    t = pa.concat_tables([t, pa.table({
+        "event_id": pa.array([99999], pa.int64()),
+        "user_id": pa.array([777], pa.int64()),
+        "value": pa.array([3.5], pa.float64()),
+    })])
+    want = duckdb.connect().execute("""
+        WITH e AS (SELECT event_id, user_id,
+                          CAST(round(value*100) AS BIGINT) AS c FROM t)
+        SELECT event_id, user_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY c DESC, event_id) AS BIGINT) AS rn,
+               CAST(RANK() OVER (PARTITION BY user_id
+                    ORDER BY c DESC) AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                    ORDER BY c DESC) AS BIGINT) AS drnk,
+               round(PERCENT_RANK() OVER (PARTITION BY user_id
+                     ORDER BY c DESC), 6) AS pr6
+        FROM e ORDER BY event_id
+    """).fetch_df()
+    outs = []
+    for parts in (3, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (group_rank_windows(None, events_ds=ds).to_pandas()
+              .sort_values("event_id").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    got = outs[0][["event_id", "user_id", "rn", "rnk", "drnk", "pr6"]]
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+    assert got[got["user_id"] == 777]["pr6"].iloc[0] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_gini_exact_and_constant_group():
+    """Gini equals the exact rational formula; single-label groups are
+    0; partitioning-invariant."""
+    import ray.data
+
+    from kgrecrun.ops.stats import group_gini
+
+    rng = np.random.RandomState(3)
+    keys = rng.randint(0, 40, 5000)
+    labels = np.take(np.array(list("abcde")), rng.randint(0, 5, 5000))
+    keys = np.concatenate([keys, [999] * 7])
+    labels = np.concatenate([labels, ["z"] * 7])
+    t = pa.table({"k": pa.array(keys, pa.int64()), "lab": pa.array(labels)})
+    outs = []
+    for parts in (2, 13):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (group_gini(ds, key="k", label_col="lab").to_pandas()
+              .sort_values("k").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    for k in (0, 17, 999):
+        m = keys == k
+        _, c = np.unique(labels[m], return_counts=True)
+        want = round(1.0 - float((c * c).sum()) / float(m.sum()) ** 2, 6)
+        row = df[df["k"] == k].iloc[0]
+        assert row["n"] == m.sum()
+        assert abs(row["gini6"] - want) < 1e-9
+    assert df[df["k"] == 999]["gini6"].iloc[0] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_histogram_floor_bins_negatives():
+    """Histogram bins are floor(cents/width) — negative values land in
+    the floor bin (−1, not 0); counts are exact."""
+    import ray.data
+
+    from kgrecrun.ops.stats import value_histogram
+
+    t = pa.table({
+        "g": pa.array(["a"] * 6 + ["b"] * 2),
+        "value": pa.array([0.0, 9.99, 10.0, 25.0, -0.01, -10.0, 5.0, 5.0],
+                          pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    df = (value_histogram(ds, key="g", value_col="value", width_cents=1000)
+          .to_pandas().sort_values(["g", "bin"]).reset_index(drop=True))
+    want = pd.DataFrame({
+        "g": ["a", "a", "a", "a", "b"],
+        "bin": [-1, 0, 1, 2, 0],
+        "cnt": [2, 2, 1, 1, 2],
+    })
+    pd.testing.assert_frame_equal(df, want)
