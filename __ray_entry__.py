@@ -1031,6 +1031,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return value_histogram(ds, key="event_type", value_col="value",
                                width_cents=1000)
 
+    def events_global_rank(sf_dir: str):
+        """GLOBAL ROW_NUMBER/RANK/DENSE_RANK/PERCENT_RANK over value
+        DESC — distributed without a global sort via value-range prefix
+        offsets (ops/window.py global_rank, the pack.py pattern)."""
+        import ray.data
+
+        from kgrecrun.ops.window import global_rank
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+        return global_rank(ds, value_col="value", id_col="event_id")
+
+    def events_outliers(sf_dir: str):
+        """Tukey-fence (1.5×IQR) outliers per event_type — exact
+        quantile fences broadcast once, stateless vectorized filter
+        (ops/stats.py iqr_outliers)."""
+        import ray.data
+
+        from kgrecrun.ops.stats import iqr_outliers
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+        return iqr_outliers(ds, key="event_type", value_col="value",
+                            id_cols=["event_id"])
+
+    def user_retention(sf_dir: str):
+        """Cohort retention matrix: distinct users active at each day
+        offset from their first-seen day — one bucketed shuffle of
+        distinct (user, day) pairs, no driver state (ops/window.py
+        retention_cohorts)."""
+        from kgrecrun.ops.window import retention_cohorts
+
+        return retention_cohorts(sf_dir)
+
     def events_tumbling(sf_dir: str):
         """Tumbling 1-hour windows per event_type = hopping windows
         with hop == width (each event lands in exactly one window)."""
@@ -1119,6 +1156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_rank": user_value_rank,
         "user_event_gini": user_event_gini,
         "events_value_histogram": events_value_histogram,
+        "events_global_rank": events_global_rank,
+        "events_outliers": events_outliers,
+        "user_retention": user_retention,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1707,6 +1747,57 @@ def oracle_sql() -> dict[str, str]:
                        AS bin,
                    COUNT(*) AS cnt
             FROM e GROUP BY 1, 2
+        """,
+        "events_global_rank": """
+            WITH e AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_id, cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, event_id)
+                        AS BIGINT) AS rn,
+                   CAST(RANK() OVER (ORDER BY cents DESC) AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER (ORDER BY cents DESC)
+                        AS BIGINT) AS drnk,
+                   round(PERCENT_RANK() OVER (ORDER BY cents DESC), 6) AS pr6
+            FROM e
+        """,
+        "events_outliers": """
+            WITH e AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), q AS (
+                SELECT event_type,
+                       quantile_cont(cents, 0.25) AS q1,
+                       quantile_cont(cents, 0.75) AS q3
+                FROM e GROUP BY 1
+            ), b AS (
+                SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+                       q3 + 1.5 * (q3 - q1) AS hi
+                FROM q
+            )
+            SELECT e.event_id, e.event_type, e.cents,
+                   CASE WHEN CAST(e.cents AS DOUBLE) < b.lo THEN 'low'
+                        ELSE 'high' END AS side
+            FROM e JOIN b USING (event_type)
+            WHERE CAST(e.cents AS DOUBLE) < b.lo
+               OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "user_retention": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                           AS day
+                FROM events
+            ), c AS (
+                SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1
+            )
+            SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+                   COUNT(*) AS n_users
+            FROM d JOIN c USING (user_id)
+            GROUP BY 1, 2
         """,
         "events_tumbling": """
             SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,

@@ -568,3 +568,76 @@ def value_histogram(ds, *, key: str, value_col: str, width_cents: int,
         .map_batches(lambda b: b.rename_columns([key, "bin", "cnt"]),
                      batch_format="pyarrow")
     )
+
+
+def iqr_outliers(ds, *, key: str, value_col: str, id_cols: list[str],
+                 k: float = 1.5, key_type: pa.DataType = pa.string(),
+                 value_fn=None):
+    """Tukey-fence outlier detection per group — the data-cleaning
+    composition: exact per-group (q1, q3) from :func:`group_quantiles`
+    (one bounded shuffle), fences ``lo = q1 − k·iqr`` / ``hi = q3 +
+    k·iqr`` built with the identical IEEE sequence as the SQL oracle
+    (q1/q3 are bit-equal interpolated cents), broadcast ONCE, then one
+    stateless vectorized filter map over the corpus — rows strictly
+    outside the fences come back as (*id_cols, key, cents, side∈
+    {'low','high'}). The fence table is key-domain-order (tiny); the
+    corpus never shuffles.
+    """
+    import ray
+
+    from ..kg.resources import broadcast, resolve
+    from .joins import broadcast_lookup
+    from .relational import cents as to_cents
+
+    def _cents(batch: pa.Table) -> pa.Array:
+        c = (value_fn(batch) if value_fn is not None
+             else to_cents(batch[value_col]))
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    q = group_quantiles(ds, key=key, value_cents=lambda b: _cents(b),
+                        qs=(0.25, 0.75), key_type=key_type)
+    lo_map: dict = {}
+    hi_map: dict = {}
+    q1_map: dict = {}
+    for b in q.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or key not in b.column_names:
+            continue
+        for kk, qq, qv in zip(b[key].to_pylist(), b["q"].to_pylist(),
+                              b["qv"].to_pylist()):
+            (q1_map if qq == 0.25 else hi_map)[kk] = qv
+    for kk, q1 in q1_map.items():
+        q3 = hi_map[kk]
+        iqr = q3 - q1
+        lo_map[kk] = q1 - k * iqr
+        hi_map[kk] = q3 + k * iqr
+    fence_keys = pa.array(sorted(q1_map), key_type)
+    lo_arr = np.array([lo_map[x] for x in sorted(q1_map)], np.float64)
+    hi_arr = np.array([hi_map[x] for x in sorted(q1_map)], np.float64)
+    try:
+        fences_ref = broadcast((fence_keys, lo_arr, hi_arr))
+    except Exception:
+        fences_ref = (fence_keys, lo_arr, hi_arr)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        fk, lo, hi = resolve(fences_ref)
+        c = _cents(batch)
+        cn = c.to_numpy(zero_copy_only=False).astype(np.float64)
+        # vectorized fence lookup: dictionary-index into the tiny table
+        ki = pc.index_in(pc.cast(batch[key].combine_chunks(), fk.type),
+                         value_set=fk)
+        kin = ki.to_numpy(zero_copy_only=False)
+        lo_v = lo[kin]
+        hi_v = hi[kin]
+        is_lo = cn < lo_v
+        is_hi = cn > hi_v
+        keep = pa.array(is_lo | is_hi)
+        t = pa.table({
+            **{col: batch[col] for col in id_cols},
+            key: batch[key],
+            "cents": pc.cast(c, pa.int64()),
+        }).filter(keep)
+        side = np.where(is_lo[is_lo | is_hi], "low", "high")
+        return t.append_column("side", pa.array(side.tolist(), pa.string()))
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)

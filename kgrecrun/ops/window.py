@@ -373,3 +373,201 @@ def group_rank_windows(sf_dir: str, *, events_ds=None):
     return _bucketed(ds, "user_id").groupby("__bucket").map_groups(
         rank_bucket, batch_format="pyarrow"
     )
+
+
+def global_rank(ds, *, value_col: str, id_col: str,
+                range_width_cents: int = 1000, value_fn=None):
+    """GLOBAL ranking windows — ROW_NUMBER / RANK / DENSE_RANK /
+    PERCENT_RANK over ``ORDER BY cents DESC, id ASC`` with no
+    partition key — WITHOUT a global sort: the pack.py range-prefix
+    pattern. Ranges are value slices (``range_id = cents // width``),
+    so every tie run is contained in exactly one range and global
+    ranks decompose into range offsets + local segment ranks:
+
+    1. tag (range_id, cents, id) — narrow projection, materialized
+       once (feeds both the offset reduce and the assignment);
+    2. per-range (rows, distinct-cents) totals via a map-side
+       (range, cents) combiner + two tiny reduces — the only
+       driver-collected state, bounded by the number of ranges;
+       the driver prefix-sums them in DESCENDING range order and
+       broadcasts {range: (row_offset, dense_offset)};
+    3. ``groupby(range).map_groups``: one sort per range, vectorized
+       tie-run masks, add the offsets.
+
+    Integers are bit-exact vs the SQL window oracle; percent_rank is
+    the single IEEE division ``(rank−1)/(N−1)`` rounded to 6 dp (0.0
+    when N == 1). Output: (id, cents, rn, rnk, drnk, pr6).
+
+    Scale contract: one range's rows must fit a worker — tune
+    ``range_width_cents`` so N / (domain/width) rows fit; a massively
+    hot single value (one tie run) cannot be split by any ranking
+    method and would need a pre-aggregated representation instead.
+    """
+    import ray
+
+    from ..kg.resources import broadcast, resolve
+    from .relational import cents as to_cents
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = (value_fn(batch) if value_fn is not None
+             else to_cents(batch[value_col]))
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cn = c.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__range": pa.array(cn // range_width_cents, pa.int64()),
+            "cents": c,
+            id_col: batch[id_col],
+        })
+
+    ranged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"__range": batch["__range"], "cents": batch["cents"]})
+        agg = t.group_by(["__range", "cents"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["__range", "cents", "cnt"])
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "__range": batch["__range"],
+            "rows_p": batch["cnt"],
+            "dist_p": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+        })
+        agg = t.group_by("__range").aggregate(
+            [("rows_p", "sum"), ("dist_p", "sum")])
+        return agg.rename_columns(["__range", "rows_p", "dist_p"])
+
+    per_range = (
+        ranged.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(["__range", "cents"]).sum("cnt")
+        .map_batches(lambda b: b.rename_columns(["__range", "cents", "cnt"]),
+                     batch_format="pyarrow")
+        .map_batches(range_partial, batch_format="pyarrow")
+        .groupby("__range").sum(["rows_p", "dist_p"])
+    )
+    rows_by_range: dict[int, int] = {}
+    dist_by_range: dict[int, int] = {}
+    for b in per_range.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "__range" not in b.column_names:
+            continue
+        b = b.rename_columns(["__range", "rows", "dist"])
+        for r, rw, dc in zip(b["__range"].to_pylist(),
+                             b["rows"].to_pylist(), b["dist"].to_pylist()):
+            rows_by_range[r] = rows_by_range.get(r, 0) + rw
+            dist_by_range[r] = dist_by_range.get(r, 0) + dc
+    n_total = sum(rows_by_range.values())
+    offsets: dict[int, tuple[int, int]] = {}
+    row_acc = dense_acc = 0
+    for r in sorted(rows_by_range, reverse=True):  # DESC value order
+        offsets[r] = (row_acc, dense_acc)
+        row_acc += rows_by_range[r]
+        dense_acc += dist_by_range[r]
+    try:
+        off_ref = broadcast((offsets, n_total))
+    except Exception:
+        off_ref = (offsets, n_total)
+
+    def assign(group: pa.Table) -> pa.Table:
+        offs, total = resolve(off_ref)
+        row_off, dense_off = offs[group["__range"][0].as_py()]
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("cents", "descending"), (id_col, "ascending")],
+        )
+        g = group.take(order)
+        c = g["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(c)
+        change = np.ones(n, dtype=bool)
+        change[1:] = c[1:] != c[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(change, idx, 0))
+        rn = row_off + idx + 1
+        rnk = row_off + run_start + 1
+        drnk = dense_off + np.cumsum(change)
+        if total > 1:
+            pr = (rnk - 1).astype(np.float64) / float(total - 1)
+        else:
+            pr = np.zeros(n, dtype=np.float64)
+        pr6 = pc.round(pa.array(pr, pa.float64()), ndigits=6,
+                       round_mode="half_towards_infinity")
+        return pa.table({
+            id_col: g[id_col],
+            "cents": g["cents"],
+            "rn": pa.array(rn, pa.int64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "drnk": pa.array(drnk, pa.int64()),
+            "pr6": pr6,
+        })
+
+    return ranged.groupby("__range").map_groups(
+        assign, batch_format="pyarrow"
+    )
+
+
+def retention_cohorts(sf_dir: str, *, events_ds=None):
+    """Cohort retention: users grouped by their first active day, count
+    of distinct users active at each day offset — the classic product-
+    analytics matrix. Output: (cohort_day int64 epoch-days, day_offset
+    int64, n_users int64).
+
+    Scale shape: each block collapses to its distinct (user, day) pairs
+    map-side; ONE bucketed shuffle co-locates a user's pairs
+    (``groupby(bucket(user))``, N_BUCKETS dispatch); one lexsort per
+    bucket finds every user's min day and emits (cohort, offset) partial
+    counts; a final tiny reduce sums them — bounded by cohorts × offsets
+    rows. Raw events never shuffle; no driver state, no broadcast (a
+    user→cohort broadcast would be corpus-order at 10⁹ users).
+    """
+    import ray.data
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    us_per_day = 86_400_000_000
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "day": pa.array(us // us_per_day, pa.int64()),
+        })
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def cohort_bucket(group: pa.Table) -> pa.Table:
+        # pairs may repeat across blocks: re-distinct inside the bucket
+        g = group.select(["user_id", "day"]).group_by(
+            ["user_id", "day"]).aggregate([])
+        order = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("day", "ascending")])
+        g = g.take(order)
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        cohort = day[seg_start]  # min day = first row of the sorted segment
+        t = pa.table({
+            "cohort_day": pa.array(cohort, pa.int64()),
+            "day_offset": pa.array(day - cohort, pa.int64()),
+            "one": pa.nulls(n, pa.int64()).fill_null(1),
+        })
+        agg = t.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("one", "sum")])
+        return agg.rename_columns(["cohort_day", "day_offset", "n_p"])
+
+    return (
+        _bucketed(pairs, "user_id").groupby("__bucket")
+        .map_groups(cohort_bucket, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"]).sum("n_p")
+        .map_batches(
+            lambda b: b.rename_columns(["cohort_day", "day_offset", "n_users"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -1244,3 +1244,120 @@ def test_value_histogram_floor_bins_negatives():
         "cnt": [2, 2, 1, 1, 2],
     })
     pd.testing.assert_frame_equal(df, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_rank_matches_duckdb_negatives_and_partitions():
+    """Distributed global rank (range-prefix, no sort) equals DuckDB
+    global window functions, including negative values (floor range
+    ids) and heavy ties; identical at any partitioning."""
+    import duckdb
+    import ray.data
+
+    from kgrecrun.ops.window import global_rank
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        # mixed-sign, coarse grid → ties, several ranges at width 1000
+        "value": pa.array((rng.randint(-40, 120, n) * 2.5), pa.float64()),
+    })
+    want = duckdb.connect().execute("""
+        WITH e AS (SELECT event_id,
+                          CAST(round(value*100) AS BIGINT) AS cents FROM t)
+        SELECT event_id, cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, event_id)
+                    AS BIGINT) AS rn,
+               CAST(RANK() OVER (ORDER BY cents DESC) AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER (ORDER BY cents DESC) AS BIGINT)
+                   AS drnk,
+               round(PERCENT_RANK() OVER (ORDER BY cents DESC), 6) AS pr6
+        FROM e ORDER BY event_id
+    """).fetch_df()
+    outs = []
+    for parts in (2, 17):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (global_rank(ds, value_col="value", id_col="event_id")
+              .to_pandas().sort_values("event_id").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    got = outs[0][["event_id", "cents", "rn", "rnk", "drnk", "pr6"]]
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+    # total order: rn is a permutation of 1..n
+    assert sorted(got["rn"]) == list(range(1, n + 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_iqr_outliers_fences_strict_and_exact():
+    """Tukey fences flag exactly the strict-outside rows, with the same
+    float fence sequence as SQL; boundary values stay inliers."""
+    import duckdb
+    import ray.data
+
+    from kgrecrun.ops.stats import iqr_outliers
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(100, 200, 400)  # tight core
+    tail = np.array([1, 2, 900, 1500, 155])  # low + high outliers
+    vals = np.concatenate([base, tail]) / 100.0
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(vals)), pa.int64()),
+        "event_type": pa.array(["a"] * len(vals)),
+        "value": pa.array(vals, pa.float64()),
+    })
+    want = duckdb.connect().execute("""
+        WITH e AS (SELECT event_id, event_type,
+                          CAST(round(value*100) AS BIGINT) AS cents FROM t),
+        q AS (SELECT event_type, quantile_cont(cents, 0.25) AS q1,
+                     quantile_cont(cents, 0.75) AS q3 FROM e GROUP BY 1),
+        b AS (SELECT event_type, q1 - 1.5*(q3-q1) AS lo,
+                     q3 + 1.5*(q3-q1) AS hi FROM q)
+        SELECT e.event_id, e.event_type, e.cents,
+               CASE WHEN CAST(e.cents AS DOUBLE) < b.lo THEN 'low'
+                    ELSE 'high' END AS side
+        FROM e JOIN b USING (event_type)
+        WHERE CAST(e.cents AS DOUBLE) < b.lo OR CAST(e.cents AS DOUBLE) > b.hi
+        ORDER BY event_id
+    """).fetch_df()
+    ds = ray.data.from_arrow(t).repartition(4)
+    df = (iqr_outliers(ds, key="event_type", value_col="value",
+                       id_cols=["event_id"])
+          .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        df[["event_id", "event_type", "cents", "side"]],
+        want[["event_id", "event_type", "cents", "side"]])
+    assert set(df["side"]) == {"low", "high"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_cohorts_counts_distinct_users():
+    """Cohort counts equal the pandas reference; repeat events on one
+    day count once; partitioning-invariant."""
+    import ray.data
+
+    from kgrecrun.ops.window import retention_cohorts
+
+    day_us = 86_400_000_000
+    # user 1: days 0,0,1,3 ; user 2: days 1,1 ; user 3: days 0,3
+    rows = [(1, 0), (1, 0), (1, 1), (1, 3), (2, 1), (2, 1), (3, 0), (3, 3)]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([d * day_us + 12345 for _, d in rows],
+                       pa.timestamp("us")),
+    })
+    outs = []
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (retention_cohorts(None, events_ds=ds).to_pandas()
+              .sort_values(["cohort_day", "day_offset"])
+              .reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    want = pd.DataFrame({
+        "cohort_day": [0, 0, 0, 1],
+        "day_offset": [0, 1, 3, 0],
+        "n_users": [2, 1, 2, 1],
+    })
+    pd.testing.assert_frame_equal(df, want)
