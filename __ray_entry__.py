@@ -1068,6 +1068,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def shipping_priority(sf_dir: str):
+        """TPC-H Q3-shaped multi-join flagship: segment semi-join +
+        read-pushed date predicates + map-side revenue combiner +
+        bucketed order⋈revenue cogroup + distributed top-10
+        (ops/relational.py shipping_priority)."""
+        from kgrecrun.ops.relational import shipping_priority as sp
+
+        return sp(sf_dir)
+
     def events_tumbling(sf_dir: str):
         """Tumbling 1-hour windows per event_type = hopping windows
         with hop == width (each event lands in exactly one window)."""
@@ -1159,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_rank": events_global_rank,
         "events_outliers": events_outliers,
         "user_retention": user_retention,
+        "shipping_priority": shipping_priority,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1784,6 +1794,33 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "shipping_priority": """
+            WITH c AS (
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            ), o AS (
+                SELECT o_orderkey,
+                       CAST(floor(epoch_us(o_orderdate) / 86400000000)
+                            AS BIGINT) AS o_date_day,
+                       o_orderpriority
+                FROM orders
+                WHERE o_orderdate < TIMESTAMP '1996-06-01'
+                  AND o_custkey IN (SELECT c_custkey FROM c)
+            ), r AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(round((l_extendedprice
+                                * (1 - l_discount)) * 100) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1996-06-01'
+                GROUP BY 1
+            )
+            SELECT o.o_orderkey, r.revenue_cents, o.o_date_day,
+                   o.o_orderpriority
+            FROM r JOIN o USING (o_orderkey)
+            ORDER BY r.revenue_cents DESC, o.o_date_day, o.o_orderkey
+            LIMIT 10
         """,
         "user_retention": """
             WITH d AS (

@@ -40,6 +40,7 @@ def bucket_join(
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
     right_distinct: bool = False,
+    left_agg_sum: list[str] | None = None,
 ):
     """Join two Datasets on ``key`` via ONE bucketed cogroup shuffle.
 
@@ -54,6 +55,12 @@ def bucket_join(
     Pass ``left_schema``/``right_schema`` when a side may arrive as
     empty schemaless blocks (Ray loses the schema of all-empty
     Datasets).
+
+    ``left_agg_sum``: treat the left side as map-side PARTIALS — the
+    named int columns are summed per key inside each bucket before the
+    join (all partials of a key hash to the same bucket, so the global
+    sum is exact). This fuses an aggregate-then-join (two all-to-all
+    exchanges) into the join's single shuffle.
     """
     if join_type not in _JOIN_TYPES:
         raise ValueError(f"join_type must be one of {_JOIN_TYPES}")
@@ -67,6 +74,10 @@ def bucket_join(
     clash = set(l_payload) & set(r_payload)
     if clash:
         raise ValueError(f"column collision across join sides: {sorted(clash)}")
+    if left_agg_sum and set(l_payload) != set(left_agg_sum):
+        raise ValueError(
+            "left_agg_sum must name every non-key left column; left has "
+            f"{l_payload}, got {left_agg_sum}")
     key_type = ls.field(key).type
 
     out_fields = [(key, key_type)] + [(n, ls.field(n).type) for n in l_payload]
@@ -111,6 +122,10 @@ def bucket_join(
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group["__side"]
         lt = group.filter(pc.equal(side, 0)).select([key, *l_payload])
+        if left_agg_sum:
+            lt = (lt.group_by(key)
+                  .aggregate([(c, "sum") for c in left_agg_sum])
+                  .rename_columns([key, *left_agg_sum]))
         rt = (
             group.filter(pc.equal(side, 1))
             .select([key, *pref])

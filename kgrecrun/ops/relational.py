@@ -12,6 +12,7 @@ summation order — the oracle SQL in ``__ray_entry__.py`` mirrors this.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -337,3 +338,120 @@ def daily_activity_outer(sf_dir: str):
         left_schema=pa.schema([("day", pa.string()), ("n_events", pa.int64())]),
         right_schema=pa.schema([("day", pa.string()), ("n_orders", pa.int64())]),
     )
+
+
+def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
+                      cutoff: str = "1996-06-01", k: int = 10):
+    """TPC-H Q3-shaped pipeline — the multi-join flagship: revenue of
+    undelivered-as-of-``cutoff`` orders for one market segment, top-k.
+
+        customer(σ segment) ⋉ orders(σ date<cutoff)
+                ⋈ Σ_lineitem(σ shipdate>cutoff) revenue   → top-k
+
+    Scale shape, stage by stage: both date filters are PUSHED TO THE
+    READ (pyarrow row-group predicates — pruned row groups never leave
+    storage); the segment side ships only distinct custkeys into the
+    semi-join's bucketed cogroup; lineitem revenue pre-aggregates per
+    orderkey map-side so the groupby shuffle carries one row per
+    (block, orderkey); the order⋈revenue join is a bucketed cogroup
+    (both sides large at scale — no broadcast); top-k is local-k per
+    block then one ≤ k·blocks reduce. Revenue is
+    ``round((extprice·(1−disc))·100)`` int64 cents — the identical
+    IEEE sequence as the SQL oracle.
+
+    Output: (o_orderkey, revenue_cents, o_date_day, o_orderpriority),
+    the k highest revenues (ties: earlier date, then lower orderkey).
+    """
+    import ray.data
+
+    from .cogroup import bucket_join
+    from .joins import semi_join
+
+    cutoff_us = int(
+        np.datetime64(cutoff, "us").astype("datetime64[us]").astype(np.int64)
+    )
+    day_us = 86_400_000_000
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == segment),
+    ).map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def order_proj(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "o_date_day": pa.array(us // day_us, pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate")
+                < pa.scalar(cutoff_us, pa.timestamp("us"))),
+    ).map_batches(order_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    # one market segment's custkeys are the canonical broadcast-side
+    # (~1/5 of customers); the threshold keeps the zero-shuffle path
+    # for anything that fits one object comfortably and falls back to
+    # the bucketed cogroup beyond it (500M-customer regime)
+    orders = semi_join(orders, cust, "o_custkey",
+                       broadcast_threshold=4_000_000)
+    orders = orders.drop_columns(["o_custkey"])
+
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        disc = batch["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        rc = pc.cast(
+            pc.round(pa.array((ep * (1.0 - disc)) * 100.0, pa.float64()),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        t = pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "revenue_cents": rc,
+        })
+        agg = t.group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
+        return agg.rename_columns(["o_orderkey", "revenue_cents"])
+
+    revenue = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pc.field("l_shipdate")
+                > pa.scalar(cutoff_us, pa.timestamp("us"))),
+    ).map_batches(revenue_partial, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    # left_agg_sum fuses the per-orderkey revenue reduce INTO the join's
+    # bucket cogroup — one all-to-all instead of groupby + join
+    joined = bucket_join(
+        revenue, orders, key="o_orderkey",
+        left_agg_sum=["revenue_cents"],
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("revenue_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_date_day", pa.int64()),
+                                ("o_orderpriority", pa.string())]),
+    )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[
+            ("revenue_cents", "descending"),
+            ("o_date_day", "ascending"),
+            ("o_orderkey", "ascending"),
+        ])
+        return batch.take(order.slice(0, k)).select(
+            ["o_orderkey", "revenue_cents", "o_date_day", "o_orderpriority"])
+
+    return joined.map_batches(topk, batch_format="pyarrow").repartition(1)\
+        .map_batches(topk, batch_format="pyarrow")

@@ -1361,3 +1361,36 @@ def test_retention_cohorts_counts_distinct_users():
         "n_users": [2, 1, 2, 1],
     })
     pd.testing.assert_frame_equal(df, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucket_join_left_agg_sum_fuses_reduce():
+    """left_agg_sum sums left partials per key inside the bucket before
+    joining — equal to groupby-then-join; rejects unaggregated payload
+    columns."""
+    import ray.data
+
+    from kgrecrun.ops.cogroup import bucket_join
+
+    rng = np.random.RandomState(2)
+    keys = rng.randint(0, 50, 4000)
+    vals = rng.randint(1, 100, 4000)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    })).repartition(7)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(0, 60, 2), pa.int64()),
+        "name": pa.array([f"r{i}" for i in range(0, 60, 2)]),
+    }))
+    df = (bucket_join(left, right, key="k", left_agg_sum=["v"])
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (pd.DataFrame({"k": keys, "v": vals}).groupby("k", as_index=False)
+            .sum().merge(pd.DataFrame(
+                {"k": list(range(0, 60, 2)),
+                 "name": [f"r{i}" for i in range(0, 60, 2)]}), on="k")
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(df[["k", "v", "name"]],
+                                  want[["k", "v", "name"]])
+    with pytest.raises(ValueError, match="left_agg_sum"):
+        bucket_join(left, right, key="k", left_agg_sum=["nope"])
