@@ -1068,6 +1068,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def user_event_type_agg(sf_dir: str):
+        """SQL string_agg(event_type, ',' ORDER BY event_type) per user
+        — vectorized ListArray + binary_join per bucket, no per-key
+        Python (ops/window.py group_string_agg)."""
+        import ray.data
+
+        from kgrecrun.ops.window import group_string_agg
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        return group_string_agg(ds, key="user_id", value_col="event_type")
+
+    def weekly_active_users(sf_dir: str):
+        """Rolling 7-day distinct active users per day (WAU) — local
+        window expansion + dedupe inside one bucketed shuffle
+        (ops/window.py rolling_active_users)."""
+        from kgrecrun.ops.window import rolling_active_users
+
+        return rolling_active_users(sf_dir, window_days=7)
+
     def shipping_priority(sf_dir: str):
         """TPC-H Q3-shaped multi-join flagship: segment semi-join +
         read-pushed date predicates + map-side revenue combiner +
@@ -1169,6 +1190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": events_outliers,
         "user_retention": user_retention,
         "shipping_priority": shipping_priority,
+        "user_event_type_agg": user_event_type_agg,
+        "weekly_active_users": weekly_active_users,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1794,6 +1817,26 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "user_event_type_agg": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY event_type) AS agg
+            FROM events GROUP BY 1
+        """,
+        "weekly_active_users": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                           AS day
+                FROM events
+            ), w AS (
+                SELECT DISTINCT user_id, day + t.i AS wd
+                FROM d CROSS JOIN range(7) t(i)
+            ), m AS (
+                SELECT MAX(day) AS md FROM d
+            )
+            SELECT wd AS day, COUNT(*) AS n_users
+            FROM w, m WHERE wd <= m.md GROUP BY 1
         """,
         "shipping_priority": """
             WITH c AS (

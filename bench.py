@@ -95,7 +95,7 @@ def bench_main() -> None:
         "lineitem_qty_price_corr", "events_value_zscore",
         "user_value_rank", "user_event_gini", "events_value_histogram",
         "events_global_rank", "events_outliers", "user_retention",
-        "shipping_priority",
+        "shipping_priority", "user_event_type_agg", "weekly_active_users",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

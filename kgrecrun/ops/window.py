@@ -571,3 +571,113 @@ def retention_cohorts(sf_dir: str, *, events_ds=None):
             batch_format="pyarrow",
         )
     )
+
+
+def group_string_agg(ds, *, key: str, value_col: str, sep: str = ",",
+                     key_type: pa.DataType = pa.int64()):
+    """SQL ``string_agg(value, sep ORDER BY value)`` per group, fully
+    vectorized: one lexsort per bucket, then the bucket's segments
+    become a single Arrow ListArray (offsets = segment starts) joined
+    by ``pc.binary_join`` — no per-key Python, no per-key string
+    concatenation loop. Deterministic: values sort ascending (ties keep
+    duplicates — SQL multiset semantics). Output: (key, agg string).
+
+    Scale contract: a group's concatenated string must fit a worker's
+    string budget — this is inherent to string_agg everywhere.
+    """
+
+    def agg_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(key, "ascending"), (value_col, "ascending")],
+        )
+        g = group.take(order)
+        ka = g[key].combine_chunks()
+        vals = pc.cast(g[value_col].combine_chunks(), pa.string())
+        n = len(ka)
+        new_key = np.ones(n, dtype=bool)
+        eq = pc.equal(ka.slice(1), ka.slice(0, n - 1))
+        new_key[1:] = ~eq.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(new_key)
+        offsets = pa.array(np.append(starts, n).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, vals)
+        joined = pc.binary_join(lists, sep)
+        return pa.table({
+            key: pc.cast(ka.take(pa.array(starts, pa.int64())), key_type),
+            "agg": joined,
+        })
+
+    return _bucketed(ds, key).groupby("__bucket").map_groups(
+        agg_bucket, batch_format="pyarrow"
+    )
+
+
+def rolling_active_users(sf_dir: str, *, window_days: int = 7,
+                         events_ds=None):
+    """Rolling W-day distinct active users per day (the DAU/WAU
+    metric): for each day d, the count of users with ≥1 event in
+    [d−W+1, d]. Output: (day int64 epoch-days, n_users int64), clipped
+    to days ≤ the max observed event day (trailing windows would
+    otherwise emit W−1 ghost days past the end of the data).
+
+    Scale shape: blocks collapse to distinct (user, day) pairs
+    map-side; ONE bucketed shuffle co-locates a user's pairs; inside
+    the bucket each user's days expand to their W trailing window days
+    and DEDUPE LOCALLY (a user counts once per window day no matter
+    how many active days fall in the window) — the classic replication
+    trick, but the dedupe never leaves the worker; a final tiny
+    groupby(day) sums per-bucket partials. Raw events never shuffle.
+    """
+    import ray.data
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    us_per_day = 86_400_000_000
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "day": pa.array(us // us_per_day, pa.int64()),
+        })
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    # materialized: feeds both the window expansion and the max-day
+    # bound below (narrow distinct pairs — object-store resident)
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def window_bucket(group: pa.Table) -> pa.Table:
+        g = group.select(["user_id", "day"]).group_by(
+            ["user_id", "day"]).aggregate([])
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        # replicate each active day to its W trailing window days
+        w = np.arange(window_days, dtype=np.int64)
+        wd = (day[:, None] + w[None, :]).ravel()
+        wu = np.repeat(uid, window_days)
+        t = pa.table({
+            "user_id": pa.array(wu, pa.int64()),
+            "day": pa.array(wd, pa.int64()),
+        })
+        # local dedupe: one user counts once per window day
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        cnt = t.group_by("day").aggregate([([], "count_all")])
+        return cnt.rename_columns(["day", "n_p"])
+
+    counts = (
+        _bucketed(pairs, "user_id").groupby("__bucket")
+        .map_groups(window_bucket, batch_format="pyarrow")
+        .groupby("day").sum("n_p")
+        .map_batches(lambda b: b.rename_columns(["day", "n_users"]),
+                     batch_format="pyarrow")
+    )
+    # clip trailing ghost days (windows extending past the last
+    # observed event day) with a broadcast max-day bound
+    max_day = pairs.max("day")
+
+    def clip(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["day"], max_day))
+
+    return counts.map_batches(clip, batch_format="pyarrow")

@@ -1394,3 +1394,49 @@ def test_bucket_join_left_agg_sum_fuses_reduce():
                                   want[["k", "v", "name"]])
     with pytest.raises(ValueError, match="left_agg_sum"):
         bucket_join(left, right, key="k", left_agg_sum=["nope"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_string_agg_ordered_multiset():
+    """string_agg keeps duplicates, sorts values ascending, and is
+    partitioning-invariant."""
+    import ray.data
+
+    from kgrecrun.ops.window import group_string_agg
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array(["b", "a", "b", "z", "a", "solo"]),
+    })
+    outs = []
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (group_string_agg(ds, key="k", value_col="v").to_pandas()
+              .sort_values("k").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    assert outs[0]["agg"].tolist() == ["a,b,b", "a,z", "solo"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_active_users_window_and_clip():
+    """WAU counts each user once per trailing window day; trailing ghost
+    days past the max observed day are clipped."""
+    import ray.data
+
+    from kgrecrun.ops.window import rolling_active_users
+
+    day_us = 86_400_000_000
+    # user 1 active days 0,1 ; user 2 active day 2 ; max day = 2
+    rows = [(1, 0), (1, 0), (1, 1), (2, 2)]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([d * day_us + 7 for _, d in rows], pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    df = (rolling_active_users(None, window_days=3, events_ds=ds)
+          .to_pandas().sort_values("day").reset_index(drop=True))
+    # day0: {1}, day1: {1} (deduped across its two active days),
+    # day2: {1 (from day1), 2}; days 3,4 clipped
+    want = pd.DataFrame({"day": [0, 1, 2], "n_users": [1, 1, 2]})
+    pd.testing.assert_frame_equal(df, want)
