@@ -428,31 +428,29 @@ def global_rank(ds, *, value_col: str, id_col: str,
         agg = t.group_by(["__range", "cents"]).aggregate([([], "count_all")])
         return agg.rename_columns(["__range", "cents", "cnt"])
 
-    def range_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({
-            "__range": batch["__range"],
-            "rows_p": batch["cnt"],
-            "dist_p": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+    def range_stats(group: pa.Table) -> pa.Table:
+        # dedupe the (cents, cnt) partials of ONE range: rows = Σcnt,
+        # distinct = |distinct cents| — a single-key groupby over
+        # combiner rows (a 2-key global (range,cents) reduce measured
+        # 6× slower at 1M rows for the same answer)
+        return pa.table({
+            "__range": group["__range"].slice(0, 1),
+            "rows": pa.array(
+                [pc.sum(group["cnt"]).as_py() or 0], pa.int64()),
+            "dist": pa.array(
+                [pc.count_distinct(group["cents"]).as_py()], pa.int64()),
         })
-        agg = t.group_by("__range").aggregate(
-            [("rows_p", "sum"), ("dist_p", "sum")])
-        return agg.rename_columns(["__range", "rows_p", "dist_p"])
 
     per_range = (
         ranged.map_batches(pair_partial, batch_format="pyarrow",
                            zero_copy_batch=True)
-        .groupby(["__range", "cents"]).sum("cnt")
-        .map_batches(lambda b: b.rename_columns(["__range", "cents", "cnt"]),
-                     batch_format="pyarrow")
-        .map_batches(range_partial, batch_format="pyarrow")
-        .groupby("__range").sum(["rows_p", "dist_p"])
+        .groupby("__range").map_groups(range_stats, batch_format="pyarrow")
     )
     rows_by_range: dict[int, int] = {}
     dist_by_range: dict[int, int] = {}
     for b in per_range.iter_batches(batch_format="pyarrow"):
         if b.num_rows == 0 or "__range" not in b.column_names:
             continue
-        b = b.rename_columns(["__range", "rows", "dist"])
         for r, rw, dc in zip(b["__range"].to_pylist(),
                              b["rows"].to_pylist(), b["dist"].to_pylist()):
             rows_by_range[r] = rows_by_range.get(r, 0) + rw
