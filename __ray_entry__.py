@@ -1068,6 +1068,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def term_pairs_lift(sf_dir: str):
+        """Top-50 co-occurring term pairs with fixed-point lift
+        (rational PMI) over documents — bucketed pair reduce,
+        broadcast df arrays (ops/index.py term_cooccurrence)."""
+        import ray.data
+
+        from kgrecrun.ops.index import term_cooccurrence
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return term_cooccurrence(ds, min_count=5, k=50)
+
+    def events_daily_dense(sf_dir: str):
+        """Gap-filled per-event-type daily counts: one row per key per
+        day in [min_day, max_day], zeros where silent (ops/temporal.py
+        densify_daily)."""
+        from kgrecrun.ops.temporal import densify_daily
+
+        return densify_daily(sf_dir)
+
     def user_event_type_agg(sf_dir: str):
         """SQL string_agg(event_type, ',' ORDER BY event_type) per user
         — vectorized ListArray + binary_join per bucket, no per-key
@@ -1192,6 +1213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": shipping_priority,
         "user_event_type_agg": user_event_type_agg,
         "weekly_active_users": weekly_active_users,
+        "term_pairs_lift": term_pairs_lift,
+        "events_daily_dense": events_daily_dense,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1817,6 +1840,52 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "term_pairs_lift": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       (list_sort(list_distinct({_TOKS})))[1:256] AS ws
+                FROM documents
+            ), pairs AS (
+                SELECT t1.w1, t2.w2, COUNT(*) AS pair_count
+                FROM toks, UNNEST(ws) t1(w1), UNNEST(ws) t2(w2)
+                WHERE t1.w1 < t2.w2
+                GROUP BY 1, 2 HAVING COUNT(*) >= 5
+            ), df AS (
+                SELECT w AS term, COUNT(*) AS df
+                FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+                GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS nd FROM documents)
+            SELECT p.w1, p.w2, p.pair_count,
+                   CAST((CAST(p.pair_count AS HUGEINT) * n.nd * 1000000)
+                        // (CAST(d1.df AS HUGEINT) * d2.df)
+                        AS BIGINT) AS lift_fp
+            FROM pairs p
+            CROSS JOIN n
+            JOIN df d1 ON d1.term = p.w1
+            JOIN df d2 ON d2.term = p.w2
+            ORDER BY p.pair_count DESC, p.w1, p.w2
+            LIMIT 50
+        """,
+        "events_daily_dense": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                           AS day
+                FROM events
+            ), r AS (
+                SELECT MIN(day) AS lo, MAX(day) AS hi FROM b
+            ), days AS (
+                SELECT unnest(range(lo, hi + 1)) AS day FROM r
+            ), keys AS (
+                SELECT DISTINCT event_type FROM b
+            ), c AS (
+                SELECT event_type, day, COUNT(*) AS n FROM b GROUP BY 1, 2
+            )
+            SELECT k.event_type, d.day,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+            FROM keys k CROSS JOIN days d
+            LEFT JOIN c ON k.event_type = c.event_type AND d.day = c.day
         """,
         "user_event_type_agg": """
             SELECT user_id,

@@ -94,3 +94,134 @@ def postings(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     return exploded.groupby("term").map_groups(build, batch_format="pyarrow")
+
+
+def term_cooccurrence(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      max_terms_per_doc: int = 256, min_count: int = 5,
+                      k: int = 50, n_buckets: int = 64):
+    """Top-k co-occurring term pairs with a fixed-point LIFT score —
+    the phrase-mining / PMI primitive. For each document take the
+    lexicographically-first ``max_terms_per_doc`` DISTINCT tokens
+    (deterministic, SQL-mirrorable cap), emit ordered pairs (w1 < w2),
+    count pairs corpus-wide, keep counts ≥ ``min_count`` and score
+
+        lift_fp = (c12 · N · 10⁶) // (c1 · c2)     [exact integers]
+
+    — lift is exp(PMI); kept rational in scaled-int64 floor arithmetic
+    because libm ``log`` differs by 1 ulp across engines (the
+    ops/rank.py BM25 trade). Output: (w1, w2, pair_count, lift_fp),
+    the k most frequent pairs (ties: lexicographic).
+
+    Scale shape: pair partials combine per block (Counter → ≤ distinct
+    pairs in the block), the pair reduce is hash-BUCKETED (single-key
+    groupby at ``n_buckets`` dispatch, arrow 2-key sum inside); term
+    document-frequencies ride the existing term_stats combiner and are
+    broadcast ONCE as parallel arrays (vectorized index_in lookup).
+    BOUNDED-VOCAB CONTRACT: the df broadcast is vocabulary-order — at
+    web scale prune the vocabulary first (min_df / stopword cap) or
+    swap the broadcast for two bucket_joins of df onto the pair table.
+    """
+    from itertools import combinations
+
+    import numpy as np
+
+    from ..kg.unionfind import hash_bucket
+
+    def tokset(t: str | None) -> list[str]:
+        return sorted(set(ascii_words((t or "").lower())))[:max_terms_per_doc]
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            cnt.update(combinations(tokset(t), 2))
+        keys = sorted(cnt)
+        t = pa.table({
+            "w1": pa.array([a for a, _ in keys], pa.string()),
+            "w2": pa.array([b for _, b in keys], pa.string()),
+            "c_p": pa.array([cnt[p] for p in keys], pa.int64()),
+        })
+        return t.append_column(
+            "__bucket",
+            hash_bucket(pc.binary_join_element_wise(
+                t["w1"], t["w2"], "\x1f").combine_chunks(), n_buckets),
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            df.update(tokset(t))
+        ws = sorted(df)
+        return pa.table({
+            "term": pa.array(ws, pa.string()),
+            "df_p": pa.array([df[w] for w in ws], pa.int64()),
+        })
+
+    n_docs = ds.count()
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("term").sum("df_p")
+    )
+    terms: list[str] = []
+    dfs: list[int] = []
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "term" not in b.column_names:
+            continue
+        terms.extend(b["term"].to_pylist())
+        dfs.extend(b.column(1).to_pylist())
+    order = np.argsort(np.array(terms, dtype=object), kind="stable")
+    term_arr = pa.array([terms[i] for i in order], pa.string())
+    df_arr = np.array([dfs[i] for i in order], np.int64)
+
+    import ray
+
+    from ..kg.resources import broadcast, resolve
+
+    try:
+        df_ref = broadcast((term_arr, df_arr))
+    except Exception:
+        df_ref = (term_arr, df_arr)
+
+    def sum_bucket(group: pa.Table) -> pa.Table:
+        agg = group.select(["w1", "w2", "c_p"]).group_by(
+            ["w1", "w2"]).aggregate([("c_p", "sum")])
+        agg = agg.rename_columns(["w1", "w2", "pair_count"])
+        agg = agg.filter(pc.greater_equal(agg["pair_count"], min_count))
+        if agg.num_rows == 0:
+            return pa.table({
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "pair_count": pa.array([], pa.int64()),
+                "lift_fp": pa.array([], pa.int64()),
+            })
+        ta, da = resolve(df_ref)
+        i1 = pc.index_in(agg["w1"].combine_chunks(), value_set=ta)
+        i2 = pc.index_in(agg["w2"].combine_chunks(), value_set=ta)
+        c1 = da[i1.to_numpy(zero_copy_only=False)]
+        c2 = da[i2.to_numpy(zero_copy_only=False)]
+        c12 = agg["pair_count"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        # exact python-int floor division (no int64 overflow at any N)
+        lift = [int(a) * n_docs * 1_000_000 // (int(x) * int(y))
+                for a, x, y in zip(c12, c1, c2)]
+        agg = agg.append_column("lift_fp", pa.array(lift, pa.int64()))
+        return _pair_topk(agg, k)
+
+    local = (
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(sum_bucket, batch_format="pyarrow")
+    )
+    return local.repartition(1).map_batches(
+        lambda b: _pair_topk(b, k), batch_format="pyarrow")
+
+
+def _pair_topk(t: pa.Table, k: int) -> pa.Table:
+    order = pc.sort_indices(t, sort_keys=[
+        ("pair_count", "descending"),
+        ("w1", "ascending"),
+        ("w2", "ascending"),
+    ])
+    return t.take(order.slice(0, k))

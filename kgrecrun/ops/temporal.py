@@ -379,3 +379,83 @@ def hopping_window_agg(
         ),
         batch_format="pyarrow",
     )
+
+
+def densify_daily(sf_dir: str, *, key: str = "event_type",
+                  events_ds=None, n_buckets: int = 256):
+    """Time-series gap fill (densification): per key, one row for EVERY
+    day in the corpus' [min_day, max_day] range, zero-filled where the
+    key had no events — the prerequisite for rolling averages /
+    charting / seasonality models that assume a dense time axis.
+    Output: (key, day int64 epoch-days, n_events int64).
+
+    Scale shape: the day counts reduce map-side to (key, day) partials
+    (ONE small shuffle, keys×days rows); the global [min_day, max_day]
+    bound is two native scalar aggregates broadcast as plain ints; gap
+    rows are GENERATED inside the bucketed cogroup (np.arange per key
+    segment) — the dense matrix never exists on the driver. Output is
+    keys×range_days rows; a multi-year corpus with a huge key domain
+    should densify per partition window instead.
+    """
+    import ray.data
+
+    from ..kg.unionfind import hash_bucket
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=[key, "ts"]
+    )
+    us_per_day = 86_400_000_000
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            key: batch[key],
+            "day": pa.array(us // us_per_day, pa.int64()),
+            "one": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+        })
+        agg = t.group_by([key, "day"]).aggregate([("one", "sum")])
+        return agg.rename_columns([key, "day", "n_p"])
+
+    # narrow (key, day, n_p) partials feed the range bound AND the fill
+    counts = ds.map_batches(day_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    lo = counts.min("day")
+    hi = counts.max("day")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", hash_bucket(batch[key].combine_chunks(), n_buckets))
+
+    def fill_bucket(group: pa.Table) -> pa.Table:
+        agg = group.select([key, "day", "n_p"]).group_by(
+            [key, "day"]).aggregate([("n_p", "sum")])
+        agg = agg.rename_columns([key, "day", "n_events"])
+        order = pc.sort_indices(
+            agg, sort_keys=[(key, "ascending"), ("day", "ascending")])
+        g = agg.take(order)
+        ka = g[key].combine_chunks()
+        day = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        nev = g["n_events"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(day)
+        new_key = np.ones(n, dtype=bool)
+        eq = pc.equal(ka.slice(1), ka.slice(0, n - 1))
+        new_key[1:] = ~eq.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(new_key)
+        span = hi - lo + 1
+        # dense frame: one contiguous [lo, hi] stripe per key segment
+        n_keys = len(starts)
+        out_day = np.tile(np.arange(lo, hi + 1, dtype=np.int64), n_keys)
+        out_key = ka.take(pa.array(np.repeat(starts, span), pa.int64()))
+        out_n = np.zeros(n_keys * span, dtype=np.int64)
+        seg_of_row = np.repeat(np.arange(n_keys), np.diff(
+            np.append(starts, n)))
+        out_n[seg_of_row * span + (day - lo)] = nev
+        return pa.table({
+            key: out_key,
+            "day": pa.array(out_day, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+        })
+
+    return counts.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True)\
+        .groupby("__bucket").map_groups(fill_bucket, batch_format="pyarrow")

@@ -1440,3 +1440,68 @@ def test_rolling_active_users_window_and_clip():
     # day2: {1 (from day1), 2}; days 3,4 clipped
     want = pd.DataFrame({"day": [0, 1, 2], "n_users": [1, 1, 2]})
     pd.testing.assert_frame_equal(df, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_term_cooccurrence_lift_and_cap():
+    """Pair counts, the min_count gate, the exact fixed-point lift and
+    the per-doc distinct cap all match a hand computation; invariant to
+    partitioning."""
+    import ray.data
+
+    from kgrecrun.ops.index import term_cooccurrence
+
+    docs = (["alpha beta gamma"] * 6 + ["alpha beta"] * 2
+            + ["beta gamma delta"] * 3 + ["zeta eta"])
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+    })
+    outs = []
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (term_cooccurrence(ds, min_count=3, k=10).to_pandas()
+              .reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0].set_index(["w1", "w2"])
+    n = len(docs)
+    # alpha-beta: 8 docs; df(alpha)=8, df(beta)=11
+    assert df.loc[("alpha", "beta"), "pair_count"] == 8
+    assert df.loc[("alpha", "beta"), "lift_fp"] == 8 * n * 10**6 // (8 * 11)
+    # beta-gamma: 9; alpha-gamma: 6; delta pairs only 3
+    assert df.loc[("beta", "gamma"), "pair_count"] == 9
+    assert df.loc[("beta", "delta"), "pair_count"] == 3
+    assert ("zeta", "eta") not in df.index  # below min_count
+    # ordering: count desc then lexicographic
+    assert outs[0]["pair_count"].is_monotonic_decreasing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_densify_daily_fills_gaps_with_zeros():
+    """Every key gets one row per day of the global range; silent days
+    are zero; counts survive any partitioning."""
+    import ray.data
+
+    from kgrecrun.ops.temporal import densify_daily
+
+    day_us = 86_400_000_000
+    rows = [("a", 10), ("a", 10), ("a", 13), ("b", 11)]
+    t = pa.table({
+        "event_type": pa.array([k for k, _ in rows]),
+        "ts": pa.array([d * day_us + 5 for _, d in rows],
+                       pa.timestamp("us")),
+    })
+    outs = []
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (densify_daily(None, events_ds=ds).to_pandas()
+              .sort_values(["event_type", "day"]).reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    assert len(df) == 8  # 2 keys x days 10..13
+    a = df[df["event_type"] == "a"]["n_events"].tolist()
+    b = df[df["event_type"] == "b"]["n_events"].tolist()
+    assert a == [2, 0, 0, 1]
+    assert b == [0, 1, 0, 0]
