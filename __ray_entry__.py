@@ -1068,6 +1068,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def docs_segment_dedup(sf_dir: str):
+        """Sub-document segment dedup + reassembly (the CCNet-style
+        line dedup): keep each 10-token window only at its globally
+        first (doc_id, seg_no) occurrence, re-concatenate survivors
+        per doc (ops/dedup.py segment_dedup_docs)."""
+        import ray.data
+
+        from kgrecrun.ops.dedup import segment_dedup_docs
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return segment_dedup_docs(ds)
+
     def term_pairs_lift(sf_dir: str):
         """Top-50 co-occurring term pairs with fixed-point lift
         (rational PMI) over documents — bucketed pair reduce,
@@ -1215,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": weekly_active_users,
         "term_pairs_lift": term_pairs_lift,
         "events_daily_dense": events_daily_dense,
+        "docs_segment_dedup": docs_segment_dedup,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1840,6 +1855,37 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "docs_segment_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), idx AS (
+                SELECT doc_id, ws,
+                       unnest(range(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)
+                                       + 1)) AS seg_no
+                FROM toks
+            ), seg AS (
+                SELECT doc_id, seg_no,
+                       array_to_string(
+                           ws[(seg_no - 1) * 10 + 1 : seg_no * 10],
+                           ' ') AS seg
+                FROM idx
+            ), win AS (
+                SELECT seg,
+                       MIN(doc_id * 1048576 + seg_no) AS word
+                FROM seg GROUP BY 1
+            ), keep AS (
+                SELECT s.doc_id, s.seg_no, s.seg
+                FROM seg s JOIN win w
+                  ON s.seg = w.seg
+                 AND s.doc_id * 1048576 + s.seg_no = w.word
+            )
+            SELECT doc_id,
+                   string_agg(seg, ' ' ORDER BY seg_no) AS text_clean
+            FROM keep GROUP BY 1
         """,
         "term_pairs_lift": f"""
             WITH toks AS (

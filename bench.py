@@ -96,7 +96,7 @@ def bench_main() -> None:
         "user_value_rank", "user_event_gini", "events_value_histogram",
         "events_global_rank", "events_outliers", "user_retention",
         "shipping_priority", "user_event_type_agg", "weekly_active_users",
-        "term_pairs_lift", "events_daily_dense",
+        "term_pairs_lift", "events_daily_dense", "docs_segment_dedup",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

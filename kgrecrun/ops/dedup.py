@@ -603,3 +603,144 @@ def embedding_dedup(embeds_ds, *, threshold: float = 0.95, n_planes: int = 12,
         bucketed, window=window, id_type=id_type, pair_mask_fn=cosine_mask
     )
     return _cluster_and_apply(embeds_ds, edges, id_col, edge_threshold=edge_threshold)
+
+
+def segment_dedup_docs(docs_ds, *, text_col: str = "text",
+                       id_col: str = "doc_id", seg_words: int = 10,
+                       n_buckets: int = VERIFY_BUCKETS):
+    """SUB-document (segment-level) exact dedup with document
+    reassembly — the CCNet/RefinedWeb line-dedup primitive, adapted to
+    newline-free corpora: documents split into fixed ``seg_words``-token
+    windows; a segment survives only in its globally FIRST occurrence
+    (order = (doc_id, seg_no)); surviving segments re-concatenate per
+    document in original order. Output: (doc_id, text_clean) — docs
+    whose every segment lost vanish, like the SQL mirror.
+
+    Two bucketed shuffles, text ships once:
+    1. winner election ships only (md5-hex, ord) — ord = doc_id·2²⁰ +
+       seg_no packs the keep-order into one int64 (contract: doc_id <
+       2⁴³, segments/doc < 2²⁰); one sort per hash bucket, the segment
+       sweep's FIRST row per hash is the winner (exact_dedup's sweep,
+       min() needs no second reduce);
+    2. since ord ENCODES doc_id, the winner list co-groups with the
+       segments table on the SAME doc-bucket key — one cogroup both
+       filters (vectorized is_in) and reassembles (segment sweep →
+       ListArray offsets → binary_join), so no separate semi-join
+       exchange.
+
+    md5 collision-freedom is assumed, as in exact_dedup.
+    """
+    from ..kg.unionfind import hash_bucket
+    from ..textnorm import ascii_words
+
+    SEG_SHIFT = 20
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        doc_ids, seg_nos, segs, hs = [], [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            ws = ascii_words(t or "")
+            for i in range(0, len(ws), seg_words):
+                seg = " ".join(ws[i:i + seg_words])
+                doc_ids.append(did)
+                seg_nos.append(i // seg_words + 1)
+                segs.append(seg)
+                hs.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "seg_no": pa.array(seg_nos, pa.int64()),
+            "seg": pa.array(segs, pa.string()),
+            "h": pa.array(hs, pa.string()),
+            "ord": pa.array(
+                [d * (1 << SEG_SHIFT) + s for d, s in zip(doc_ids, seg_nos)],
+                pa.int64()),
+        })
+
+    segments = docs_ds.map_batches(
+        to_segments, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "__bucket": hash_bucket(batch["h"].combine_chunks(), n_buckets),
+            "h": batch["h"],
+            "ord": batch["ord"],
+        })
+
+    def winners_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), ("ord", "ascending")])
+        g = group.take(order)
+        h = g["h"].combine_chunks()
+        n = g.num_rows
+        neq = pc.not_equal(h.slice(1), h.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+        first = np.concatenate(([True], neq.astype(bool)))
+        return pa.table({
+            "ord": g["ord"].combine_chunks().filter(pa.array(first)),
+        })
+
+    winners = (
+        segments.map_batches(hash_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("__bucket").map_groups(winners_bucket,
+                                        batch_format="pyarrow")
+    )
+
+    # cogroup on doc_id: segments carry side 0, winner ords side 1
+    def tag_seg(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "__bucket": hash_bucket(
+                batch[id_col].combine_chunks(), n_buckets),
+            "__side": pa.nulls(batch.num_rows, pa.int8()).fill_null(0),
+            id_col: batch[id_col],
+            "seg_no": batch["seg_no"],
+            "seg": batch["seg"],
+            "ord": batch["ord"],
+        })
+
+    def tag_win(batch: pa.Table) -> pa.Table:
+        ords = batch["ord"].combine_chunks()
+        dids = pc.cast(pc.shift_right(ords, SEG_SHIFT), pa.int64())
+        return pa.table({
+            "__bucket": hash_bucket(dids, n_buckets),
+            "__side": pa.nulls(batch.num_rows, pa.int8()).fill_null(1),
+            id_col: dids,
+            "seg_no": pa.nulls(batch.num_rows, pa.int64()),
+            "seg": pa.nulls(batch.num_rows, pa.string()),
+            "ord": ords,
+        })
+
+    def rebuild_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        segs = group.filter(pc.equal(side, 0))
+        win = group.filter(pc.equal(side, 1))
+        keep = pc.is_in(segs["ord"].combine_chunks(),
+                        value_set=win["ord"].combine_chunks())
+        kept = segs.filter(keep)
+        if kept.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "text_clean": pa.array([], pa.string()),
+            })
+        order = pc.sort_indices(
+            kept, sort_keys=[(id_col, "ascending"), ("seg_no", "ascending")])
+        g = kept.take(order)
+        ids = g[id_col].combine_chunks()
+        n = g.num_rows
+        neq = pc.not_equal(ids.slice(1), ids.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], neq.astype(bool))))
+        offsets = pa.array(np.append(starts, n).astype(np.int32))
+        lists = pa.ListArray.from_arrays(
+            offsets, g["seg"].combine_chunks())
+        return pa.table({
+            id_col: ids.take(pa.array(starts, pa.int64())),
+            "text_clean": pc.binary_join(lists, " "),
+        })
+
+    tagged = segments.map_batches(
+        tag_seg, batch_format="pyarrow", zero_copy_batch=True
+    ).union(winners.map_batches(tag_win, batch_format="pyarrow"))
+    return tagged.groupby("__bucket").map_groups(
+        rebuild_bucket, batch_format="pyarrow")

@@ -1505,3 +1505,40 @@ def test_densify_daily_fills_gaps_with_zeros():
     b = df[df["event_type"] == "b"]["n_events"].tolist()
     assert a == [2, 0, 0, 1]
     assert b == [0, 1, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_segment_dedup_docs_first_occurrence_and_reassembly():
+    """A repeated 10-token window survives only at its first global
+    (doc_id, seg_no) position; docs reassemble in order; a doc whose
+    every segment lost vanishes; partitioning-invariant."""
+    import ray.data
+
+    from kgrecrun.ops.dedup import segment_dedup_docs
+
+    w = lambda a, b: " ".join(f"t{i}" for i in range(a, b))
+    seg_a = w(0, 10)       # shared window
+    seg_b = w(10, 20)
+    seg_c = w(20, 30)
+    docs = [
+        (1, seg_a + " " + seg_b),        # keeps both (first)
+        (2, seg_c + " " + seg_a),        # keeps seg_c only
+        (3, seg_a),                       # vanishes entirely
+        (4, w(40, 45)),                   # short tail segment, unique
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs]),
+    })
+    outs = []
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (segment_dedup_docs(ds).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    assert df["doc_id"].tolist() == [1, 2, 4]
+    assert df.loc[0, "text_clean"] == seg_a + " " + seg_b
+    assert df.loc[1, "text_clean"] == seg_c
+    assert df.loc[2, "text_clean"] == w(40, 45)
