@@ -39,13 +39,19 @@ def main(argv=None) -> int:
     p.add_argument("--query", help="run one named driver-contract pipeline instead of the KG flagship")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
                    help="input table directory for --query")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "csv", "json"],
+                   help="--query output format (json = JSONL)")
     args = p.parse_args(argv)
     if not args.query and not args.synthetic_docs and not (args.pages and args.entities):
         p.error("provide --query, --pages + --entities, or --synthetic-docs")
 
     import ray
 
-    if not ray.is_initialized():
+    # only shut down a session we started (in-process callers — tests —
+    # own their session)
+    args._own_ray = not ray.is_initialized()
+    if args._own_ray:
         ray.init(address="local", include_dashboard=False,
                  **({"num_cpus": args.num_cpus} if args.num_cpus else {}))
 
@@ -73,7 +79,8 @@ def main(argv=None) -> int:
         files, entities, args.out, files_per_partition=args.files_per_partition
     )
     print(json.dumps(summary))
-    ray.shutdown()
+    if args._own_ray:
+        ray.shutdown()
     return 0
 
 
@@ -96,15 +103,18 @@ def _run_query(args) -> int:
         return 2
     res = qs[args.query](args.sf_dir)
     os.makedirs(args.out, exist_ok=True)
-    if isinstance(res, ray.data.Dataset):
-        res.write_parquet(args.out)
-        n = ray.data.read_parquet(args.out).count()
-    else:
+    if not isinstance(res, ray.data.Dataset):
         tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
-        pq.write_table(tbl, f"{args.out}/part-00000.parquet")
-        n = tbl.num_rows
+        res = ray.data.from_arrow(tbl)
+    writers = {"parquet": res.write_parquet, "csv": res.write_csv,
+               "json": res.write_json}
+    readers = {"parquet": ray.data.read_parquet, "csv": ray.data.read_csv,
+               "json": ray.data.read_json}
+    writers[args.format](args.out)
+    n = readers[args.format](args.out).count()
     print(json.dumps({"query": args.query, "rows": n, "out": args.out}))
-    ray.shutdown()
+    if args._own_ray:
+        ray.shutdown()
     return 0
 
 

@@ -1542,3 +1542,27 @@ def test_segment_dedup_docs_first_occurrence_and_reassembly():
     assert df.loc[0, "text_clean"] == seg_a + " " + seg_b
     assert df.loc[1, "text_clean"] == seg_c
     assert df.loc[2, "text_clean"] == w(40, 45)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_query_formats_roundtrip(tmp_path, capsys):
+    """The CLI runs a named driver pipeline and writes parquet/CSV/JSONL
+    that round-trips with the same rows; it must not shut down a Ray
+    session it did not start."""
+    import json as _json
+
+    import ray
+
+    from kgrecrun.cli import main
+
+    rows = {}
+    for fmt in ("parquet", "csv", "json"):
+        out = str(tmp_path / fmt)
+        rc = main(["--query", "events_value_histogram",
+                   "--sf-dir", "/root/testdata/sf0.001",
+                   "--out", out, "--format", fmt])
+        assert rc == 0
+        rows[fmt] = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert rows["parquet"] == rows["csv"] == rows["json"] > 0
+    assert ray.is_initialized()  # session fixture untouched
