@@ -1068,6 +1068,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def events_props_stats(sf_dir: str):
+        """JSON field extraction from the semi-structured props column
+        via ONE vectorized RE2 kernel (regex shared verbatim with the
+        SQL oracle) + exact per-type (n, sum, min, max)
+        (ops/relational.py props_field_stats)."""
+        from kgrecrun.ops.relational import props_field_stats
+
+        return props_field_stats(sf_dir)
+
     def docs_segment_dedup(sf_dir: str):
         """Sub-document segment dedup + reassembly (the CCNet-style
         line dedup): keep each 10-token window only at its globally
@@ -1230,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_pairs_lift": term_pairs_lift,
         "events_daily_dense": events_daily_dense,
         "docs_segment_dedup": docs_segment_dedup,
+        "events_props_stats": events_props_stats,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1855,6 +1865,18 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "events_props_stats": r"""
+            WITH e AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                            AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM e GROUP BY 1
         """,
         "docs_segment_dedup": r"""
             WITH toks AS (

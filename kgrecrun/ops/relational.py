@@ -455,3 +455,48 @@ def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
 
     return joined.map_batches(topk, batch_format="pyarrow").repartition(1)\
         .map_batches(topk, batch_format="pyarrow")
+
+
+def props_field_stats(sf_dir: str, *, field: str = "k", events_ds=None):
+    """Semi-structured (JSON) field extraction + per-type aggregation:
+    pull integer ``field`` out of the events ``props`` JSON string with
+    ONE vectorized RE2 ``extract_regex`` kernel (no per-row json.loads
+    loop; the same regex runs verbatim in the SQL oracle, so extraction
+    semantics are engine-identical by construction), then exact int64
+    (n, sum, min, max) per event_type via map-side combiner + one tiny
+    groupby. Output: (event_type, n, sum_k, min_k, max_k).
+    """
+    import ray.data
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    pattern = rf'"{field}":\s*(?P<v>-?\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["props"].combine_chunks(), pattern)
+        k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n_p": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+            "s_p": k,
+            "mn_p": k,
+            "mx_p": k,
+        })
+        agg = t.group_by("event_type").aggregate(
+            [("n_p", "sum"), ("s_p", "sum"), ("mn_p", "min"),
+             ("mx_p", "max")])
+        return agg.rename_columns(["event_type", "n_p", "s_p", "mn_p", "mx_p"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n_p"), Sum("s_p"), Min("mn_p"), Max("mx_p"))
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            ["event_type", "n", "sum_k", "min_k", "max_k"]),
+        batch_format="pyarrow",
+    )

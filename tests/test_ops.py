@@ -1566,3 +1566,30 @@ def test_cli_query_formats_roundtrip(tmp_path, capsys):
             capsys.readouterr().out.strip().splitlines()[-1])["rows"]
     assert rows["parquet"] == rows["csv"] == rows["json"] > 0
     assert ray.is_initialized()  # session fixture untouched
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_props_field_stats_extracts_json_ints():
+    """The RE2 extraction pulls the integer field (incl. negatives) and
+    the per-type (n, sum, min, max) are exact; partitioning-invariant."""
+    import ray.data
+
+    from kgrecrun.ops.relational import props_field_stats
+
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b"]),
+        "props": pa.array(['{"k": 5}', '{"k": -3}', '{"k": 0}',
+                           '{"k": 42}']),
+    })
+    outs = []
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (props_field_stats(None, events_ds=ds).to_pandas()
+              .sort_values("event_type").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    a = df[df["event_type"] == "a"].iloc[0]
+    assert (a["n"], a["sum_k"], a["min_k"], a["max_k"]) == (3, 2, -3, 5)
+    b = df[df["event_type"] == "b"].iloc[0]
+    assert (b["n"], b["sum_k"], b["min_k"], b["max_k"]) == (1, 42, 42, 42)
