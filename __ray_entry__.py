@@ -1068,6 +1068,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def part_fuzzy_match(sf_dir: str):
+        """Fuzzy string join: every part name matched against a small
+        deterministic probe subset (partkey % 199 == 0) by token-set
+        Jaccard ≥ 1/3, evaluated as the exact integer predicate
+        3·|∩| ≥ |∪| (ops/joins.py fuzzy_join — broadcast probe index,
+        corpus never shuffles)."""
+        import pyarrow.parquet as _pq
+
+        import ray.data
+
+        from kgrecrun.ops.joins import fuzzy_join
+
+        probes = _pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+        keys = probes["p_partkey"].to_numpy()
+        probes = probes.filter(pa.array(keys % 199 == 0))
+        probes = probes.rename_columns(["probe_id", "probe_name"])
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+        return fuzzy_join(ds, probes, text_col="p_name",
+                          id_col="p_partkey", probe_text_col="probe_name",
+                          probe_id_col="probe_id", threshold=(1, 3))
+
     def events_props_stats(sf_dir: str):
         """JSON field extraction from the semi-structured props column
         via ONE vectorized RE2 kernel (regex shared verbatim with the
@@ -1240,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_dense": events_daily_dense,
         "docs_segment_dedup": docs_segment_dedup,
         "events_props_stats": events_props_stats,
+        "part_fuzzy_match": part_fuzzy_match,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1865,6 +1889,26 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "part_fuzzy_match": r"""
+            WITH tok AS (
+                SELECT p_partkey,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(p_name), '\s+'),
+                           x -> x <> '')) AS ws
+                FROM part
+            ), probe AS (
+                SELECT p_partkey AS probe_id, ws AS pws FROM tok
+                WHERE p_partkey % 199 = 0
+            ), pairs AS (
+                SELECT t.p_partkey, p.probe_id,
+                       len(list_intersect(t.ws, p.pws)) AS i,
+                       len(list_distinct(list_concat(t.ws, p.pws))) AS u
+                FROM tok t CROSS JOIN probe p
+            )
+            SELECT p_partkey, probe_id, i, u,
+                   round(CAST(i AS DOUBLE) / u, 6) AS jac6
+            FROM pairs WHERE 3 * i >= u
         """,
         "events_props_stats": r"""
             WITH e AS (

@@ -19,6 +19,7 @@ no right-side columns. Two execution strategies:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -116,3 +117,85 @@ def anti_join(left_ds, right_ds, key: str, *, broadcast_threshold: int = 0):
     if keys is not None:
         return _broadcast_filter(left_ds, keys, key=key, keep_if_in=False)
     return _cogroup_exists(left_ds, right_ds, key, keep_if_exists=False)
+
+
+def fuzzy_join(ds, probe_tbl: pa.Table, *, text_col: str, id_col: str,
+               probe_text_col: str, probe_id_col: str,
+               threshold: tuple[int, int] = (1, 3)):
+    """Fuzzy string join (entity matching): every left row is matched
+    against a SMALL probe table by token-set Jaccard similarity —
+    keep pairs with ``jaccard ≥ a/b`` where ``threshold=(a, b)``; the
+    predicate is evaluated as the exact integer comparison
+    ``b·|∩| ≥ a·|∪|`` (no float threshold edge), and the reported
+    ``jac6`` is one IEEE division from exact ints rounded to 6 dp.
+    Output: (id, probe_id, i, u, jac6).
+
+    Scale shape: the probe table broadcasts ONCE (``ray.put``); each
+    map task builds a token→probe inverted index from it (tiny) and
+    probes candidates by token lookup, so a left row is compared only
+    against probes sharing ≥1 token — never all probes, and the corpus
+    never shuffles. PROBE-BOUNDED CONTRACT: probe_tbl must fit in one
+    object (entity catalogs, benchmark lists); for large-large fuzzy
+    joins use minhash-LSH blocking (ops/dedup.py) across the union of
+    both sides instead.
+
+    Tokenization is the shared ASCII/RE2 whitespace class, lowercased,
+    deduplicated — mirrored verbatim by the SQL oracle.
+    """
+    import ray
+
+    from ..kg.resources import broadcast, resolve
+    from ..textnorm import ascii_words
+
+    a, b = threshold
+
+    def tokset(t: str | None) -> frozenset:
+        return frozenset(ascii_words((t or "").lower()))
+
+    probes = [
+        (pid, tokset(pt))
+        for pid, pt in zip(probe_tbl[probe_id_col].to_pylist(),
+                           probe_tbl[probe_text_col].to_pylist())
+    ]
+    try:
+        probes_ref = broadcast(probes)
+    except Exception:
+        probes_ref = probes
+
+    def match(batch: pa.Table) -> pa.Table:
+        ps = resolve(probes_ref)
+        index: dict = {}
+        for j, (_, toks) in enumerate(ps):
+            for w in toks:
+                index.setdefault(w, []).append(j)
+        out_id, out_pid, out_i, out_u = [], [], [], []
+        for rid, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = tokset(t)
+            cand = set()
+            for w in toks:
+                cand.update(index.get(w, ()))
+            for j in sorted(cand):
+                pid, ptoks = ps[j]
+                i = len(toks & ptoks)
+                u = len(toks | ptoks)
+                if b * i >= a * u:
+                    out_id.append(rid)
+                    out_pid.append(pid)
+                    out_i.append(i)
+                    out_u.append(u)
+        jac = pc.round(
+            pa.array(np.array(out_i, np.float64)
+                     / np.array(out_u, np.float64)
+                     if out_i else [], pa.float64()),
+            ndigits=6, round_mode="half_towards_infinity")
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            probe_id_col: pa.array(out_pid, pa.int64()),
+            "i": pa.array(out_i, pa.int64()),
+            "u": pa.array(out_u, pa.int64()),
+            "jac6": jac,
+        })
+
+    return ds.map_batches(match, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1593,3 +1593,38 @@ def test_props_field_stats_extracts_json_ints():
     assert (a["n"], a["sum_k"], a["min_k"], a["max_k"]) == (3, 2, -3, 5)
     b = df[df["event_type"] == "b"].iloc[0]
     assert (b["n"], b["sum_k"], b["min_k"], b["max_k"]) == (1, 42, 42, 42)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_join_integer_threshold_and_candidates():
+    """Jaccard pairs pass exactly at the integer predicate boundary;
+    rows sharing no token with any probe emit nothing; jac6 is the
+    exact division."""
+    import ray.data
+
+    from kgrecrun.ops.joins import fuzzy_join
+
+    probes = pa.table({
+        "probe_id": pa.array([100, 200], pa.int64()),
+        "probe_name": pa.array(["red widget", "blue bolt"]),
+    })
+    t = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_name": pa.array([
+            "red widget",        # exact: jac 1 with 100
+            "red gizmo",         # i=1,u=3 vs 100 -> 3*1>=3 boundary keep
+            "green gadget",      # no shared token: no candidates
+            "shiny blue bolt",   # i=2,u=3 vs 200 -> keep
+        ]),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    df = (fuzzy_join(ds, probes, text_col="p_name", id_col="p_partkey",
+                     probe_text_col="probe_name", probe_id_col="probe_id",
+                     threshold=(1, 3))
+          .to_pandas().sort_values(["p_partkey", "probe_id"])
+          .reset_index(drop=True))
+    got = set(zip(df["p_partkey"], df["probe_id"]))
+    assert got == {(1, 100), (2, 100), (4, 200)}
+    assert df[df["p_partkey"] == 1]["jac6"].iloc[0] == 1.0
+    assert abs(df[df["p_partkey"] == 2]["jac6"].iloc[0] - 0.333333) < 1e-9
+    assert abs(df[df["p_partkey"] == 4]["jac6"].iloc[0] - 0.666667) < 1e-9
