@@ -1068,6 +1068,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def knn_confusion(sf_dir: str):
+        """Leave-one-out 1-NN label confusion matrix over the
+        embeddings table — broadcast reference matrix, one matmul per
+        batch, map-side confusion combiner (ops/ann.py
+        knn_label_confusion)."""
+        import pyarrow.parquet as _pq
+
+        import ray.data
+
+        from kgrecrun.ops.ann import knn_label_confusion
+
+        ref = _pq.read_table(f"{sf_dir}/embeddings.parquet")
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return knn_label_confusion(ds, ref_table=ref)
+
     def part_fuzzy_match(sf_dir: str):
         """Fuzzy string join: every part name matched against a small
         deterministic probe subset (partkey % 199 == 0) by token-set
@@ -1264,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_segment_dedup": docs_segment_dedup,
         "events_props_stats": events_props_stats,
         "part_fuzzy_match": part_fuzzy_match,
+        "knn_confusion": knn_confusion,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1889,6 +1905,26 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "knn_confusion": """
+            WITH p AS (
+                SELECT a.vec_id, a.label,
+                       b.vec_id AS nid, b.label AS plabel,
+                       list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) AS cos
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id
+            ), r AS (
+                SELECT vec_id, label, plabel,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, nid) AS rn
+                FROM p
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(plabel AS BIGINT) AS pred_label,
+                   COUNT(*) AS n
+            FROM r WHERE rn = 1 GROUP BY 1, 2
         """,
         "part_fuzzy_match": r"""
             WITH tok AS (

@@ -97,7 +97,7 @@ def bench_main() -> None:
         "events_global_rank", "events_outliers", "user_retention",
         "shipping_priority", "user_event_type_agg", "weekly_active_users",
         "term_pairs_lift", "events_daily_dense", "docs_segment_dedup",
-        "events_props_stats", "part_fuzzy_match",
+        "events_props_stats", "part_fuzzy_match", "knn_confusion",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -245,3 +246,69 @@ class IVFIndex:
             subset, q, query_ids, k=k, vec_col=vec_col, id_col=id_col,
             bucket_allowed=allowed if strict else None,
         )
+
+
+def knn_label_confusion(embeds_ds, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id", label_col: str = "label",
+                        ref_table: pa.Table | None = None):
+    """Leave-one-out 1-NN label prediction → confusion matrix — the
+    embedding-quality / label-noise audit. Every vector is classified
+    by its nearest OTHER vector's label (cosine; ties broken by the
+    smaller neighbor id — the reference matrix is broadcast sorted by
+    id, so ``argmax``'s first-max rule IS the tie-break). Output:
+    (label, pred_label, n).
+
+    Scale shape: the labeled reference set broadcasts ONCE (bounded
+    contract: eval/validation sets, not the corpus — for corpus-scale
+    neighbor search use the IVF path); each batch is one numpy matmul
+    against it, confusion counts combine map-side, and the final
+    groupby carries labels² rows. ``ref_table`` overrides the default
+    of using the dataset itself as the reference (driver-side read of
+    the same parquet).
+    """
+    import ray
+
+    from ..kg.resources import broadcast, resolve
+
+    if ref_table is None:
+        blocks = [t for t in ray.get(embeds_ds.to_arrow_refs())
+                  if t.num_rows]
+        ref_table = pa.concat_tables(blocks)
+    order = pc.sort_indices(ref_table, sort_keys=[(id_col, "ascending")])
+    ref_table = ref_table.take(order)
+    ref_ids = ref_table[id_col].to_numpy(zero_copy_only=False)
+    ref_labels = ref_table[label_col].to_numpy(zero_copy_only=False)
+    ref_m = _normalize(_as_matrix(ref_table[vec_col]))
+    try:
+        ref = broadcast((ref_ids, ref_labels, ref_m))
+    except Exception:
+        ref = (ref_ids, ref_labels, ref_m)
+
+    def confuse(batch: pa.Table) -> pa.Table:
+        ids_r, labels_r, m_r = resolve(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        sims = m @ m_r.T
+        # exclude self: ids_r is sorted, so searchsorted finds own row
+        pos = np.searchsorted(ids_r, ids)
+        own = (pos < len(ids_r)) & (ids_r[np.minimum(pos, len(ids_r) - 1)]
+                                    == ids)
+        sims[np.flatnonzero(own), pos[own]] = -np.inf
+        pred = labels_r[np.argmax(sims, axis=1)]
+        t = pa.table({
+            "label": pa.array(labels.astype(np.int64), pa.int64()),
+            "pred_label": pa.array(pred.astype(np.int64), pa.int64()),
+            "one": pa.nulls(len(ids), pa.int64()).fill_null(1),
+        })
+        agg = t.group_by(["label", "pred_label"]).aggregate([("one", "sum")])
+        return agg.rename_columns(["label", "pred_label", "n_p"])
+
+    return (
+        embeds_ds.map_batches(confuse, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby(["label", "pred_label"]).sum("n_p")
+        .map_batches(
+            lambda b: b.rename_columns(["label", "pred_label", "n"]),
+            batch_format="pyarrow")
+    )

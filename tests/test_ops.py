@@ -1628,3 +1628,39 @@ def test_fuzzy_join_integer_threshold_and_candidates():
     assert df[df["p_partkey"] == 1]["jac6"].iloc[0] == 1.0
     assert abs(df[df["p_partkey"] == 2]["jac6"].iloc[0] - 0.333333) < 1e-9
     assert abs(df[df["p_partkey"] == 4]["jac6"].iloc[0] - 0.666667) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_label_confusion_loo_and_ties():
+    """1-NN excludes self, ties break to the smaller neighbor id, and
+    confusion counts are exact; partitioning-invariant."""
+    import ray.data
+
+    from kgrecrun.ops.ann import knn_label_confusion
+
+    # two tight clusters + one duplicate pair across labels
+    vecs = [
+        [1.0, 0.0], [0.99, 0.1],        # label 0 cluster (ids 0,1)
+        [0.0, 1.0], [0.1, 0.99],        # label 1 cluster (ids 2,3)
+        [0.5, 0.5], [0.5, 0.5],         # identical pair, labels 0/1 (4,5)
+    ]
+    labels = [0, 0, 1, 1, 0, 1]
+    t = pa.table({
+        "vec_id": pa.array(np.arange(6), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    outs = []
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (knn_label_confusion(ds, ref_table=t).to_pandas()
+              .sort_values(["label", "pred_label"]).reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    m = {(r.label, r.pred_label): r.n for r in outs[0].itertuples()}
+    # ids 0,1 predict each other (0->0); ids 2,3 likewise (1->1)
+    # id 4 (label 0): nearest is its duplicate id 5 (label 1) -> (0,1)
+    # id 5 (label 1): duplicate id 4 (label 0) -> (1,0)
+    assert m[(0, 0)] == 2 and m[(1, 1)] == 2
+    assert m[(0, 1)] == 1 and m[(1, 0)] == 1
