@@ -1068,6 +1068,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def doc_repetition(sf_dir: str):
+        """Gopher-style repeated-3-gram ratio per document (repetition
+        quality filter) — stateless map, no shuffle (ops/text.py
+        repetition_scores)."""
+        import ray.data
+
+        from kgrecrun.ops.text import repetition_scores
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(repetition_scores, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
     def knn_confusion(sf_dir: str):
         """Leave-one-out 1-NN label confusion matrix over the
         embeddings table — broadcast reference matrix, one matmul per
@@ -1280,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": events_props_stats,
         "part_fuzzy_match": part_fuzzy_match,
         "knn_confusion": knn_confusion,
+        "doc_repetition": doc_repetition,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1905,6 +1920,27 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "doc_repetition": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS ws FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       array_to_string(ws[i : i + 2], ' ') AS gram
+                FROM (
+                    SELECT doc_id, ws,
+                           unnest(range(1, len(ws) - 1)) AS i
+                    FROM toks
+                )
+            ), s AS (
+                SELECT doc_id, COUNT(*) AS n_ngrams,
+                       COUNT(DISTINCT gram) AS n_distinct
+                FROM g GROUP BY 1
+            )
+            SELECT doc_id, n_ngrams, n_distinct,
+                   round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6)
+                       AS rep6
+            FROM s
         """,
         "knn_confusion": """
             WITH p AS (

@@ -144,3 +144,39 @@ def fingerprints(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
         norm = normalize_ws(t)
         out.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
     return pa.table({id_col: batch[id_col], "fingerprint": pa.array(out, pa.string())})
+
+
+def repetition_scores(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3) -> pa.Table:
+    """Gopher-style repetition quality signal: the fraction of word
+    n-grams that are repeats, ``rep = 1 − distinct/total`` per document
+    (0 meaning no repetition). Docs with fewer than ``n`` tokens emit
+    no row (no n-grams — the SQL mirror drops them the same way).
+    Output: (doc_id, n_ngrams, n_distinct, rep6). Stateless map-only
+    batch kernel — compose with ``map_batches``; no shuffle.
+    """
+    ids, totals, dists = [], [], []
+    for did, t in zip(batch[id_col].to_pylist(),
+                      batch[text_col].to_pylist()):
+        ws = ascii_words((t or "").lower())
+        total = len(ws) - n + 1
+        if total <= 0:
+            continue
+        grams = {" ".join(ws[i:i + n]) for i in range(total)}
+        ids.append(did)
+        totals.append(total)
+        dists.append(len(grams))
+    tot = pa.array(totals, pa.int64())
+    dist = pa.array(dists, pa.int64())
+    rep = pc.round(
+        pa.array(1.0 - (pc.cast(dist, pa.float64()).to_numpy(
+            zero_copy_only=False)
+            / pc.cast(tot, pa.float64()).to_numpy(zero_copy_only=False))
+            if ids else [], pa.float64()),
+        ndigits=6, round_mode="half_towards_infinity")
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "n_ngrams": tot,
+        "n_distinct": dist,
+        "rep6": rep,
+    })

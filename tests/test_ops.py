@@ -1664,3 +1664,23 @@ def test_knn_label_confusion_loo_and_ties():
     # id 5 (label 1): duplicate id 4 (label 0) -> (1,0)
     assert m[(0, 0)] == 2 and m[(1, 1)] == 2
     assert m[(0, 1)] == 1 and m[(1, 0)] == 1
+
+
+def test_repetition_scores_ratio_and_short_docs():
+    """rep = 1 − distinct/total over word 3-grams; <3-token docs emit
+    no row; a fully repeated doc scores high."""
+    from kgrecrun.ops.text import repetition_scores
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c a b c a b c",   # 7 grams, 3 distinct -> 4/7
+            "x y",                  # too short: dropped
+            "p q r s",              # 2 grams, both distinct -> 0.0
+        ]),
+    })
+    df = repetition_scores(t).to_pandas()
+    assert df["doc_id"].tolist() == [1, 3]
+    assert df.loc[0, "n_ngrams"] == 7 and df.loc[0, "n_distinct"] == 3
+    assert abs(df.loc[0, "rep6"] - round(1 - 3 / 7, 6)) < 1e-9
+    assert df.loc[1, "rep6"] == 0.0
