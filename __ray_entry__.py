@@ -1068,6 +1068,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def events_funnel(sf_dir: str):
+        """Ordered view→click→purchase conversion funnel: per-user
+        strictly-increasing first-occurrence chaining, one user-bucket
+        shuffle, masked vectorized per-user mins (ops/funnel.py
+        event_funnel)."""
+        from kgrecrun.ops.funnel import event_funnel
+
+        return event_funnel(sf_dir)
+
     def doc_repetition(sf_dir: str):
         """Gopher-style repeated-3-gram ratio per document (repetition
         quality filter) — stateless map, no shuffle (ops/text.py
@@ -1295,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_fuzzy_match": part_fuzzy_match,
         "knn_confusion": knn_confusion,
         "doc_repetition": doc_repetition,
+        "events_funnel": events_funnel,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1920,6 +1930,27 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "events_funnel": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+            ), s1 AS (
+                SELECT user_id, MIN(t) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, MIN(t) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND t > t1 GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, MIN(t) AS t3
+                FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND t > t2 GROUP BY 1
+            )
+            SELECT CAST(depth AS BIGINT) AS depth, n_users FROM (
+                SELECT 1 AS depth, COUNT(*) AS n_users FROM s1
+                UNION ALL SELECT 2, COUNT(*) FROM s2
+                UNION ALL SELECT 3, COUNT(*) FROM s3
+            )
         """,
         "doc_repetition": f"""
             WITH toks AS (

@@ -113,3 +113,70 @@ def training_mix(sf_dir: str, *, min_chars: int = 100, min_tokens: int = 20):
             ),
         }
     )
+
+
+def event_funnel(sf_dir: str, steps=("view", "click", "purchase"), *,
+                 events_ds=None, n_buckets: int = 256):
+    """Ordered multi-step conversion funnel: for each user, step k
+    counts only if it happens STRICTLY AFTER the user's step k−1
+    (first-occurrence semantics, integer-µs comparisons — no float
+    time). Output: (depth int64 1..len(steps), n_users) — cumulative
+    funnel counts (a depth-2 user is also in depth 1).
+
+    Scale shape: events project to (user, type, ts) and hash into user
+    buckets — ONE shuffle; inside a bucket each step is a masked
+    vectorized per-user min (np.minimum.at over the bucket's user
+    index), len(steps) sweeps, no per-user Python; per-bucket partial
+    counts reduce in a len(steps)-row groupby.
+    """
+    import numpy as np
+    import ray.data
+
+    from ..kg.unionfind import hash_bucket
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    steps = list(steps)
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "t": pc.cast(batch["ts"], pa.int64()),
+        })
+        t = t.filter(pc.is_in(t["event_type"].combine_chunks(),
+                              value_set=pa.array(steps)))
+        return t.append_column(
+            "__bucket", hash_bucket(t["user_id"].combine_chunks(),
+                                    n_buckets))
+
+    def funnel_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        et = group["event_type"].combine_chunks()
+        ts = group["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        _, inv = np.unique(uid, return_inverse=True)
+        n_users = inv.max() + 1 if len(inv) else 0
+        prev = np.zeros(n_users, dtype=np.int64)  # ts of previous step
+        counts = []
+        for s in steps:
+            mask = pc.equal(et, s).to_numpy(zero_copy_only=False)
+            ok = mask & (ts > prev[inv])
+            cur = np.full(n_users, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(cur, inv[ok], ts[ok])
+            reached = cur < np.iinfo(np.int64).max
+            counts.append(int(reached.sum()))
+            prev = cur  # unreached users stay at int64 max -> ts > prev false
+        return pa.table({
+            "depth": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+            "n_p": pa.array(counts, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket").map_groups(funnel_bucket, batch_format="pyarrow")
+        .groupby("depth").sum("n_p")
+        .map_batches(lambda b: b.rename_columns(["depth", "n_users"]),
+                     batch_format="pyarrow")
+    )

@@ -1684,3 +1684,38 @@ def test_repetition_scores_ratio_and_short_docs():
     assert df.loc[0, "n_ngrams"] == 7 and df.loc[0, "n_distinct"] == 3
     assert abs(df.loc[0, "rep6"] - round(1 - 3 / 7, 6)) < 1e-9
     assert df.loc[1, "rep6"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_funnel_strict_ordering():
+    """A step counts only strictly after the user's previous step's
+    first occurrence; same-timestamp steps do NOT chain; cumulative
+    depth counts; partitioning-invariant."""
+    import ray.data
+
+    from kgrecrun.ops.funnel import event_funnel
+
+    us = 1_000_000
+    rows = [
+        # user 1: view@1s, click@2s, purchase@3s -> depth 3
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        # user 2: click BEFORE view -> stops at depth 1 (view@5s)
+        (2, "click", 4), (2, "view", 5),
+        # user 3: view and click at the SAME ts -> strict > fails
+        (3, "view", 7), (3, "click", 7),
+        # user 4: no view at all -> depth 0 (not counted anywhere)
+        (4, "purchase", 9),
+    ]
+    t = pa.table({
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "event_type": pa.array([e for _, e, _ in rows]),
+        "ts": pa.array([s * us for _, _, s in rows], pa.timestamp("us")),
+    })
+    outs = []
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (event_funnel(None, events_ds=ds).to_pandas()
+              .sort_values("depth").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    assert outs[0]["n_users"].tolist() == [3, 1, 1]
