@@ -1068,6 +1068,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def events_anomalies(sf_dir: str):
+        """Rolling 7-day anomaly flags over the densified daily series:
+        exact integer predicate (W·n−S)² > k²(W·Q−S²) — no float
+        mean/std (ops/temporal.py daily_anomalies)."""
+        from kgrecrun.ops.temporal import daily_anomalies
+
+        return daily_anomalies(sf_dir, window=7, k=2)
+
     def events_funnel(sf_dir: str):
         """Ordered view→click→purchase conversion funnel: per-user
         strictly-increasing first-occurrence chaining, one user-bucket
@@ -1305,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_confusion": knn_confusion,
         "doc_repetition": doc_repetition,
         "events_funnel": events_funnel,
+        "events_anomalies": events_anomalies,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1930,6 +1939,42 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "events_anomalies": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                           AS day
+                FROM events
+            ), r AS (
+                SELECT MIN(day) AS lo, MAX(day) AS hi FROM b
+            ), days AS (
+                SELECT unnest(range(lo, hi + 1)) AS day FROM r
+            ), keys AS (
+                SELECT DISTINCT event_type FROM b
+            ), c AS (
+                SELECT event_type, day, COUNT(*) AS n FROM b GROUP BY 1, 2
+            ), dense AS (
+                SELECT k.event_type, d.day,
+                       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+                FROM keys k CROSS JOIN days d
+                LEFT JOIN c ON k.event_type = c.event_type
+                           AND d.day = c.day
+            ), w AS (
+                SELECT event_type, day, n_events,
+                       COUNT(*) OVER tw AS cnt,
+                       CAST(SUM(n_events) OVER tw AS BIGINT) AS s,
+                       CAST(SUM(n_events * n_events) OVER tw AS BIGINT)
+                           AS q
+                FROM dense
+                WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, day, n_events
+            FROM w
+            WHERE cnt = 7
+              AND (7 * n_events - s) * (7 * n_events - s)
+                  > 4 * (7 * q - s * s)
         """,
         "events_funnel": """
             WITH e AS (

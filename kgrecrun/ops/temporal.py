@@ -459,3 +459,76 @@ def densify_daily(sf_dir: str, *, key: str = "event_type",
     return counts.map_batches(tag, batch_format="pyarrow",
                               zero_copy_batch=True)\
         .groupby("__bucket").map_groups(fill_bucket, batch_format="pyarrow")
+
+
+def daily_anomalies(sf_dir: str, *, key: str = "event_type",
+                    window: int = 7, k: int = 2, events_ds=None,
+                    n_buckets: int = 256):
+    """Rolling anomaly detection over the DENSIFIED daily series: a day
+    is anomalous when its count deviates from the trailing ``window``
+    days' mean by more than ``k`` sample deviations — evaluated as the
+    EXACT integer predicate
+
+        (W·n − S)² > k² · (W·Q − S²)        [S=Σn, Q=Σn² over the window]
+
+    (⟺ (n−μ)² > k²σ² with σ² the population variance of the trailing
+    window) — no float mean/std, so the flag set is bit-reproducible
+    against the SQL window-function mirror. Days with fewer than
+    ``window`` prior days in the dense stripe are not evaluated.
+    Zero-filled gap days participate in windows AND can themselves be
+    flagged (a sudden silence after steady traffic is an anomaly).
+    Output: (key, day, n_events) — flagged days only.
+
+    Composes :func:`densify_daily` (one combiner shuffle) with a
+    second key-bucketed cogroup: one sort per bucket, per-segment
+    prefix sums give every trailing window in O(rows). Magnitude
+    contract: W·max(n)² < 2⁶³ (W=7: per-key daily counts < ~10⁹).
+    """
+    import ray.data
+
+    from ..kg.unionfind import hash_bucket
+
+    dense = densify_daily(sf_dir, key=key, events_ds=events_ds,
+                          n_buckets=n_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", hash_bucket(batch[key].combine_chunks(), n_buckets))
+
+    W = window
+    k2 = k * k
+
+    def flag_bucket(group: pa.Table) -> pa.Table:
+        g = group.select([key, "day", "n_events"])
+        order = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), ("day", "ascending")])
+        g = g.take(order)
+        ka = g[key].combine_chunks()
+        n = g["n_events"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(n)
+        new_key = np.ones(m, dtype=bool)
+        eq = pc.equal(ka.slice(1), ka.slice(0, m - 1))
+        new_key[1:] = ~eq.to_numpy(zero_copy_only=False)
+        idx = np.arange(m, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        pos = idx - seg_start
+        # per-segment prefix sums: global cumsum minus the segment
+        # start's prior total
+        cs = np.concatenate(([0], np.cumsum(n)))
+        csq = np.concatenate(([0], np.cumsum(n * n)))
+        ok = pos >= W  # full trailing window inside the segment
+        i = idx[ok]
+        s = cs[i] - cs[i - W]
+        q = csq[i] - csq[i - W]
+        nn = n[i]
+        anom = (W * nn - s) ** 2 > k2 * (W * q - s * s)
+        keep = i[anom]
+        return pa.table({
+            key: ka.take(pa.array(keep, pa.int64())),
+            "day": g["day"].combine_chunks().take(pa.array(keep, pa.int64())),
+            "n_events": pa.array(n[keep], pa.int64()),
+        })
+
+    return dense.map_batches(tag, batch_format="pyarrow",
+                             zero_copy_batch=True)\
+        .groupby("__bucket").map_groups(flag_bucket, batch_format="pyarrow")

@@ -1719,3 +1719,40 @@ def test_event_funnel_strict_ordering():
         outs.append(df)
     assert outs[0].equals(outs[1])
     assert outs[0]["n_users"].tolist() == [3, 1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_daily_anomalies_integer_predicate():
+    """A spike after a steady week is flagged; steady days are not;
+    a zero-gap day after steady traffic is flagged; the first W days
+    are never evaluated."""
+    import ray.data
+
+    from kgrecrun.ops.temporal import daily_anomalies
+
+    day_us = 86_400_000_000
+    rows = []
+    # key a: 7 days of exactly 3 events, then a 30-event spike (day 7),
+    # then back to 3 (days 8-14), then a silent day 15, then 3s again
+    for d in range(7):
+        rows += [("a", d)] * 3
+    rows += [("a", 7)] * 30
+    for d in range(8, 15):
+        rows += [("a", d)] * 3
+    # day 15: zero events (gap) — still in the dense range via day 16
+    rows += [("a", 16)] * 3
+    t = pa.table({
+        "event_type": pa.array([k for k, _ in rows]),
+        "ts": pa.array([d * day_us + 42 for _, d in rows],
+                       pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    df = (daily_anomalies(None, window=7, k=2, events_ds=ds)
+          .to_pandas().sort_values("day").reset_index(drop=True))
+    flagged = set(df["day"])
+    assert 7 in flagged            # the spike
+    assert 15 in flagged           # silence after steady traffic
+    assert not flagged & set(range(7))   # warm-up days never evaluated
+    # steady days stay unflagged — even when the spike sits inside
+    # their trailing window, it inflates the window variance too
+    assert 10 not in flagged
