@@ -1068,6 +1068,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retention_cohorts(sf_dir)
 
+    def doc_chunks(sf_dir: str):
+        """RAG chunking: overlapping 16-token windows every 8 tokens,
+        no fully-redundant tail chunks — stateless flat map, no shuffle
+        (ops/text.py chunk_documents)."""
+        import ray.data
+
+        from kgrecrun.ops.text import chunk_documents
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(chunk_documents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
     def events_anomalies(sf_dir: str):
         """Rolling 7-day anomaly flags over the densified daily series:
         exact integer predicate (W·n−S)² > k²(W·Q−S²) — no float
@@ -1314,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": doc_repetition,
         "events_funnel": events_funnel,
         "events_anomalies": events_anomalies,
+        "doc_chunks": doc_chunks,
         "events_tumbling": events_tumbling,
         # --- relational core (SQL-checkable) ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -1939,6 +1954,22 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN b USING (event_type)
             WHERE CAST(e.cents AS DOUBLE) < b.lo
                OR CAST(e.cents AS DOUBLE) > b.hi
+        """,
+        "doc_chunks": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS ws FROM documents
+            ), idx AS (
+                SELECT doc_id, ws,
+                       unnest(range(0, CAST(ceil(len(ws) / 8.0)
+                                            AS BIGINT))) AS i
+                FROM toks
+            )
+            SELECT doc_id, i + 1 AS chunk_no,
+                   len(ws[i * 8 + 1 : i * 8 + 16]) AS n_tokens,
+                   array_to_string(ws[i * 8 + 1 : i * 8 + 16], ' ')
+                       AS chunk
+            FROM idx
+            WHERE i = 0 OR (i - 1) * 8 + 16 < len(ws)
         """,
         "events_anomalies": """
             WITH b AS (

@@ -98,7 +98,7 @@ def bench_main() -> None:
         "shipping_priority", "user_event_type_agg", "weekly_active_users",
         "term_pairs_lift", "events_daily_dense", "docs_segment_dedup",
         "events_props_stats", "part_fuzzy_match", "knn_confusion",
-        "doc_repetition", "events_funnel", "events_anomalies",
+        "doc_repetition", "events_funnel", "events_anomalies", "doc_chunks",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

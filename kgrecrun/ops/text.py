@@ -180,3 +180,41 @@ def repetition_scores(batch: pa.Table, text_col: str = "text",
         "n_distinct": dist,
         "rep6": rep,
     })
+
+
+def chunk_documents(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id", size: int = 16,
+                    stride: int = 8) -> pa.Table:
+    """RAG-style document chunking: overlapping ``size``-token windows
+    every ``stride`` tokens (last partial window kept iff it adds
+    tokens past the previous chunk). Stateless flat-map batch kernel —
+    compose with ``map_batches``; chunk rows stay with their input
+    block, no shuffle. Output: (doc_id, chunk_no 1.., n_tokens, chunk).
+
+    Chunk starts are ``0, stride, 2·stride, …``; a start is emitted iff
+    it is the first OR the previous chunk did not already reach the end
+    of the document (``(start − stride) + size < len(ws)``) — so the
+    final token is always covered exactly once past the overlap, with
+    no fully-redundant tail chunks. Mirrored exactly by the SQL
+    list-slice oracle; docs with no tokens emit nothing.
+    """
+    ids, chunk_nos, n_toks, chunks = [], [], [], []
+    for did, t in zip(batch[id_col].to_pylist(),
+                      batch[text_col].to_pylist()):
+        ws = ascii_words((t or "").lower())
+        cno = 0
+        for start in range(0, len(ws), stride):
+            if start > 0 and (start - stride) + size >= len(ws):
+                break  # previous chunk already covered the doc end
+            window = ws[start:start + size]
+            cno += 1
+            ids.append(did)
+            chunk_nos.append(cno)
+            n_toks.append(len(window))
+            chunks.append(" ".join(window))
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "chunk_no": pa.array(chunk_nos, pa.int64()),
+        "n_tokens": pa.array(n_toks, pa.int64()),
+        "chunk": pa.array(chunks, pa.string()),
+    })

@@ -1756,3 +1756,28 @@ def test_daily_anomalies_integer_predicate():
     # steady days stay unflagged — even when the spike sits inside
     # their trailing window, it inflates the window variance too
     assert 10 not in flagged
+
+
+def test_chunk_documents_overlap_and_tail():
+    """16/8 chunking: overlap is size−stride; the last chunk appears
+    only if the previous one missed tokens; short and empty docs."""
+    from kgrecrun.ops.text import chunk_documents
+
+    w = lambda a, b: " ".join(f"t{i}" for i in range(a, b))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            w(0, 20),   # chunks: [0:16], [8:20] (12 tokens)
+            w(0, 16),   # exactly one chunk
+            w(0, 5),    # shorter than size: one chunk of 5
+            "",         # nothing
+        ]),
+    })
+    df = chunk_documents(t).to_pandas()
+    d1 = df[df["doc_id"] == 1]
+    assert d1["chunk_no"].tolist() == [1, 2]
+    assert d1["n_tokens"].tolist() == [16, 12]
+    assert d1.iloc[1]["chunk"].split()[0] == "t8"  # stride-8 overlap
+    assert df[df["doc_id"] == 2]["n_tokens"].tolist() == [16]
+    assert df[df["doc_id"] == 3]["n_tokens"].tolist() == [5]
+    assert (df["doc_id"] == 4).sum() == 0
