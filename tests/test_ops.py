@@ -1781,3 +1781,28 @@ def test_chunk_documents_overlap_and_tail():
     assert df[df["doc_id"] == 2]["n_tokens"].tolist() == [16]
     assert df[df["doc_id"] == 3]["n_tokens"].tolist() == [5]
     assert (df["doc_id"] == 4).sum() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_zscore_bucket_join_fallback_path():
+    """Forcing broadcast_stats=0 exercises the wide-key-domain
+    bucket_join fallback; output equals the broadcast path exactly."""
+    import ray.data
+
+    from kgrecrun.ops.stats import group_zscore
+
+    rng = np.random.RandomState(21)
+    t = pa.table({
+        "event_id": pa.array(np.arange(800), pa.int64()),
+        "g": pa.array(np.take(np.array(["x", "y", "z"]),
+                              rng.randint(0, 3, 800))),
+        "x": pa.array(rng.randint(-50, 50, 800), pa.int64()),
+    })
+    dfs = []
+    for thresh in (1_000_000, 0):
+        ds = ray.data.from_arrow(t).repartition(4)
+        df = (group_zscore(ds, key="g", x_col="x", id_cols=["event_id"],
+                           broadcast_stats=thresh)
+              .to_pandas().sort_values("event_id").reset_index(drop=True))
+        dfs.append(df[["event_id", "g", "z6"]])
+    pd.testing.assert_frame_equal(dfs[0], dfs[1])
