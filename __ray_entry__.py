@@ -597,6 +597,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return group_mode(ds, key="user_id", value_col="event_type")
 
+    def user_last_event(sf_dir: str):
+        """Per-user LATEST full event row (SQL arg_max / ROW_NUMBER=1):
+        map-side one-candidate-per-key-per-block combiner + one bucketed
+        groupby — the shuffle carries ≤ users×blocks rows, dispatch
+        capped at n_buckets (ops/argext.py group_arg_extreme)."""
+        import ray.data
+
+        from kgrecrun.ops.argext import group_arg_extreme
+        from kgrecrun.ops.relational import cents
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+
+        def proj(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value_cents": cents(batch["value"]),
+            })
+
+        return group_arg_extreme(
+            ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+            key="user_id",
+            order_cols=[("ts_us", "descending"), ("event_id", "descending")],
+        )
+
+    def part_min_supplier(sf_dir: str):
+        """TPC-H Q2-shaped per-part cheapest supplier (arg_min over the
+        lineitem fact with deterministic suppkey tie-break), supplier
+        name attached via broadcast lookup — no shuffle join for the
+        dimension table."""
+        import ray.data
+
+        from kgrecrun.ops.argext import group_arg_extreme
+        from kgrecrun.ops.joins import broadcast_lookup
+        from kgrecrun.ops.relational import cents
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+
+        def proj(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_partkey": batch["l_partkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "price_cents": cents(batch["l_extendedprice"]),
+            })
+
+        win = group_arg_extreme(
+            ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+            key="l_partkey",
+            order_cols=[("price_cents", "ascending"), ("l_suppkey", "ascending")],
+        )
+        names = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        )
+        return broadcast_lookup(win, names, key="l_suppkey", right_key="s_suppkey")
+
     def doc_sample(sf_dir: str):
         """Deterministic md5-hash 1/5 sample — stable across runs,
         resumes and re-sharding (no RNG; SQL-mirrorable)."""
@@ -1290,6 +1353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles_approx": lineitem_price_quantiles_approx,
         "lineitem_qty_price_corr": lineitem_qty_price_corr,
         "user_modal_event": user_modal_event,
+        "user_last_event": user_last_event,
+        "part_min_supplier": part_min_supplier,
         "events_value_zscore": events_value_zscore,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
@@ -2486,6 +2551,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             )
             SELECT user_id, event_type, n FROM r WHERE rn = 1
+        """,
+        "user_last_event": """
+            WITH r AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       event_type,
+                       CAST(round(value * 100) AS BIGINT) AS value_cents,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            SELECT user_id, ts_us, event_id, event_type, value_cents
+            FROM r WHERE rn = 1
+        """,
+        "part_min_supplier": """
+            WITH r AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS price_cents,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY round(l_extendedprice * 100) ASC,
+                                    l_suppkey ASC) AS rn
+                FROM lineitem
+            )
+            SELECT r.l_partkey, r.l_suppkey, r.price_cents, s.s_name
+            FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE rn = 1
         """,
         "daily_activity_outer": """
             WITH e AS (

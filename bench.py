@@ -99,6 +99,7 @@ def bench_main() -> None:
         "term_pairs_lift", "events_daily_dense", "docs_segment_dedup",
         "events_props_stats", "part_fuzzy_match", "knn_confusion",
         "doc_repetition", "events_funnel", "events_anomalies", "doc_chunks",
+        "user_last_event", "part_min_supplier",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -1806,3 +1806,28 @@ def test_group_zscore_bucket_join_fallback_path():
               .to_pandas().sort_values("event_id").reset_index(drop=True))
         dfs.append(df[["event_id", "g", "z6"]])
     pd.testing.assert_frame_equal(dfs[0], dfs[1])
+
+
+def test_group_arg_extreme_winner_and_determinism():
+    """Per-group argmax picks the lexicographic winner with the
+    tie-break column deciding equal order values; output is identical
+    across block layouts (map-side combiner + bucketed reduce)."""
+    import ray.data
+
+    from kgrecrun.ops.argext import group_arg_extreme
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array([5, 9, 9, 2, 2, 7], pa.int64()),
+        "id": pa.array([10, 11, 12, 20, 21, 30], pa.int64()),
+        "payload": pa.array(list("abcdef")),
+    })
+    expect = {1: (9, 12, "c"), 2: (2, 21, "e"), 3: (7, 30, "f")}
+    for nblocks in (1, 3, 6):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = group_arg_extreme(
+            ds, key="k",
+            order_cols=[("v", "descending"), ("id", "descending")],
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        got = {r.k: (r.v, r.id, r.payload) for r in out.itertuples()}
+        assert got == expect, nblocks
