@@ -660,6 +660,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return broadcast_lookup(win, names, key="l_suppkey", right_key="s_suppkey")
 
+    def _parts_year(sf_dir: str, year: int):
+        import ray.data
+
+        lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+        hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+        return ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_shipdate"],
+            filter=(
+                (pc.field("l_shipdate") >= pa.scalar(int(lo), pa.timestamp("us")))
+                & (pc.field("l_shipdate") < pa.scalar(int(hi), pa.timestamp("us")))
+            ),
+        ).map_batches(
+            lambda b: b.select(["l_partkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    def parts_shipped_both_years(sf_dir: str):
+        """Distinct INTERSECT: partkeys shipped in BOTH 1994 and 1995.
+        Year predicates pushed to the read; per-batch distinct combiner
+        → one bucketed shuffle of bare keys (ops/setops.py set_op)."""
+        from kgrecrun.ops.setops import set_op
+
+        return set_op(_parts_year(sf_dir, 1996), _parts_year(sf_dir, 1997),
+                      keys=["l_partkey"], op="intersect")
+
+    def parts_shipped_first_only(sf_dir: str):
+        """Distinct EXCEPT: partkeys shipped in 1996 but NOT in 1997 —
+        same single-shuffle membership decide, left-only branch."""
+        from kgrecrun.ops.setops import set_op
+
+        return set_op(_parts_year(sf_dir, 1996), _parts_year(sf_dir, 1997),
+                      keys=["l_partkey"], op="except")
+
     def doc_sample(sf_dir: str):
         """Deterministic md5-hash 1/5 sample — stable across runs,
         resumes and re-sharding (no RNG; SQL-mirrorable)."""
@@ -1355,6 +1388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_modal_event": user_modal_event,
         "user_last_event": user_last_event,
         "part_min_supplier": part_min_supplier,
+        "parts_shipped_both_years": parts_shipped_both_years,
+        "parts_shipped_first_only": parts_shipped_first_only,
         "events_value_zscore": events_value_zscore,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
@@ -2579,6 +2614,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.l_partkey, r.l_suppkey, r.price_cents, s.s_name
             FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
             WHERE rn = 1
+        """,
+        "parts_shipped_both_years": """
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            INTERSECT
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+        """,
+        "parts_shipped_first_only": """
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            EXCEPT
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
         """,
         "daily_activity_outer": """
             WITH e AS (

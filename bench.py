@@ -100,6 +100,7 @@ def bench_main() -> None:
         "events_props_stats", "part_fuzzy_match", "knn_confusion",
         "doc_repetition", "events_funnel", "events_anomalies", "doc_chunks",
         "user_last_event", "part_min_supplier",
+        "parts_shipped_both_years", "parts_shipped_first_only",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

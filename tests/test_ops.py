@@ -1831,3 +1831,40 @@ def test_group_arg_extreme_winner_and_determinism():
         ).to_pandas().sort_values("k").reset_index(drop=True)
         got = {r.k: (r.v, r.id, r.payload) for r in out.itertuples()}
         assert got == expect, nblocks
+
+
+def test_set_op_intersect_except_distinct():
+    """INTERSECT keeps keys on both sides once (bag→set), EXCEPT keeps
+    left-only keys; duplicates collapse via the per-batch distinct
+    combiner; identical across block layouts."""
+    import ray.data
+
+    from kgrecrun.ops.setops import set_op
+
+    left = pa.table({"k": pa.array([1, 1, 2, 3, 5], pa.int64())})
+    right = pa.table({"k": pa.array([2, 2, 3, 4], pa.int64())})
+    for nblocks in (1, 4):
+        l = ray.data.from_arrow(left).repartition(nblocks)
+        r = ray.data.from_arrow(right).repartition(nblocks)
+        both = sorted(set_op(l, r, keys=["k"], op="intersect")
+                      .to_pandas()["k"].tolist())
+        only = sorted(set_op(l, r, keys=["k"], op="except")
+                      .to_pandas()["k"].tolist())
+        assert both == [2, 3] and only == [1, 5], nblocks
+
+
+def test_set_op_multicolumn_key():
+    import ray.data
+
+    from kgrecrun.ops.setops import set_op
+
+    l = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 1, 2], pa.int64()),
+        "b": pa.array(["x", "y", "x"]),
+    }))
+    r = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2], pa.int64()),
+        "b": pa.array(["y", "z"]),
+    }))
+    out = set_op(l, r, keys=["a", "b"], op="intersect").to_pandas()
+    assert [(x.a, x.b) for x in out.itertuples()] == [(1, "y")]
