@@ -693,6 +693,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return set_op(_parts_year(sf_dir, 1996), _parts_year(sf_dir, 1997),
                       keys=["l_partkey"], op="except")
 
+    def user_event_pivot(sf_dir: str):
+        """Long→wide PIVOT: per-user count columns for the five event
+        types (COUNT FILTER). Map-side mask-sum combiner → one native
+        groupby-sum; the label strings never ship past the map side
+        (ops/relational.py pivot_counts)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import pivot_counts
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        return pivot_counts(
+            ds, key="user_id", label_col="event_type",
+            labels=["view", "click", "purchase", "signup", "error"],
+        )
+
+    def event_transitions(sf_dir: str):
+        """Markov transition counts over per-user ordered sequences
+        (lead() per user): bucketed sort + adjacency mask + per-bucket
+        pair-count partials (ops/window.py event_transitions)."""
+        from kgrecrun.ops.window import event_transitions as et
+
+        return et(sf_dir)
+
+    def daily_new_users(sf_dir: str):
+        """User-growth curve: (day, n_new, cum_users) — first-seen day
+        per user via native groupby-min, calendar-bounded cumulative
+        tail (ops/window.py daily_new_users)."""
+        from kgrecrun.ops.window import daily_new_users as dnu
+
+        return dnu(sf_dir)
+
     def doc_sample(sf_dir: str):
         """Deterministic md5-hash 1/5 sample — stable across runs,
         resumes and re-sharding (no RNG; SQL-mirrorable)."""
@@ -1390,6 +1423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_min_supplier": part_min_supplier,
         "parts_shipped_both_years": parts_shipped_both_years,
         "parts_shipped_first_only": parts_shipped_first_only,
+        "user_event_pivot": user_event_pivot,
+        "event_transitions": event_transitions,
+        "daily_new_users": daily_new_users,
         "events_value_zscore": events_value_zscore,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
@@ -2632,6 +2668,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l_partkey FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate <  TIMESTAMP '1998-01-01'
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'view')     AS n_view,
+                   COUNT(*) FILTER (event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+                   COUNT(*) FILTER (event_type = 'error')    AS n_error
+            FROM events GROUP BY 1
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT event_type AS prev_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+                FROM events
+            )
+            SELECT prev_type, next_type, COUNT(*) AS n
+            FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "daily_new_users": """
+            WITH f AS (
+                SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+                FROM events GROUP BY 1
+            ), d AS (
+                SELECT day, COUNT(*) AS n_new FROM f GROUP BY 1
+            )
+            SELECT day, n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM d
         """,
         "daily_activity_outer": """
             WITH e AS (

@@ -101,6 +101,7 @@ def bench_main() -> None:
         "doc_repetition", "events_funnel", "events_anomalies", "doc_chunks",
         "user_last_event", "part_min_supplier",
         "parts_shipped_both_years", "parts_shipped_first_only",
+        "user_event_pivot", "event_transitions", "daily_new_users",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -500,3 +500,41 @@ def props_field_stats(sf_dir: str, *, field: str = "k", events_ds=None):
             ["event_type", "n", "sum_k", "min_k", "max_k"]),
         batch_format="pyarrow",
     )
+
+
+def pivot_counts(ds, *, key: str, label_col: str, labels: list[str],
+                 prefix: str = "n_"):
+    """Long→wide PIVOT by counting: one output row per ``key`` with a
+    ``{prefix}{label}`` count column per entry of ``labels`` (SQL
+    ``COUNT(*) FILTER (WHERE label = ...)``).
+
+    The label domain is a caller-supplied BOUNDED list — the wide
+    schema must be fixed up front (discover it with a tiny distinct
+    first if unknown); rows with labels outside it are ignored.
+
+    Scale shape: per-batch vectorized mask sums collapse each block to
+    ≤ one row per key (map-side combiner), then ONE native groupby-sum
+    carries |keys| × blocks short int rows — no per-key dispatch, no
+    label strings on the wire after the map side.
+    """
+    import ray.data  # noqa: F401
+
+    out_cols = [f"{prefix}{lab}" for lab in labels]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch[label_col].combine_chunks()
+        cols = {key: batch[key]}
+        for name, want in zip(out_cols, labels):
+            cols[name] = pc.cast(pc.equal(lab, want), pa.int64())
+        t = pa.table(cols)
+        agg = t.group_by(key).aggregate([(c, "sum") for c in out_cols])
+        return agg.rename_columns([key, *out_cols])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .sum(out_cols)
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns([key, *out_cols]), batch_format="pyarrow"
+    )

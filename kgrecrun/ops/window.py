@@ -679,3 +679,118 @@ def rolling_active_users(sf_dir: str, *, window_days: int = 7,
         return batch.filter(pc.less_equal(batch["day"], max_day))
 
     return counts.map_batches(clip, batch_format="pyarrow")
+
+
+def event_transitions(sf_dir: str, *, events_ds=None):
+    """Global Markov transition counts over per-user ordered event
+    sequences: (prev_type, next_type, n) for every consecutive pair of
+    a user's events in (ts, event_id) order — the sequence-mining /
+    session-flow primitive (SQL ``lead() OVER (PARTITION BY user)``).
+
+    One bucketed shuffle co-locates each user's rows; inside a bucket
+    one lexsort + same-user adjacency mask emits every pair vectorized,
+    and a per-bucket ``group_by(prev,next)`` partial collapses the
+    output to ≤ |types|² rows per bucket, so the final groupby-sum
+    carries ≤ n_buckets × |types|² rows regardless of corpus size."""
+    import ray.data
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = group.take(order)
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = g["event_type"].combine_chunks()
+        n = len(uid)
+        if n < 2:
+            return pa.table({
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n_local": pa.array([], pa.int64()),
+            })
+        same = pa.array(uid[1:] == uid[:-1])
+        t = pa.table({
+            "prev_type": et.slice(0, n - 1),
+            "next_type": et.slice(1, n - 1),
+        }).filter(same)
+        agg = t.group_by(["prev_type", "next_type"]).aggregate(
+            [("prev_type", "count")]
+        )
+        return agg.rename_columns(["prev_type", "next_type", "n_local"])
+
+    agg = (
+        _bucketed(ds, "user_id")
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .sum("n_local")
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["prev_type", "next_type", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def daily_new_users(sf_dir: str, *, events_ds=None):
+    """New-vs-cumulative user growth: each user counts once, on their
+    FIRST active day; output (day, n_new, cum_users) with the running
+    total (SQL ``SUM() OVER (ORDER BY day)``).
+
+    Scale shape: first-seen day per user is a map-side per-batch min
+    partial + ONE native ``groupby(user).min`` (no per-key dispatch);
+    per-day counts pre-aggregate map-side. The final cumulative sum
+    runs on the day-level result, whose cardinality is CALENDAR-bounded
+    (≤ a few thousand rows for a decade of days, independent of corpus
+    size), so one ``repartition(1)`` block sort + cumsum is exact and
+    cheap at any scale."""
+    import ray.data
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "day": pc.strftime(batch["ts"], format="%Y-%m-%d"),
+        })
+        agg = t.group_by("user_id").aggregate([("day", "min")])
+        return agg.rename_columns(["user_id", "day"])
+
+    first = (
+        ds.map_batches(first_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .min("day")
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        b = batch.rename_columns(["user_id", "day"])
+        t = pa.table({
+            "day": b["day"],
+            "one": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+        })
+        return (t.group_by("day").aggregate([("one", "sum")])
+                .rename_columns(["day", "n_local"]))
+
+    per_day = (
+        first.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day")
+        .sum("n_local")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.rename_columns(["day", "n_new"])
+        b = b.take(pc.sort_indices(b, sort_keys=[("day", "ascending")]))
+        cum = np.cumsum(b["n_new"].to_numpy(zero_copy_only=False))
+        return b.append_column("cum_users", pa.array(cum, pa.int64()))
+
+    return per_day.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -1868,3 +1868,53 @@ def test_set_op_multicolumn_key():
     }))
     out = set_op(l, r, keys=["a", "b"], op="intersect").to_pandas()
     assert [(x.a, x.b) for x in out.itertuples()] == [(1, "y")]
+
+
+def test_pivot_counts_wide_schema():
+    import ray.data
+
+    from kgrecrun.ops.relational import pivot_counts
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "lab": pa.array(["a", "b", "a", "b"]),
+    })
+    out = (pivot_counts(ray.data.from_arrow(t).repartition(2),
+                        key="k", label_col="lab", labels=["a", "b", "c"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out.columns.tolist() == ["k", "n_a", "n_b", "n_c"]
+    assert out.values.tolist() == [[1, 2, 1, 0], [2, 0, 1, 0]]
+
+
+def test_event_transitions_per_user_adjacency():
+    """Pairs never cross user boundaries; counts aggregate globally."""
+    import ray.data
+
+    from kgrecrun.ops.window import event_transitions
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([10, 20, 30, 5, 6], pa.timestamp("us")),
+        "event_type": pa.array(["v", "c", "v", "v", "c"]),
+    })
+    out = event_transitions("", events_ds=ray.data.from_arrow(t).repartition(3))
+    got = {(r.prev_type, r.next_type): r.n for r in out.to_pandas().itertuples()}
+    assert got == {("v", "c"): 2, ("c", "v"): 1}
+
+
+def test_daily_new_users_first_seen_and_cumulative():
+    import ray.data
+
+    from kgrecrun.ops.window import daily_new_users
+
+    day_us = 86_400_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        "ts": pa.array([0, 2 * day_us, day_us, day_us, 2 * day_us],
+                       pa.timestamp("us")),
+    })
+    out = daily_new_users("", events_ds=ray.data.from_arrow(t).repartition(2)).to_pandas()
+    assert out["day"].tolist() == ["1970-01-01", "1970-01-02"]
+    assert out["n_new"].tolist() == [1, 2]
+    assert out["cum_users"].tolist() == [1, 3]
