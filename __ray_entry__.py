@@ -726,6 +726,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dnu(sf_dir)
 
+    def promo_revenue(sf_dir: str):
+        """TPC-H Q14-shaped promo revenue share for one ship month —
+        read-pushed month predicate, broadcast part-type lookup,
+        constant-size partials, integer-ppm share
+        (ops/relational.py promo_revenue)."""
+        from kgrecrun.ops.relational import promo_revenue as pr
+
+        return pr(sf_dir)
+
+    def large_orders(sf_dir: str):
+        """TPC-H Q18-shaped large-volume orders (HAVING sum qty > 220):
+        per-orderkey reduce fused into the join's single bucket shuffle,
+        customer names broadcast (ops/relational.py large_orders)."""
+        from kgrecrun.ops.relational import large_orders as lo
+
+        return lo(sf_dir)
+
+    def doc_weighted_sample(sf_dir: str):
+        """Length-weighted deterministic Bernoulli sample: keep docs
+        with p = min(1, n_chars/400) via exact integer md5-hash
+        thresholds — no RNG, reshard-stable
+        (ops/sample.py weighted_hash_sample)."""
+        import ray.data
+
+        from kgrecrun.ops.sample import weighted_hash_sample
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        return weighted_hash_sample(ds, weight_col="n_chars", target=400)
+
     def doc_sample(sf_dir: str):
         """Deterministic md5-hash 1/5 sample — stable across runs,
         resumes and re-sharding (no RNG; SQL-mirrorable)."""
@@ -1426,6 +1457,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": user_event_pivot,
         "event_transitions": event_transitions,
         "daily_new_users": daily_new_users,
+        "promo_revenue": promo_revenue,
+        "large_orders": large_orders,
+        "doc_weighted_sample": doc_weighted_sample,
         "events_value_zscore": events_value_zscore,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
@@ -2700,6 +2734,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT)
                        AS cum_users
             FROM d
+        """,
+        "promo_revenue": """
+            WITH j AS (
+                SELECT CAST(round((l_extendedprice * (1 - l_discount))
+                                  * 100) AS BIGINT) AS rc,
+                       p_type = 'PROMO' AS is_promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l_shipdate <  TIMESTAMP '1996-10-01'
+            ), s AS (
+                SELECT CAST(COALESCE(SUM(rc) FILTER (is_promo), 0)
+                            AS BIGINT) AS promo_cents,
+                       CAST(SUM(rc) AS BIGINT) AS total_cents
+                FROM j
+            )
+            SELECT promo_cents, total_cents,
+                   CAST(promo_cents * 1000000 // total_cents AS BIGINT)
+                       AS promo_ppm
+            FROM s
+        """,
+        "large_orders": """
+            WITH q AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY 1 HAVING sum_qty > 220
+            )
+            SELECT q.o_orderkey, o.o_custkey, c.c_name, q.sum_qty,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS o_totalprice_cents
+            FROM q JOIN orders o USING (o_orderkey)
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "doc_weighted_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {_IDHASH} % 1048576
+                  < LEAST(n_chars * 1048576 // 400, 1048576)
         """,
         "daily_activity_outer": """
             WITH e AS (

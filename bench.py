@@ -102,6 +102,7 @@ def bench_main() -> None:
         "user_last_event", "part_min_supplier",
         "parts_shipped_both_years", "parts_shipped_first_only",
         "user_event_pivot", "event_transitions", "daily_new_users",
+        "promo_revenue", "large_orders", "doc_weighted_sample",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -538,3 +538,124 @@ def pivot_counts(ds, *, key: str, label_col: str, labels: list[str],
     return agg.map_batches(
         lambda b: b.rename_columns([key, *out_cols]), batch_format="pyarrow"
     )
+
+
+def promo_revenue(sf_dir: str, *, month_lo: str = "1996-09-01",
+                  month_hi: str = "1996-10-01"):
+    """TPC-H Q14-shaped promotion-revenue share for one ship month:
+    what fraction of discounted revenue came from PROMO-type parts.
+
+    The month predicate is pushed to the parquet read; part type is
+    attached via broadcast lookup (dimension table — no shuffle join);
+    each batch folds to ONE (promo_cents, total_cents) partial row, so
+    the global reduce is a constant-size groupby. The share is an
+    integer ppm (promo·10⁶ // total) — bit-exact vs SQL, no float
+    division in the hash path. Output: one row
+    (promo_cents, total_cents, promo_ppm)."""
+    import ray.data
+
+    from .joins import broadcast_lookup
+
+    lo = np.datetime64(month_lo, "us").astype(np.int64)
+    hi = np.datetime64(month_hi, "us").astype(np.int64)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(int(lo), pa.timestamp("us")))
+            & (pc.field("l_shipdate") < pa.scalar(int(hi), pa.timestamp("us")))
+        ),
+    )
+    ptype = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    with_type = broadcast_lookup(ds, ptype, key="l_partkey", right_key="p_partkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        rc = pc.cast(
+            pc.round(pa.array((ep * (1.0 - disc)) * 100.0, pa.float64()),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        promo = (batch["p_type"].combine_chunks()
+                 .to_numpy(zero_copy_only=False) == "PROMO")
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "promo_cents": pa.array([int(rc[promo].sum())], pa.int64()),
+            "total_cents": pa.array([int(rc.sum())], pa.int64()),
+        })
+
+    agg = (with_type.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+           .groupby("k").sum(["promo_cents", "total_cents"]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.rename_columns(["k", "promo_cents", "total_cents"])
+        ppm = pc.divide(pc.multiply(b["promo_cents"], 1_000_000),
+                        b["total_cents"])
+        return pa.table({
+            "promo_cents": b["promo_cents"],
+            "total_cents": b["total_cents"],
+            "promo_ppm": pc.cast(ppm, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def large_orders(sf_dir: str, *, min_qty: int = 220):
+    """TPC-H Q18-shaped large-volume orders: orders whose lineitem
+    quantity total exceeds ``min_qty``, with customer name attached.
+
+    The per-orderkey quantity reduce is FUSED into the order⋈qty join's
+    single bucket shuffle (``bucket_join(left_agg_sum=...)``) — map-side
+    per-block partials in, one all-to-all, HAVING filter applied on the
+    joined bucket output. Customer name attaches via broadcast lookup.
+    Output: (o_orderkey, o_custkey, c_name, sum_qty, o_totalprice_cents).
+    """
+    import ray.data
+
+    from .cogroup import bucket_join
+    from .joins import broadcast_lookup
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "sum_qty": pc.cast(
+                pc.round(batch["l_quantity"],
+                         round_mode="half_towards_infinity"),
+                pa.int64()),
+        })
+        return (t.group_by("o_orderkey").aggregate([("sum_qty", "sum")])
+                .rename_columns(["o_orderkey", "sum_qty"]))
+
+    qty = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def order_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "o_totalprice_cents": _cents(batch["o_totalprice"]),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(order_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = bucket_join(
+        qty, orders, key="o_orderkey", left_agg_sum=["sum_qty"],
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("sum_qty", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_totalprice_cents", pa.int64())]),
+    )
+    big = joined.map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"], min_qty)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    names = pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name"])
+    return broadcast_lookup(big, names, key="o_custkey", right_key="c_custkey")

@@ -171,3 +171,25 @@ def rebalance_to_mix(ds, *, key: str, weights: dict | None = None,
         return batch.filter(pa.array(h < thr)).select([id_col, key])
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_hash_sample(ds, *, weight_col: str, target: int,
+                         id_col: str = "doc_id", denom: int = 1_048_576):
+    """Deterministic WEIGHTED Bernoulli sample: keep each row with
+    probability ``min(1, weight/target)`` — rows at or above ``target``
+    always survive, lighter rows proportionally (the quality-weighted /
+    length-weighted training-mix sampler).
+
+    Like :func:`hash_sample` the coin is ``md5(str(id))`` and the
+    threshold is exact integer arithmetic (``weight·denom // target``),
+    so the decision is identical across runs, resumes, re-sharding and
+    the SQL oracle — no RNG anywhere. Embarrassingly parallel, no
+    shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = _hash64(batch[id_col].to_pylist())
+        w = pc.cast(batch[weight_col], pa.int64()).to_numpy(zero_copy_only=False)
+        thresh = np.minimum(w * denom // target, denom).astype(np.uint64)
+        return batch.filter(pa.array(h % np.uint64(denom) < thresh))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

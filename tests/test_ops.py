@@ -1918,3 +1918,27 @@ def test_daily_new_users_first_seen_and_cumulative():
     assert out["day"].tolist() == ["1970-01-01", "1970-01-02"]
     assert out["n_new"].tolist() == [1, 2]
     assert out["cum_users"].tolist() == [1, 3]
+
+
+def test_weighted_hash_sample_caps_and_proportion():
+    """Rows at/above target always survive; lighter rows keep the exact
+    integer-threshold fraction; decision is layout-independent."""
+    import ray.data
+
+    from kgrecrun.ops.sample import weighted_hash_sample
+
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "w": pa.array([500] * (n // 2) + [100] * (n // 2), pa.int64()),
+    })
+    kept = []
+    for nblocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = weighted_hash_sample(ds, weight_col="w", target=400).to_pandas()
+        kept.append(sorted(out["doc_id"].tolist()))
+    assert kept[0] == kept[1]
+    heavy = [d for d in kept[0] if d < n // 2]
+    light = [d for d in kept[0] if d >= n // 2]
+    assert len(heavy) == n // 2          # p=1: all heavy rows kept
+    assert 0 < len(light) < n // 2       # p=0.25: strict subset
