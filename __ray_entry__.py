@@ -757,6 +757,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return weighted_hash_sample(ds, weight_col="n_chars", target=400)
 
+    def view_purchase_attribution(sf_dir: str):
+        """Many-to-many exposure-window join: every purchase matched to
+        EVERY view by the same user in the preceding 2 hours (overlap
+        allowed, all covers emitted) — one bucketed cogroup, pairs form
+        only inside workers (ops/temporal.py interval_attribution)."""
+        import ray.data
+
+        from kgrecrun.ops.temporal import interval_attribution
+
+        def typed(et, id_name, ts_name):
+            ds = ray.data.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "event_type"],
+                filter=(pc.field("event_type") == et),
+            )
+
+            def proj(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "user_id": batch["user_id"],
+                    id_name: batch["event_id"],
+                    ts_name: pc.cast(batch["ts"], pa.int64()),
+                })
+
+            return ds.map_batches(proj, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+        return interval_attribution(
+            typed("purchase", "p_event_id", "p_ts_us"),
+            typed("view", "v_event_id", "v_ts_us"),
+            key="user_id", point_ts="p_ts_us", start_ts="v_ts_us",
+            width_us=2 * 3600 * 1_000_000,
+            point_cols=["user_id", "p_event_id", "p_ts_us"],
+            interval_cols=["v_event_id"],
+        )
+
+    def orders_above_cust_avg(sf_dir: str):
+        """Correlated-subquery pattern: orders above their own
+        customer's average price — stats fused into the join shuffle,
+        integer cross-multiplied comparison
+        (ops/relational.py orders_above_cust_avg)."""
+        from kgrecrun.ops.relational import orders_above_cust_avg as oaca
+
+        return oaca(sf_dir)
+
     def doc_sample(sf_dir: str):
         """Deterministic md5-hash 1/5 sample — stable across runs,
         resumes and re-sharding (no RNG; SQL-mirrorable)."""
@@ -1460,6 +1504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": promo_revenue,
         "large_orders": large_orders,
         "doc_weighted_sample": doc_weighted_sample,
+        "view_purchase_attribution": view_purchase_attribution,
+        "orders_above_cust_avg": orders_above_cust_avg,
         "events_value_zscore": events_value_zscore,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
@@ -2771,6 +2817,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE {_IDHASH} % 1048576
                   < LEAST(n_chars * 1048576 // 400, 1048576)
+        """,
+        "view_purchase_attribution": """
+            SELECT p.user_id, p.event_id AS p_event_id,
+                   epoch_us(p.ts) AS p_ts_us,
+                   v.event_id AS v_event_id,
+                   epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND p.event_type = 'purchase' AND v.event_type = 'view'
+             AND p.ts >= v.ts
+             AND epoch_us(p.ts) - epoch_us(v.ts) <= 7200000000
+        """,
+        "orders_above_cust_avg": """
+            WITH s AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS sum_cents,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS o_totalprice_cents
+            FROM orders o JOIN s USING (o_custkey)
+            WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * s.n_orders
+                  > s.sum_cents
         """,
         "daily_activity_outer": """
             WITH e AS (

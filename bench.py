@@ -103,6 +103,7 @@ def bench_main() -> None:
         "parts_shipped_both_years", "parts_shipped_first_only",
         "user_event_pivot", "event_transitions", "daily_new_users",
         "promo_revenue", "large_orders", "doc_weighted_sample",
+        "view_purchase_attribution", "orders_above_cust_avg",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -659,3 +659,61 @@ def large_orders(sf_dir: str, *, min_qty: int = 220):
     names = pq.read_table(f"{sf_dir}/customer.parquet",
                           columns=["c_custkey", "c_name"])
     return broadcast_lookup(big, names, key="o_custkey", right_key="c_custkey")
+
+
+def orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery pattern (orders pricier than their OWN
+    customer's average): the per-customer (sum, count) reduce is fused
+    into the join's single bucket shuffle via ``left_agg_sum``, and the
+    comparison is cross-multiplied to stay in exact int64
+    (``price·n > sum`` ⇔ ``price > avg`` — no float division anywhere).
+    Output: (o_orderkey, o_custkey, o_totalprice_cents)."""
+    import ray.data
+
+    from .cogroup import bucket_join
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": batch["o_custkey"],
+            "sum_cents": _cents(batch["o_totalprice"]),
+            "n_orders": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+        })
+        return (t.group_by("o_custkey")
+                .aggregate([("sum_cents", "sum"), ("n_orders", "sum")])
+                .rename_columns(["o_custkey", "sum_cents", "n_orders"]))
+
+    def order_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "o_orderkey": batch["o_orderkey"],
+            "o_totalprice_cents": _cents(batch["o_totalprice"]),
+        })
+
+    read = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    stats = read().map_batches(stat_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    orders = read().map_batches(order_proj, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = bucket_join(
+        stats, orders, key="o_custkey",
+        left_agg_sum=["sum_cents", "n_orders"],
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("sum_cents", pa.int64()),
+                               ("n_orders", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("o_orderkey", pa.int64()),
+                                ("o_totalprice_cents", pa.int64())]),
+    )
+
+    def above(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(batch["o_totalprice_cents"], batch["n_orders"]),
+            batch["sum_cents"])
+        return batch.filter(keep).select(
+            ["o_orderkey", "o_custkey", "o_totalprice_cents"])
+
+    return joined.map_batches(above, batch_format="pyarrow",
+                              zero_copy_batch=True)

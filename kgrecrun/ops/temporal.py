@@ -532,3 +532,40 @@ def daily_anomalies(sf_dir: str, *, key: str = "event_type",
     return dense.map_batches(tag, batch_format="pyarrow",
                              zero_copy_batch=True)\
         .groupby("__bucket").map_groups(flag_bucket, batch_format="pyarrow")
+
+
+def interval_attribution(points_ds, intervals_ds, *, key: str,
+                         point_ts: str, start_ts: str, width_us: int,
+                         point_cols: list[str], interval_cols: list[str],
+                         n_buckets: int = 256):
+    """Many-to-many containment join: each point row matches EVERY
+    interval ``[start, start + width_us]`` of the same ``key`` that
+    covers it (the ad-attribution / exposure-window pattern — unlike
+    :func:`range_join`, overlapping intervals are first-class and every
+    cover is emitted, not just the latest).
+
+    One bucketed cogroup shuffle (``hash(key) % n_buckets``) co-locates
+    each key's points and intervals; inside a bucket a vectorized acero
+    inner join on ``key`` forms per-key candidate pairs which one
+    arrow filter cuts to actual covers. Exchange = points + intervals,
+    never pairs; the per-key pair blow-up stays inside a worker, so the
+    operator holds as long as one key's points × intervals fits in
+    memory — salt hot keys upstream. Output columns:
+    ``point_cols + interval_cols + [delay_us]``, delay ∈ [0, width].
+    """
+    from .cogroup import bucket_join
+
+    joined = bucket_join(
+        points_ds, intervals_ds, key=key, join_type="inner",
+        n_buckets=n_buckets,
+    )
+
+    def cover(batch: pa.Table) -> pa.Table:
+        delay = pc.subtract(batch[point_ts], batch[start_ts])
+        keep = pc.and_(pc.greater_equal(delay, 0),
+                       pc.less_equal(delay, width_us))
+        out = batch.append_column("delay_us", delay).filter(keep)
+        return out.select([*point_cols, *interval_cols, "delay_us"])
+
+    return joined.map_batches(cover, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1942,3 +1942,32 @@ def test_weighted_hash_sample_caps_and_proportion():
     light = [d for d in kept[0] if d >= n // 2]
     assert len(heavy) == n // 2          # p=1: all heavy rows kept
     assert 0 < len(light) < n // 2       # p=0.25: strict subset
+
+
+def test_interval_attribution_many_to_many_covers():
+    """Every covering window matches (overlapping intervals emit
+    multiple rows per point); out-of-window and cross-user points
+    don't."""
+    import ray.data
+
+    from kgrecrun.ops.temporal import interval_attribution
+
+    pts = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "p_id": pa.array([100, 101, 102], pa.int64()),
+        "p_ts": pa.array([50, 500, 50], pa.int64()),
+    }))
+    ivs = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "v_id": pa.array([7, 8, 9], pa.int64()),
+        "v_ts": pa.array([0, 40, 300], pa.int64()),
+    }))
+    out = interval_attribution(
+        pts, ivs, key="user_id", point_ts="p_ts", start_ts="v_ts",
+        width_us=100, point_cols=["user_id", "p_id"],
+        interval_cols=["v_id"],
+    ).to_pandas().sort_values(["p_id", "v_id"]).reset_index(drop=True)
+    got = [(r.p_id, r.v_id, r.delay_us) for r in out.itertuples()]
+    # point 100 covered by both user-1 windows; 500 by none (too late);
+    # user-2 point at 50 precedes its window at 300
+    assert got == [(100, 7, 50), (100, 8, 10)]
