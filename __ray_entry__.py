@@ -801,6 +801,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return oaca(sf_dir)
 
+    def doc_dup_spans(sf_dir: str):
+        """Substring-level duplicate spans (overlapping 8-token windows
+        every 4): md5 fingerprints, span text never shuffles, one
+        bucketed two-level reduce (ops/dedup.py dup_spans)."""
+        import ray.data
+
+        from kgrecrun.ops.dedup import dup_spans
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return dup_spans(ds, w=8, stride=4)
+
     def doc_sample(sf_dir: str):
         """Deterministic md5-hash 1/5 sample — stable across runs,
         resumes and re-sharding (no RNG; SQL-mirrorable)."""
@@ -1506,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": doc_weighted_sample,
         "view_purchase_attribution": view_purchase_attribution,
         "orders_above_cust_avg": orders_above_cust_avg,
+        "doc_dup_spans": doc_dup_spans,
         "events_value_zscore": events_value_zscore,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
@@ -2843,6 +2857,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN s USING (o_custkey)
             WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * s.n_orders
                   > s.sum_cents
+        """,
+        "doc_dup_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS ws FROM documents
+            ), idx AS (
+                SELECT doc_id, ws,
+                       unnest(range(0, (len(ws) - 8) // 4 + 1)) AS i
+                FROM toks WHERE len(ws) >= 8
+            ), spans AS (
+                SELECT md5(array_to_string(ws[i * 4 + 1 : i * 4 + 8], ' '))
+                           AS span_h,
+                       doc_id
+                FROM idx
+            )
+            SELECT span_h, COUNT(*) AS n_occ,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM spans GROUP BY 1 HAVING COUNT(*) > 1
         """,
         "daily_activity_outer": """
             WITH e AS (

@@ -744,3 +744,62 @@ def segment_dedup_docs(docs_ds, *, text_col: str = "text",
     ).union(winners.map_batches(tag_win, batch_format="pyarrow"))
     return tagged.groupby("__bucket").map_groups(
         rebuild_bucket, batch_format="pyarrow")
+
+
+def dup_spans(ds, *, w: int = 8, stride: int = 4, text_col: str = "text",
+              id_col: str = "doc_id", n_buckets: int = 256):
+    """Substring-level duplicate-span statistics (the suffix-window
+    flavor of exact dedup, Lee et al. 2021 "Deduplicating Training Data
+    Makes Language Models Better"): slide OVERLAPPING ``w``-token
+    windows every ``stride`` tokens over each document, fingerprint
+    each span with md5, and report every span text that occurs more
+    than once anywhere in the corpus as (span_h, n_occ, n_docs).
+
+    Scale shape: the flat-map emits only (md5, doc_id) — span TEXT
+    never leaves the map side — and a per-batch (h, doc) count partial
+    collapses in-block repeats. ONE bucketed shuffle
+    (``hash(h) % n_buckets``) then computes both levels of aggregation
+    (occurrence sum, distinct-doc count) vectorized inside each bucket;
+    a hot boilerplate span costs one row per (block) in the exchange,
+    not one per occurrence. Tokenization (lowercase, RE2 ``\\s`` split,
+    empties dropped) and windowing (full windows only: starts
+    ``0, stride, …`` with ``start + w ≤ len``) are mirrored exactly by
+    the SQL list-slice oracle."""
+    import hashlib
+
+    from ..kg.unionfind import hash_bucket
+    from ..textnorm import ascii_words
+
+    def spans_partial(batch: pa.Table) -> pa.Table:
+        hs, dids = [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            ws = ascii_words((t or "").lower())
+            for start in range(0, len(ws) - w + 1, stride):
+                hs.append(hashlib.md5(
+                    " ".join(ws[start:start + w]).encode()).hexdigest())
+                dids.append(did)
+        t = pa.table({
+            "h": pa.array(hs, pa.string()),
+            id_col: pa.array(dids, pa.int64()),
+            "c": pa.array([1] * len(hs), pa.int64()),
+        })
+        part = (t.group_by(["h", id_col]).aggregate([("c", "sum")])
+                .rename_columns(["h", id_col, "c"]))
+        return part.append_column(
+            "__bucket", hash_bucket(part["h"].combine_chunks(), n_buckets))
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        pair = (group.group_by(["h", id_col]).aggregate([("c", "sum")])
+                .rename_columns(["h", id_col, "n"]))
+        agg = (pair.group_by("h")
+               .aggregate([("n", "sum"), (id_col, "count")])
+               .rename_columns(["span_h", "n_occ", "n_docs"]))
+        return agg.filter(pc.greater(agg["n_occ"], 1))
+
+    return (
+        ds.map_batches(spans_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )

@@ -1971,3 +1971,25 @@ def test_interval_attribution_many_to_many_covers():
     # point 100 covered by both user-1 windows; 500 by none (too late);
     # user-2 point at 50 precedes its window at 300
     assert got == [(100, 7, 50), (100, 8, 10)]
+
+
+def test_dup_spans_overlapping_windows_and_hot_span_counts():
+    """A span repeated within one doc and across docs is reported with
+    exact occurrence/doc counts; unique text contributes nothing."""
+    import ray.data
+
+    boiler = "all rights reserved contact us for more info"  # 8 tokens
+    t = _docs_table([
+        f"{boiler} alpha beta gamma delta {boiler}",
+        f"intro words here then {boiler} tail one two three",
+        "totally unique sentence with no repeated window at all here",
+    ])
+    out = dedup.dup_spans(ray.data.from_arrow(t).repartition(3),
+                          w=8, stride=4).to_pandas()
+    import hashlib
+    h = hashlib.md5(boiler.encode()).hexdigest()
+    row = out[out["span_h"] == h]
+    assert len(row) == 1
+    # doc0 has it at tokens 0 and 12 (stride 4 hits both), doc1 at 4
+    assert int(row["n_occ"].iloc[0]) == 3
+    assert int(row["n_docs"].iloc[0]) == 2
