@@ -1179,6 +1179,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return triangle_counts(copurchase_edges(sf_dir))
 
+    def graph_bfs(sf_dir: str):
+        """Hop distances (≤4) from the smallest node of the sparse
+        (l_quantity<=2) supplier-part subgraph — BFS as iterated
+        Dataset algebra (bucketed semi-join frontier expansion +
+        anti-join visited filter), the graph sibling of the crawl
+        frontier; oracle is a recursive CTE (ops/graph.py
+        bfs_distances)."""
+        from kgrecrun.ops.graph import bfs_distances, supplier_part_edges
+
+        return bfs_distances(
+            supplier_part_edges(sf_dir, max_quantity=2), max_hops=4)
+
     def term_heavy_hitters(sf_dir: str):
         """Terms with frequency > n/100 via the two-pass
         candidate/verify heavy-hitter scheme — no vocabulary-order
@@ -1442,6 +1454,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sp(sf_dir)
 
+    def local_supplier_revenue(sf_dir: str):
+        """TPC-H Q5-shaped local-supplier volume: revenue per nation
+        where customer and supplier share a nation of one region —
+        driver-composed broadcast dims, read-pushed year predicate,
+        two bucketed cogroups on narrow int64 rows, map-side per-nation
+        partials (ops/relational.py local_supplier_revenue)."""
+        from kgrecrun.ops.relational import local_supplier_revenue as lsr
+
+        return lsr(sf_dir)
+
+    def returned_items_topk(sf_dir: str):
+        """TPC-H Q10-shaped returned-item report: top-20 customers by
+        returned revenue — read-pushed returnflag/date predicates, the
+        per-orderkey reduce fused into the join's bucket shuffle,
+        names attached to the ≤k survivors via a key-pushed dimension
+        read (ops/relational.py returned_items_topk)."""
+        from kgrecrun.ops.relational import returned_items_topk as rit
+
+        return rit(sf_dir)
+
     def events_tumbling(sf_dir: str):
         """Tumbling 1-hour windows per event_type = hopping windows
         with hop == width (each event lands in exactly one window)."""
@@ -1536,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": graph_pagerank,
         "graph_components": graph_components_q,
         "part_copurchase_triangles": part_copurchase_triangles,
+        "graph_bfs": graph_bfs,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
@@ -1547,6 +1580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": events_outliers,
         "user_retention": user_retention,
         "shipping_priority": shipping_priority,
+        "local_supplier_revenue": local_supplier_revenue,
+        "returned_items_topk": returned_items_topk,
         "user_event_type_agg": user_event_type_agg,
         "weekly_active_users": weekly_active_users,
         "term_pairs_lift": term_pairs_lift,
@@ -2068,6 +2103,23 @@ def oracle_sql() -> dict[str, str]:
             "id",
             "node",
         ),
+        "graph_bfs": """
+            WITH RECURSIVE pairs AS (
+                SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+                       CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+                FROM lineitem WHERE l_quantity <= 2
+            ), edges AS (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), src AS (SELECT MIN(u) AS s FROM edges),
+            walk(node, dist) AS (
+                SELECT s, 0 FROM src
+                UNION
+                SELECT e.v, w.dist + 1 FROM walk w
+                JOIN edges e ON e.u = w.node WHERE w.dist < 4
+            )
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY node
+        """,
         "part_copurchase_triangles": """
             WITH pp AS (
                 SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
@@ -2454,6 +2506,45 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN o USING (o_orderkey)
             ORDER BY r.revenue_cents DESC, o.o_date_day, o.o_orderkey
             LIMIT 10
+        """,
+        "local_supplier_revenue": """
+            WITH nk AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            )
+            SELECT nk.n_name,
+                   CAST(SUM(CAST(round((l_extendedprice
+                            * (1 - l_discount)) * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nk       ON c_nationkey = nk.n_nationkey
+            WHERE s_nationkey = c_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY nk.n_name
+            ORDER BY revenue_cents DESC, nk.n_name
+        """,
+        "returned_items_topk": """
+            WITH r AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(SUM(CAST(round((l_extendedprice
+                                * (1 - l_discount)) * 100) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT r.c_custkey, c.c_name, n.n_name, r.revenue_cents
+            FROM r JOIN customer c USING (c_custkey)
+                   JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ORDER BY r.revenue_cents DESC, r.c_custkey
+            LIMIT 20
         """,
         "user_retention": """
             WITH d AS (

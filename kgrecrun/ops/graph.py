@@ -799,3 +799,164 @@ def triangle_counts(edges_ds, *, n_buckets: int = 256,
         lambda b: b.rename_columns(["part", "n_triangles"]),
         batch_format="pyarrow",
     )
+
+
+def _distinct_ints(ds, col: str, *, n_buckets: int = 256):
+    """Distributed distinct over one int64 column: bucket shuffle +
+    np.unique per bucket — no driver set, no per-key dispatch."""
+    from ..kg.unionfind import hash_bucket
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = np.unique(b[col].combine_chunks().to_numpy(zero_copy_only=False))
+        t = pa.table({col: pa.array(u, pa.int64())})
+        return t.append_column(
+            "__bucket", hash_bucket(t[col].combine_chunks(), n_buckets))
+
+    def uniq(group: pa.Table) -> pa.Table:
+        u = np.unique(group[col].combine_chunks().to_numpy(zero_copy_only=False))
+        return pa.table({col: pa.array(u, pa.int64())})
+
+    return (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__bucket").map_groups(uniq, batch_format="pyarrow"))
+
+
+def bfs_distances(edges_ds, *, source: int | None = None, max_hops: int = 3,
+                  broadcast_nodes: int | None = 2_000_000):
+    """Hop-distance labels from one source over an undirected distinct
+    edge list: (node, dist) for every node within ``max_hops`` — BFS as
+    iterated Dataset algebra, the graph sibling of the crawl frontier.
+
+    Two paths, same bit-identical output (the pagerank trade-off,
+    module docstring):
+
+    - **broadcast** (``broadcast_nodes`` = bound, default 2M): the
+      visited/frontier node sets live on the driver as numpy arrays
+      (16 B/node — bounded by the reachable node count, NOT |E|; a
+      hard ``RuntimeError`` fires if the bound is exceeded). Per round
+      ONE zero-shuffle execution: frontier set is ``ray.put`` once,
+      every edge batch filters map-side (``np.isin`` against frontier,
+      then against visited) and emits its locally-unique new nodes;
+      the driver np.uniques the narrow survivors. Right for
+      catalog-order node sets (this repo's supplier/part graphs).
+    - **exchange** (``broadcast_nodes=None``): nothing node-shaped on
+      the driver. Per round: frontier neighbors via ONE bucketed
+      semi-join cogroup (edges × frontier — exchange is edges touched,
+      dispatch capped at n_buckets), minus visited via an anti-join,
+      distinct via a bucketed np.unique. Every inter-round table is
+      NARROW ((node)/(node, dist) int64 rows, bounded by |V|) and
+      materialized so no round recomputes its predecessors. Total
+      exchanges = O(max_hops × |E touched|); at small |E| the ~3
+      shuffles/round fixed cost dominates, which is why broadcast is
+      the default.
+
+    Rounds are sequential by nature (BFS is depth-synchronous); the
+    full edge list lives in the object store, never on the driver.
+
+    ``source=None`` uses the smallest node id in the edge list (always
+    a ``src`` under the canonical src<dst orientation).
+    """
+    import ray.data
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.concat_arrays([
+                b["src"].combine_chunks().cast(pa.int64()),
+                b["dst"].combine_chunks().cast(pa.int64()),
+            ]),
+            "v": pa.concat_arrays([
+                b["dst"].combine_chunks().cast(pa.int64()),
+                b["src"].combine_chunks().cast(pa.int64()),
+            ]),
+        })
+
+    edges = edges_ds.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if source is None:
+        source = int(edges.min("u"))
+
+    if broadcast_nodes is not None:
+        return _bfs_broadcast(edges, source=source, max_hops=max_hops,
+                              bound=broadcast_nodes)
+
+    from .joins import anti_join, semi_join
+
+    def labeled(nodes_ds, dist: int):
+        return nodes_ds.map_batches(
+            lambda b: b.append_column(
+                "dist", pa.nulls(b.num_rows, pa.int64()).fill_null(dist)),
+            batch_format="pyarrow",
+        )
+
+    seed = ray.data.from_arrow(pa.table({"node": pa.array([source], pa.int64())}))
+    visited = labeled(seed, 0).materialize()
+    frontier = seed.materialize()
+
+    for hop in range(1, max_hops + 1):
+        fr = frontier.map_batches(
+            lambda b: b.rename_columns(["u"]), batch_format="pyarrow")
+        nbrs = semi_join(edges, fr, "u").map_batches(
+            lambda b: pa.table({"node": b["v"]}), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        new = _distinct_ints(
+            anti_join(nbrs, visited.select_columns(["node"]), "node"), "node"
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(labeled(new, hop)).materialize()
+        frontier = new
+
+    return visited
+
+
+def _bfs_broadcast(edges, *, source: int, max_hops: int, bound: int):
+    """Zero-shuffle BFS rounds: frontier/visited sets broadcast via
+    ``ray.put``, edges filtered map-side, new nodes collected as narrow
+    int64 rows. Driver state is (node, dist) only — raises if the
+    reachable node count exceeds ``bound``."""
+    import ray
+    import ray.data
+
+    nodes = [np.array([source], np.int64)]
+    dists = [np.array([0], np.int64)]
+    visited_np = nodes[0]
+    frontier_np = nodes[0]
+    n_visited = 1
+
+    for hop in range(1, max_hops + 1):
+        fr_ref = ray.put(np.sort(frontier_np))
+        vis_ref = ray.put(np.sort(visited_np))
+
+        def expand(b: pa.Table, *, _fr=fr_ref, _vis=vis_ref) -> pa.Table:
+            fr = _fr if isinstance(_fr, np.ndarray) else ray.get(_fr)
+            vis = _vis if isinstance(_vis, np.ndarray) else ray.get(_vis)
+            u = b["u"].combine_chunks().to_numpy(zero_copy_only=False)
+            v = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+            cand = np.unique(v[np.isin(u, fr)])
+            new = cand[~np.isin(cand, vis)]
+            return pa.table({"node": pa.array(new, pa.int64())})
+
+        new_np = np.unique(np.concatenate([
+            b["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            for b in edges.map_batches(
+                expand, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        ] or [np.array([], np.int64)]))
+        if new_np.size == 0:
+            break
+        n_visited += int(new_np.size)
+        if n_visited > bound:
+            raise RuntimeError(
+                f"bfs_distances: reachable node set exceeds "
+                f"broadcast_nodes={bound}; pass broadcast_nodes=None for "
+                f"the exchange path")
+        nodes.append(new_np)
+        dists.append(np.full(new_np.size, hop, np.int64))
+        visited_np = np.concatenate([visited_np, new_np])
+        frontier_np = new_np
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(np.concatenate(nodes), pa.int64()),
+        "dist": pa.array(np.concatenate(dists), pa.int64()),
+    }))

@@ -717,3 +717,250 @@ def orders_above_cust_avg(sf_dir: str):
 
     return joined.map_batches(above, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def local_supplier_revenue(sf_dir: str, *, region: str = "ASIA",
+                           year_lo: str = "1996-01-01",
+                           year_hi: str = "1997-01-01"):
+    """TPC-H Q5-shaped "local supplier volume": revenue per nation for
+    orders placed in ``[year_lo, year_hi)`` where the CUSTOMER and the
+    SUPPLIER sit in the same nation of one region.
+
+        customer ⋈ orders(σ year) ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
+        with c_nationkey = s_nationkey                        → Σ per nation
+
+    Scale shape: nation⋈region composes driver-side (dozens of rows)
+    into a broadcast nationkey set + name map; supplier is catalog-order
+    even at 100 TB so its nationkey column broadcasts too
+    (`suppkey → s_nationkey` lookup attached map-side to lineitem).
+    Customer is corpus-order → orders(σ year, read-pushed) acquires
+    ``c_nationkey`` through ONE bucketed cogroup on custkey; lineitem
+    then joins that narrow (orderkey, c_nationkey) side through the
+    second bucketed cogroup on orderkey, filtering s_nationkey ==
+    c_nationkey inside the join batch. Revenue partials aggregate
+    map-side per nation, so the final groupby carries ≤ nations rows
+    per block. Two all-to-all exchanges total, both on narrow int64
+    rows; money is int64 cents (module docstring contract).
+
+    Output: (n_name, revenue_cents), revenue descending.
+    """
+    import ray.data
+
+    from .cogroup import bucket_join
+
+    lo_us = int(np.datetime64(year_lo, "us").astype(np.int64))
+    hi_us = int(np.datetime64(year_hi, "us").astype(np.int64))
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey", "n_name"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    reg = reg.filter(pc.equal(reg["r_name"], region))
+    nr = nation.join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"],
+                     join_type="inner")  # pa.Table.join defaults to LEFT OUTER
+    nkeys = pc.cast(nr["n_nationkey"], pa.int64()).combine_chunks()
+    name_map = pa.table({
+        "c_nationkey": nkeys,
+        "n_name": nr["n_name"].combine_chunks(),
+    })
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = pa.table({
+        "l_suppkey": pc.cast(supp["s_suppkey"], pa.int64()),
+        "s_nationkey": pc.cast(supp["s_nationkey"], pa.int64()),
+    })
+
+    nkey_np = np.sort(nkeys.to_numpy(zero_copy_only=False))
+
+    def cust_proj(batch: pa.Table) -> pa.Table:
+        nk = pc.cast(batch["c_nationkey"], pa.int64()).combine_chunks()
+        t = pa.table({"o_custkey": batch["c_custkey"], "c_nationkey": nk})
+        keep = np.isin(nk.to_numpy(zero_copy_only=False), nkey_np)
+        return t.filter(pa.array(keep))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey",
+                                             "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pa.scalar(lo_us, pa.timestamp("us")))
+                & (pc.field("o_orderdate") < pa.scalar(hi_us, pa.timestamp("us")))),
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    # exchange 1: orders acquire the customer's nation (inner join drops
+    # out-of-region customers — cust_proj already filtered them)
+    o_nat = bucket_join(
+        orders, cust, key="o_custkey",
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("o_orderkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]),
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    from .joins import broadcast_lookup
+
+    def line_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "rev_cents": _cents(pc.multiply(
+                pc.cast(batch["l_extendedprice"], pa.float64()),
+                pc.subtract(pa.scalar(1.0),
+                            pc.cast(batch["l_discount"], pa.float64())))),
+        })
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_proj, batch_format="pyarrow", zero_copy_batch=True)
+    line = broadcast_lookup(line, supp, key="l_suppkey").map_batches(
+        lambda b: b.select(["o_orderkey", "s_nationkey", "rev_cents"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    # exchange 2: lineitem ⋈ (orderkey → c_nationkey); the same-nation
+    # predicate + per-nation partial fold happen inside the join batch
+    joined = bucket_join(
+        line, o_nat, key="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("s_nationkey", pa.int64()),
+                               ("rev_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["s_nationkey"], batch["c_nationkey"]))
+        g = (pa.table({"c_nationkey": t["c_nationkey"],
+                       "rev_cents": t["rev_cents"]})
+             .group_by("c_nationkey").aggregate([("rev_cents", "sum")]))
+        return g.rename_columns(["c_nationkey", "rev_local"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("c_nationkey").sum("rev_local"))
+    named = broadcast_lookup(
+        agg.map_batches(
+            lambda b: b.rename_columns(["c_nationkey", "revenue_cents"]),
+            batch_format="pyarrow"),
+        name_map, key="c_nationkey")
+    return named.map_batches(
+        lambda b: b.select(["n_name", "revenue_cents"]),
+        batch_format="pyarrow",
+    ).sort([("revenue_cents"), ("n_name")], descending=[True, False])
+
+
+def returned_items_topk(sf_dir: str, *, date_lo: str = "1996-01-01",
+                        date_hi: str = "1996-04-01", k: int = 20):
+    """TPC-H Q10-shaped returned-item report: the ``k`` customers who
+    lost the most revenue to returns (``l_returnflag = 'R'``) on orders
+    placed in ``[date_lo, date_hi)``.
+
+    Scale shape: both predicates are read-pushed; returned-lineitem
+    revenue pre-aggregates per orderkey map-side; ONE bucketed cogroup
+    (``left_agg_sum`` fusion — the reduce rides the join's shuffle)
+    attaches o_custkey; per-custkey partials fold map-side before the
+    small groupby; customer name/nation attach via broadcast lookup to
+    the ≤ k·blocks survivors only AFTER top-k. Money is int64 cents.
+
+    Output: (c_custkey, c_name, n_name, revenue_cents), revenue
+    descending, ties by custkey.
+    """
+    import ray.data
+
+    from .cogroup import bucket_join
+    from .joins import broadcast_lookup
+
+    lo_us = int(np.datetime64(date_lo, "us").astype(np.int64))
+    hi_us = int(np.datetime64(date_hi, "us").astype(np.int64))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "revenue_cents": _cents(pc.multiply(
+                pc.cast(batch["l_extendedprice"], pa.float64()),
+                pc.subtract(pa.scalar(1.0),
+                            pc.cast(batch["l_discount"], pa.float64())))),
+        })
+        return (t.group_by("o_orderkey").aggregate([("revenue_cents", "sum")])
+                .rename_columns(["o_orderkey", "revenue_cents"]))
+
+    rev = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=(pc.field("l_returnflag") == "R"),
+    ).map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey",
+                                             "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pa.scalar(lo_us, pa.timestamp("us")))
+                & (pc.field("o_orderdate") < pa.scalar(hi_us, pa.timestamp("us")))),
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    joined = bucket_join(
+        rev, orders, key="o_orderkey",
+        left_agg_sum=["revenue_cents"],
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("revenue_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]),
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"c_custkey": batch["o_custkey"],
+                       "revenue_cents": batch["revenue_cents"]})
+             .group_by("c_custkey").aggregate([("revenue_cents", "sum")]))
+        return g.rename_columns(["c_custkey", "rev_local"])
+
+    agg = (joined.map_batches(cust_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("c_custkey").sum("rev_local")
+           .map_batches(
+               lambda b: b.rename_columns(["c_custkey", "rev_local"]),
+               batch_format="pyarrow"))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[
+            ("rev_local", "descending"), ("c_custkey", "ascending")])
+        return batch.take(order.slice(0, k))
+
+    top = (agg.map_batches(topk, batch_format="pyarrow")
+           .repartition(1).map_batches(topk, batch_format="pyarrow")
+           .map_batches(
+               lambda b: b.rename_columns(["c_custkey", "revenue_cents"]),
+               batch_format="pyarrow"))
+
+    # survivors are ≤ k rows — pull their keys to the driver and push
+    # them INTO the customer read (row-group + page pruning), so the
+    # corpus-order customer table is never scanned whole for k names
+    top = top.materialize()
+    keys = [r["c_custkey"] for r in top.take_all()]
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=pc.field("c_custkey").isin(keys),
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys=["c_nationkey"],
+                    right_keys=["n_nationkey"]).select(
+        ["c_custkey", "c_name", "n_name"])
+    named = broadcast_lookup(top, dim, key="c_custkey")
+    return named.map_batches(
+        lambda b: b.select(["c_custkey", "c_name", "n_name", "revenue_cents"]),
+        batch_format="pyarrow",
+    ).sort([("revenue_cents"), ("c_custkey")], descending=[True, False])

@@ -299,3 +299,72 @@ def test_triangle_counts_trianglefree_and_planted(ray_session):
     out2 = (triangle_counts(ray.data.from_arrow(t2), n_buckets=4)
             .to_pandas().set_index("part")["n_triangles"])
     assert dict(out2) == {0: 1, 3: 1, 5: 1}
+
+
+def _bfs_ref(pairs, source, max_hops):
+    """Driver-side BFS over undirected pairs."""
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {source: 0}
+    frontier = [source]
+    for hop in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_distances_matches_reference(ray_session):
+    """Chain + branch + disconnected component: hop labels match a
+    driver BFS, unreachable nodes are absent, max_hops truncates."""
+    from kgrecrun.ops.graph import bfs_distances
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7), (8, 9)]
+    ds = _edges_ds(ray_session, pairs)
+    for bc in (2_000_000, None):  # broadcast path, exchange path
+        for hops in (2, 4):
+            got = {
+                row["node"]: row["dist"]
+                for row in bfs_distances(
+                    ds, source=1, max_hops=hops, broadcast_nodes=bc
+                ).take_all()
+            }
+            assert got == _bfs_ref(pairs, 1, hops), f"bc={bc} hops={hops}"
+    # default source = smallest node id
+    got0 = {
+        row["node"]: row["dist"]
+        for row in bfs_distances(ds, max_hops=3).take_all()
+    }
+    assert got0 == _bfs_ref(pairs, 1, 3)
+
+
+def test_bfs_distances_early_exit(ray_session):
+    """An exhausted frontier stops before max_hops (no empty rounds)."""
+    from kgrecrun.ops.graph import bfs_distances
+
+    pairs = [(1, 2), (2, 3)]
+    ds = _edges_ds(ray_session, pairs)
+    for bc in (2_000_000, None):
+        got = {
+            row["node"]: row["dist"]
+            for row in bfs_distances(
+                ds, source=1, max_hops=10, broadcast_nodes=bc).take_all()
+        }
+        assert got == {1: 0, 2: 1, 3: 2}, f"bc={bc}"
+
+
+def test_bfs_broadcast_bound_enforced(ray_session):
+    """Exceeding broadcast_nodes raises instead of silently growing
+    driver state (the escape hatch is broadcast_nodes=None)."""
+    from kgrecrun.ops.graph import bfs_distances
+
+    pairs = [(0, i) for i in range(1, 9)]
+    ds = _edges_ds(ray_session, pairs)
+    with pytest.raises(RuntimeError, match="broadcast_nodes"):
+        bfs_distances(ds, source=0, max_hops=2, broadcast_nodes=4)

@@ -50,6 +50,7 @@ SUBSET = [
     "bm25_topk",
     "events_value_ntile",
     "events_tumbling",
+    "graph_bfs",
 ]
 
 
