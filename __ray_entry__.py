@@ -1191,6 +1191,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bfs_distances(
             supplier_part_edges(sf_dir, max_quantity=2), max_hops=4)
 
+    def graph_link_prediction(sf_dir: str):
+        """Common-neighbor / Jaccard link prediction over the sparse
+        supplier-part subgraph: non-adjacent pairs sharing ≥2 neighbors
+        of degree ≤64 (hub cap = wedge-volume bound), scored common /
+        (deg_x + deg_y − common) — broadcast degree/edge arrays,
+        bucketed wedge-pair cogroup, np.unique partials
+        (ops/graph.py link_prediction)."""
+        from kgrecrun.ops.graph import link_prediction, supplier_part_edges
+
+        return link_prediction(supplier_part_edges(sf_dir, max_quantity=2))
+
     def term_heavy_hitters(sf_dir: str):
         """Terms with frequency > n/100 via the two-pass
         candidate/verify heavy-hitter scheme — no vocabulary-order
@@ -1569,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": graph_components_q,
         "part_copurchase_triangles": part_copurchase_triangles,
         "graph_bfs": graph_bfs,
+        "graph_link_prediction": graph_link_prediction,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
@@ -2119,6 +2131,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
             FROM walk GROUP BY node
+        """,
+        "graph_link_prediction": """
+            WITH pairs AS (
+                SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+                       CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+                FROM lineitem WHERE l_quantity <= 2
+            ), edges AS (
+                SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+            ), deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+            wed AS (
+                SELECT e1.v AS x, e2.v AS y, COUNT(*) AS common
+                FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN deg dm ON dm.node = e1.u
+                WHERE dm.d <= 64
+                GROUP BY 1, 2
+            )
+            SELECT x, y, common, dx.d AS deg_x, dy.d AS deg_y,
+                   round(common * 1.0 / (dx.d + dy.d - common), 6) AS jac6
+            FROM wed JOIN deg dx ON dx.node = wed.x
+                     JOIN deg dy ON dy.node = wed.y
+            WHERE common >= 2
+              AND NOT EXISTS (SELECT 1 FROM pairs p
+                              WHERE p.u = wed.x AND p.v = wed.y)
         """,
         "part_copurchase_triangles": """
             WITH pp AS (

@@ -104,7 +104,8 @@ def bench_main() -> None:
         "user_event_pivot", "event_transitions", "daily_new_users",
         "promo_revenue", "large_orders", "doc_weighted_sample",
         "view_purchase_attribution", "orders_above_cust_avg",
-        "doc_dup_spans", "graph_bfs",
+        "doc_dup_spans", "graph_bfs", "local_supplier_revenue",
+        "returned_items_topk", "graph_link_prediction",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

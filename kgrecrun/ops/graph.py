@@ -960,3 +960,127 @@ def _bfs_broadcast(edges, *, source: int, max_hops: int, bound: int):
         "node": pa.array(np.concatenate(nodes), pa.int64()),
         "dist": pa.array(np.concatenate(dists), pa.int64()),
     }))
+
+
+def link_prediction(edges_ds, *, min_common: int = 2,
+                    max_middle_degree: int = 64, n_buckets: int = 256,
+                    broadcast_nodes: int = 50_000_000):
+    """Common-neighbor / Jaccard link prediction over a distinct
+    undirected edge list (``src < dst`` by id): for every NON-adjacent
+    pair (x, y) sharing ≥ ``min_common`` neighbors, emit the classic
+    similarity signals.
+
+    Output: (x, y, common, deg_x, deg_y, jac6) with x < y, where
+    ``common`` counts shared neighbors whose degree ≤
+    ``max_middle_degree`` and ``jac6`` = round(common / (deg_x + deg_y
+    − common), 6) — one IEEE division from exact ints (the fuzzy_join
+    determinism recipe).
+
+    The middle-degree cap is the standard wedge-volume bound: pair
+    volume through a middle u is C(deg(u), 2), so one hub node (a
+    stopword-scale entity in a KG) would emit O(deg²) pairs carrying
+    ~zero similarity signal; capping middles bounds per-middle work at
+    C(cap, 2) and is applied IDENTICALLY in the SQL oracle.
+
+    Scale shape: degrees via map-side partials + native groupby-sum;
+    the (degree, packed-edge) tables are node/edge-order — catalog
+    scale even at a 100-TB corpus — and broadcast ONCE via ``ray.put``
+    (``broadcast_nodes`` bounds the combined array lengths; past it a
+    RuntimeError names the knob — the exchange alternative is the
+    triangle_counts fallback pattern: two bucket_joins for degrees and
+    a left-anti bucket_join against packed edges). Wedge pairs are
+    generated inside a bucketed cogroup on hash(middle) (dispatch ≤
+    n_buckets) with per-group np.unique partials, so the global
+    groupby-sum shuffle carries one row per distinct pair per bucket.
+    """
+    import ray
+
+    from ..kg.unionfind import hash_bucket
+
+    edges_ds = edges_ds.materialize()
+
+    # degree table + packed SYMMETRIC-CLOSURE edge set, broadcast once.
+    # Works for either input convention (canonical src<dst rows, or an
+    # already-symmetrized list like supplier_part_edges) and for only
+    # per-block-distinct inputs: the closure + np.unique normalizes
+    # both; degree = src-side row count of the distinct closure.
+    packed_parts = []
+    for t in ray.get(edges_ds.to_arrow_refs()):
+        s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        packed_parts.append((s << np.int64(32)) | d)
+        packed_parts.append((d << np.int64(32)) | s)
+    packed = np.unique(np.concatenate(packed_parts)
+                       if packed_parts else np.array([], np.int64))
+    nodes, degs = np.unique(packed >> np.int64(32), return_counts=True)
+    if len(packed) + len(nodes) > broadcast_nodes:
+        raise RuntimeError(
+            f"link_prediction: edge+node count {len(packed) + len(nodes)} "
+            f"exceeds broadcast_nodes={broadcast_nodes}; raise the bound or "
+            "pre-filter the graph (see triangle_counts for the exchange "
+            "pattern)")
+    edge_ref = ray.put(packed)
+    deg_ref = ray.put((nodes, degs))
+
+    def both_dirs_capped(b: pa.Table) -> pa.Table:
+        nd, dg = ray.get(deg_ref)
+        s = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = np.concatenate([s, d])   # middle
+        v = np.concatenate([d, s])   # endpoint
+        keep = dg[np.searchsorted(nd, u)] <= max_middle_degree
+        t = pa.table({"u": pa.array(u[keep], pa.int64()),
+                      "v": pa.array(v[keep], pa.int64())})
+        return t.append_column(
+            "__bucket", hash_bucket(t["u"].combine_chunks(), n_buckets))
+
+    def pair_partial(group: pa.Table) -> pa.Table:
+        u = group["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = group["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        # the cogroup holds EVERY row of each middle u, so a local
+        # distinct here is a global distinct per (u, v) — upstream edge
+        # lists are only per-block distinct
+        uv = np.unique((u << np.int64(32)) | v)
+        u, v = uv >> np.int64(32), uv & np.int64(0xFFFFFFFF)
+        w = _segment_positions(u)
+        i, j = _pairs_within_segments(w)
+        pk, c = np.unique((v[i] << np.int64(32)) | v[j], return_counts=True)
+        return pa.table({"pk": pa.array(pk, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    common = (
+        edges_ds.map_batches(both_dirs_capped, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("__bucket").map_groups(pair_partial, batch_format="pyarrow")
+        .groupby("pk").sum("c")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["pk", "common"])
+        pk = b["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["common"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = c >= min_common
+        pk, c = pk[keep], c[keep]
+        arr = ray.get(edge_ref)
+        pos = np.searchsorted(arr, pk)
+        is_edge = pos < len(arr)
+        is_edge[is_edge] = arr[pos[is_edge]] == pk[is_edge]
+        pk, c = pk[~is_edge], c[~is_edge]
+        x = pk >> np.int64(32)
+        y = pk & np.int64(0xFFFFFFFF)
+        nd, dg = ray.get(deg_ref)
+        dx = dg[np.searchsorted(nd, x)]
+        dy = dg[np.searchsorted(nd, y)]
+        jac = pc.round(
+            pa.array(c.astype(np.float64) / (dx + dy - c).astype(np.float64),
+                     pa.float64()),
+            ndigits=6, round_mode="half_towards_infinity")
+        return pa.table({
+            "x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64()),
+            "common": pa.array(c, pa.int64()),
+            "deg_x": pa.array(dx, pa.int64()),
+            "deg_y": pa.array(dy, pa.int64()),
+            "jac6": jac,
+        })
+
+    return common.map_batches(finish, batch_format="pyarrow")

@@ -368,3 +368,55 @@ def test_bfs_broadcast_bound_enforced(ray_session):
     ds = _edges_ds(ray_session, pairs)
     with pytest.raises(RuntimeError, match="broadcast_nodes"):
         bfs_distances(ds, source=0, max_hops=2, broadcast_nodes=4)
+
+
+def test_link_prediction_toy_graph(ray_session):
+    """Square 10-11-12-13: both diagonals predicted (Jaccard 1.0);
+    triangle+pendant excludes ADJACENT pairs; hub cap drops middles."""
+    import ray
+
+    from kgrecrun.ops.graph import link_prediction
+
+    # square: diagonals (10,12) and (11,13) share 2 neighbors, not edges
+    sq = _edges_ds(ray_session, [(10, 11), (11, 12), (12, 13), (10, 13)])
+    out = {(r["x"], r["y"]): r for r in
+           link_prediction(sq, min_common=2).take_all()}
+    assert set(out) == {(10, 12), (11, 13)}
+    assert out[(10, 12)]["common"] == 2
+    assert out[(10, 12)]["deg_x"] == 2 and out[(10, 12)]["deg_y"] == 2
+    assert out[(10, 12)]["jac6"] == 1.0
+
+    # adjacent pair (1,2) shares middles 3,4 but IS an edge → excluded
+    adj = _edges_ds(ray_session, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
+    got = {(r["x"], r["y"]) for r in
+           link_prediction(adj, min_common=2).take_all()}
+    assert got == {(3, 4)}  # 3,4 share middles 1,2 and are non-adjacent
+
+    # hub cap: star center degree 5 > cap → no pairs survive
+    star = _edges_ds(ray_session, [(0, i) for i in range(1, 6)])
+    assert link_prediction(
+        star, min_common=1, max_middle_degree=4).count() == 0
+    # without the cap the leaf pairs all share the center
+    assert link_prediction(
+        star, min_common=1, max_middle_degree=5).count() == 10
+
+
+def test_link_prediction_duplicate_blocks(ray_session):
+    """Edge lists that are only per-block distinct (the repo's edge
+    contract) must not inflate counts or degrees."""
+    import ray
+    import ray.data
+    import pyarrow as pa
+
+    from kgrecrun.ops.graph import link_prediction
+
+    pairs = [(10, 11), (11, 12), (12, 13), (10, 13)]
+    t = pa.table({
+        "src": pa.array([p[0] for p in pairs] * 2, pa.int64()),
+        "dst": pa.array([p[1] for p in pairs] * 2, pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = {(r["x"], r["y"]): r for r in
+           link_prediction(ds, min_common=2).take_all()}
+    assert set(out) == {(10, 12), (11, 13)}
+    assert out[(11, 13)]["common"] == 2 and out[(11, 13)]["deg_x"] == 2
