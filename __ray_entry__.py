@@ -1191,6 +1191,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bfs_distances(
             supplier_part_edges(sf_dir, max_quantity=2), max_hops=4)
 
+    def doc_tfidf_top_terms(sf_dir: str):
+        """Per-document top-3 discriminative terms: integer-exact
+        tf-idf ordering (tf DESC, df ASC, term ASC — the tf·idf rank
+        without the float log), corpus df via the term_stats combiner,
+        one bucketed term cogroup + one bucketed per-doc top-k sweep
+        (ops/index.py tfidf_top_terms)."""
+        import ray.data
+
+        from kgrecrun.ops.index import tfidf_top_terms
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return tfidf_top_terms(docs, k=3)
+
     def graph_link_prediction(sf_dir: str):
         """Common-neighbor / Jaccard link prediction over the sparse
         supplier-part subgraph: non-adjacent pairs sharing ≥2 neighbors
@@ -1581,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_triangles": part_copurchase_triangles,
         "graph_bfs": graph_bfs,
         "graph_link_prediction": graph_link_prediction,
+        "doc_tfidf_top_terms": doc_tfidf_top_terms,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
@@ -2131,6 +2146,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
             FROM walk GROUP BY node
+        """,
+        "doc_tfidf_top_terms": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), df AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+            ), r AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+                           AS rank
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 3
         """,
         "graph_link_prediction": """
             WITH pairs AS (

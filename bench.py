@@ -105,7 +105,7 @@ def bench_main() -> None:
         "promo_revenue", "large_orders", "doc_weighted_sample",
         "view_purchase_attribution", "orders_above_cust_avg",
         "doc_dup_spans", "graph_bfs", "local_supplier_revenue",
-        "returned_items_topk", "graph_link_prediction",
+        "returned_items_topk", "graph_link_prediction", "doc_tfidf_top_terms",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -225,3 +225,78 @@ def _pair_topk(t: pa.Table, k: int) -> pa.Table:
         ("w2", "ascending"),
     ])
     return t.take(order.slice(0, k))
+
+
+def tfidf_top_terms(ds, *, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id", n_buckets: int = 256):
+    """Per-document top-``k`` most DISCRIMINATIVE terms — the tf-idf
+    ranking with an integer-exact ordering: terms sort by (tf DESC,
+    df ASC, term ASC) per document, which is the tf·idf ordering
+    without the float logarithm (for fixed tf, lower df ⇔ higher idf)
+    and therefore bit-exact against the SQL window oracle.
+
+    Output: (doc_id, term, tf, df, rank), rank ∈ [1, k].
+
+    Scale shape: corpus-wide df via ``term_stats``'s hot-key combiner
+    (one vocab-order groupby); per-doc tf rows explode map-side (one
+    Counter pass per doc, tokenization shared with the oracle via
+    ``ascii_words``); df attaches through ONE bucketed cogroup on term
+    (hot terms are a bounded ≤1-row-per-block join side thanks to the
+    combiner); the per-doc top-k is the window module's bucketed
+    segment sweep — dispatch ≤ n_buckets at any doc cardinality, no
+    vocabulary or corpus table ever lands on the driver.
+    """
+    import numpy as np
+
+    from ..kg.unionfind import hash_bucket
+    from .cogroup import bucket_join
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            c = Counter(ascii_words((t or "").lower()))
+            for w in sorted(c):
+                ids.append(i)
+                terms.append(w)
+                tfs.append(c[w])
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+    tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    df = term_stats(ds, text_col=text_col).map_batches(
+        lambda b: b.select(["term", "df"]), batch_format="pyarrow")
+
+    joined = bucket_join(
+        tf_rows, df, key="term", n_buckets=n_buckets,
+        left_schema=pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", hash_bucket(batch[id_col].combine_chunks(), n_buckets))
+
+    def topk_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            (id_col, "ascending"), ("tf", "descending"),
+            ("df", "ascending"), ("term", "ascending"),
+        ])
+        g = group.take(order).drop_columns(["__bucket"])
+        n = g.num_rows
+        ids = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        new_seg = np.concatenate(([True], ids[1:] != ids[:-1]))
+        idx = np.arange(n)
+        rnk = idx - np.maximum.accumulate(np.where(new_seg, idx, 0)) + 1
+        keep = rnk <= k
+        return g.filter(pa.array(keep)).append_column(
+            "rank", pa.array(rnk[keep], pa.int64())).select(
+            [id_col, "term", "tf", "df", "rank"])
+
+    return (joined.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(topk_bucket, batch_format="pyarrow"))

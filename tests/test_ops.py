@@ -391,6 +391,29 @@ def test_term_stats_and_postings():
     assert int(p.loc["ran", "df"]) == 1
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_top_terms():
+    """Integer tf-idf ordering: tf DESC, then df ASC (rarer wins the
+    tie), then term ASC; rank is dense per doc and capped at k."""
+    import ray.data
+
+    from kgrecrun.ops.index import tfidf_top_terms
+
+    docs = ["cat cat dog zebra", "dog dog cat", "cat mouse mouse zebra"]
+    t = _docs_table(docs, ids=[0, 1, 2])
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = tfidf_top_terms(ds, k=2).to_pandas()
+    by_doc = {d: list(zip(g["term"], g["tf"], g["df"], g["rank"]))
+              for d, g in got.sort_values(["doc_id", "rank"]).groupby("doc_id")}
+    # doc 0: cat tf=2 first; tie tf=1 among dog (df=2) and zebra (df=2)
+    #        → term ASC picks dog
+    assert by_doc[0] == [("cat", 2, 3, 1), ("dog", 1, 2, 2)]
+    # doc 1: dog tf=2; cat tf=1
+    assert by_doc[1] == [("dog", 2, 2, 1), ("cat", 1, 3, 2)]
+    # doc 2: mouse tf=2 (df=1); tie tf=1: zebra df=2 vs cat df=3 → zebra
+    assert by_doc[2] == [("mouse", 2, 1, 1), ("zebra", 1, 2, 2)]
+
+
 def test_bmp_wav_codecs_roundtrip():
     from kgrecrun.ops import media as M
 
