@@ -1499,6 +1499,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rit(sf_dir)
 
+    def nation_trade_volume(sf_dir: str):
+        """TPC-H Q7-shaped cross-nation trade volume by ship year —
+        broadcast supplier nation, customer nation through one custkey
+        cogroup, direction predicate + per-(pair, year) partials inside
+        the orderkey cogroup (ops/relational.py nation_trade_volume)."""
+        from kgrecrun.ops.relational import nation_trade_volume as ntv
+
+        return ntv(sf_dir)
+
+    def late_shipment_priority_counts(sf_dir: str):
+        """TPC-H Q4-shaped priority report: EXISTS(lineitem shipped
+        ≥60 days late) collapsed to a native per-orderkey groupby-max
+        meeting the read-pushed orders window in one bucketed cogroup
+        (ops/relational.py late_shipment_priority_counts)."""
+        from kgrecrun.ops.relational import (
+            late_shipment_priority_counts as lsp)
+
+        return lsp(sf_dir)
+
+    def brand_disjunctive_revenue(sf_dir: str):
+        """TPC-H Q19-shaped disjunctive-predicate revenue: two (brand,
+        size-range, qty-range) arms evaluated vectorized over a
+        broadcast part catalog, map-side per-brand partials
+        (ops/relational.py brand_disjunctive_revenue)."""
+        from kgrecrun.ops.relational import brand_disjunctive_revenue as bdr
+
+        return bdr(sf_dir)
+
+    def idle_customer_balance(sf_dir: str):
+        """TPC-H Q22-shaped dormant-capital report: above-average
+        positive balance via a cross-multiplied integer compare
+        against two global scalars, dormancy via anti-join on the
+        read-pushed recent-order custkeys (ops/relational.py
+        idle_customer_balance)."""
+        from kgrecrun.ops.relational import idle_customer_balance as icb
+
+        return icb(sf_dir)
+
     def events_tumbling(sf_dir: str):
         """Tumbling 1-hour windows per event_type = hopping windows
         with hop == width (each event lands in exactly one window)."""
@@ -1609,6 +1647,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": shipping_priority,
         "local_supplier_revenue": local_supplier_revenue,
         "returned_items_topk": returned_items_topk,
+        "nation_trade_volume": nation_trade_volume,
+        "late_shipment_priority_counts": late_shipment_priority_counts,
+        "brand_disjunctive_revenue": brand_disjunctive_revenue,
+        "idle_customer_balance": idle_customer_balance,
         "user_event_type_agg": user_event_type_agg,
         "weekly_active_users": weekly_active_users,
         "term_pairs_lift": term_pairs_lift,
@@ -2611,6 +2653,64 @@ def oracle_sql() -> dict[str, str]:
                    JOIN nation n ON c.c_nationkey = n.n_nationkey
             ORDER BY r.revenue_cents DESC, r.c_custkey
             LIMIT 20
+        """,
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round((l_extendedprice
+                            * (1 - l_discount)) * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "late_shipment_priority_counts": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "brand_disjunctive_revenue": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(round((l_extendedprice
+                            * (1 - l_discount)) * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "idle_customer_balance": """
+            WITH s AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS tot
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment, COUNT(*) AS n_custs,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_acctbal_cents
+            FROM customer, s
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * s.n > s.tot
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
         "user_retention": """
             WITH d AS (

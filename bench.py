@@ -106,6 +106,8 @@ def bench_main() -> None:
         "view_purchase_attribution", "orders_above_cust_avg",
         "doc_dup_spans", "graph_bfs", "local_supplier_revenue",
         "returned_items_topk", "graph_link_prediction", "doc_tfidf_top_terms",
+        "nation_trade_volume", "late_shipment_priority_counts",
+        "brand_disjunctive_revenue", "idle_customer_balance",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

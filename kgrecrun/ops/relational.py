@@ -964,3 +964,354 @@ def returned_items_topk(sf_dir: str, *, date_lo: str = "1996-01-01",
         lambda b: b.select(["c_custkey", "c_name", "n_name", "revenue_cents"]),
         batch_format="pyarrow",
     ).sort([("revenue_cents"), ("c_custkey")], descending=[True, False])
+
+
+def nation_trade_volume(sf_dir: str, *, nation_a: str = "NATION_1",
+                        nation_b: str = "NATION_2"):
+    """TPC-H Q7-shaped cross-nation trade volume: revenue shipped
+    between two nations (supplier in one, customer in the other, both
+    directions) grouped by (supplier nation, customer nation, ship
+    year).
+
+    Scale shape: the two nationkeys resolve driver-side; supplier's
+    nationkey broadcasts onto lineitem (catalog-order); lineitem rows
+    not supplied from either nation are dropped BEFORE the exchange;
+    the customer nation arrives through orders via one bucketed
+    cogroup on custkey and meets lineitem in a second cogroup on
+    orderkey, where the direction predicate and per-(pair, year)
+    partials fold map-side. Output: (supp_nation, cust_nation, l_year,
+    revenue_cents).
+    """
+    import ray.data
+
+    from .cogroup import bucket_join
+    from .joins import broadcast_lookup
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    sel = nation.filter(pc.is_in(nation["n_name"],
+                                 value_set=pa.array([nation_a, nation_b])))
+    keymap = dict(zip(pc.cast(sel["n_nationkey"], pa.int64()).to_pylist(),
+                      sel["n_name"].to_pylist()))
+    keys_np = np.sort(np.array(list(keymap), np.int64))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = pa.table({
+        "l_suppkey": pc.cast(supp["s_suppkey"], pa.int64()),
+        "s_nationkey": pc.cast(supp["s_nationkey"], pa.int64()),
+    })
+
+    def cust_proj(batch: pa.Table) -> pa.Table:
+        nk = pc.cast(batch["c_nationkey"], pa.int64()).combine_chunks()
+        keep = np.isin(nk.to_numpy(zero_copy_only=False), keys_np)
+        return pa.table({"o_custkey": batch["c_custkey"],
+                         "c_nationkey": nk}).filter(pa.array(keep))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    o_nat = bucket_join(
+        orders, cust, key="o_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]),
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def line_proj(batch: pa.Table) -> pa.Table:
+        year = pc.year(batch["l_shipdate"])
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "l_year": pc.cast(year, pa.int64()),
+            "rev_cents": _cents(pc.multiply(
+                pc.cast(batch["l_extendedprice"], pa.float64()),
+                pc.subtract(pa.scalar(1.0),
+                            pc.cast(batch["l_discount"], pa.float64())))),
+        })
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(line_proj, batch_format="pyarrow", zero_copy_batch=True)
+    line = broadcast_lookup(line, supp, key="l_suppkey")
+
+    def supp_filter(batch: pa.Table) -> pa.Table:
+        keep = np.isin(batch["s_nationkey"].combine_chunks()
+                       .to_numpy(zero_copy_only=False), keys_np)
+        return batch.filter(pa.array(keep)).select(
+            ["o_orderkey", "s_nationkey", "l_year", "rev_cents"])
+
+    line = line.map_batches(supp_filter, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    joined = bucket_join(
+        line, o_nat, key="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("s_nationkey", pa.int64()),
+                               ("l_year", pa.int64()),
+                               ("rev_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["s_nationkey"],
+                                      batch["c_nationkey"]))
+        g = (pa.table({"s_nationkey": t["s_nationkey"],
+                       "c_nationkey": t["c_nationkey"],
+                       "l_year": t["l_year"],
+                       "rev_cents": t["rev_cents"]})
+             .group_by(["s_nationkey", "c_nationkey", "l_year"])
+             .aggregate([("rev_cents", "sum")]))
+        return g.rename_columns(
+            ["s_nationkey", "c_nationkey", "l_year", "rev_local"])
+
+    # the key space is 2 directions × years — combine to one partition
+    agg = (joined.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby(["s_nationkey", "c_nationkey", "l_year"])
+           .sum("rev_local"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sn = [keymap[v] for v in batch["s_nationkey"].to_pylist()]
+        cn = [keymap[v] for v in batch["c_nationkey"].to_pylist()]
+        return pa.table({
+            "supp_nation": pa.array(sn, pa.string()),
+            "cust_nation": pa.array(cn, pa.string()),
+            "l_year": batch["l_year"],
+            "revenue_cents": batch.column(3),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"])
+
+
+def late_shipment_priority_counts(sf_dir: str, *,
+                                  date_lo: str = "1996-01-01",
+                                  date_hi: str = "1996-04-01",
+                                  grace_days: int = 60):
+    """TPC-H Q4-shaped priority report: orders placed in ``[date_lo,
+    date_hi)`` with at least one lineitem shipped ≥ ``grace_days``
+    after the order date, counted per order priority.
+
+    The EXISTS collapses to ``MAX(l_shipdate) ≥ o_orderdate + grace``:
+    per-orderkey max folds map-side (one int64 per orderkey per
+    block), a native groupby-max reduces it, and ONE bucketed cogroup
+    meets the read-pushed orders window; the 5-row priority count
+    aggregates from map-side partials. Output: (o_orderpriority,
+    n_orders).
+    """
+    import ray.data
+
+    from .cogroup import bucket_join
+
+    lo_us = int(np.datetime64(date_lo, "us").astype(np.int64))
+    hi_us = int(np.datetime64(date_hi, "us").astype(np.int64))
+    grace_us = grace_days * 86_400_000_000
+
+    def ship_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "ship_us": pc.cast(batch["l_shipdate"], pa.int64()),
+        })
+        g = t.group_by("o_orderkey").aggregate([("ship_us", "max")])
+        return g.rename_columns(["o_orderkey", "max_ship_us"])
+
+    maxship = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(ship_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("o_orderkey").max("max_ship_us")
+        .map_batches(lambda b: b.rename_columns(["o_orderkey", "max_ship_us"]),
+                     batch_format="pyarrow"))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=((pc.field("o_orderdate") >= pa.scalar(lo_us, pa.timestamp("us")))
+                & (pc.field("o_orderdate") < pa.scalar(hi_us, pa.timestamp("us")))),
+    ).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "odate_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    joined = bucket_join(
+        maxship, orders, key="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("max_ship_us", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("odate_us", pa.int64()),
+                                ("o_orderpriority", pa.string())]),
+    )
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            batch["max_ship_us"],
+            pc.add(batch["odate_us"], pa.scalar(grace_us, pa.int64())))
+        t = batch.filter(keep)
+        g = (pa.table({"o_orderpriority": t["o_orderpriority"],
+                       "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+             .group_by("o_orderpriority").aggregate([("one", "sum")]))
+        return g.rename_columns(["o_orderpriority", "n_local"])
+
+    agg = (joined.map_batches(late_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("o_orderpriority").sum("n_local"))
+    return agg.map_batches(
+        lambda b: b.rename_columns(["o_orderpriority", "n_orders"]),
+        batch_format="pyarrow").sort("o_orderpriority")
+
+
+def brand_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: per-brand
+    revenue under two (brand, size-range, quantity-range) arms —
+
+        (Brand#1,  size 1–15,  qty 1–20)  ∪  (Brand#2, size 16–30, qty 10–30)
+
+    Part attributes broadcast (catalog-order) onto lineitem; the
+    disjunction evaluates vectorized per batch; per-brand partials
+    fold map-side; the final groupby carries ≤ 2 rows per block.
+    Output: (p_brand, revenue_cents).
+    """
+    import ray.data
+
+    from .joins import broadcast_lookup
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    part = pa.table({
+        "l_partkey": pc.cast(part["p_partkey"], pa.int64()),
+        "p_brand": part["p_brand"],
+        "p_size": pc.cast(part["p_size"], pa.int64()),
+    })
+
+    def line_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+            "l_quantity": pc.cast(batch["l_quantity"], pa.float64()),
+            "rev_cents": _cents(pc.multiply(
+                pc.cast(batch["l_extendedprice"], pa.float64()),
+                pc.subtract(pa.scalar(1.0),
+                            pc.cast(batch["l_discount"], pa.float64())))),
+        })
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(line_proj, batch_format="pyarrow", zero_copy_batch=True)
+    line = broadcast_lookup(line, part, key="l_partkey")
+
+    def arm(batch, brand, s_lo, s_hi, q_lo, q_hi):
+        return pc.and_(
+            pc.and_(pc.equal(batch["p_brand"], brand),
+                    pc.and_(pc.greater_equal(batch["p_size"], s_lo),
+                            pc.less_equal(batch["p_size"], s_hi))),
+            pc.and_(pc.greater_equal(batch["l_quantity"], float(q_lo)),
+                    pc.less_equal(batch["l_quantity"], float(q_hi))))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(arm(batch, "Brand#1", 1, 15, 1, 20),
+                      arm(batch, "Brand#2", 16, 30, 10, 30))
+        t = batch.filter(keep)
+        g = (pa.table({"p_brand": t["p_brand"], "rev_cents": t["rev_cents"]})
+             .group_by("p_brand").aggregate([("rev_cents", "sum")]))
+        return g.rename_columns(["p_brand", "rev_local"])
+
+    agg = (line.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("p_brand").sum("rev_local"))
+    return agg.map_batches(
+        lambda b: b.rename_columns(["p_brand", "revenue_cents"]),
+        batch_format="pyarrow").sort("p_brand")
+
+
+def idle_customer_balance(sf_dir: str, *, since: str = "2000-01-01"):
+    """TPC-H Q22-shaped "dormant-capital opportunity": customers with
+    an account balance above the average POSITIVE balance and NO order
+    since ``since``, counted and summed per market segment.
+
+    The global (n, sum) over positive balances reduces to TWO scalars
+    (exact int64 cents) — the above-average predicate is the
+    cross-multiplied integer compare ``bal·n > sum`` (no float
+    division); dormancy is an anti-join on custkey against the
+    read-pushed, per-block-distinct recent-order custkeys. Output:
+    (c_mktsegment, n_custs, sum_acctbal_cents).
+    """
+    import ray.data
+
+    from .joins import anti_join
+
+    since_us = int(np.datetime64(since, "us").astype(np.int64))
+
+    def bal_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "c_mktsegment": batch["c_mktsegment"],
+            "bal_cents": _cents(batch["c_acctbal"]),
+        })
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(bal_proj, batch_format="pyarrow", zero_copy_batch=True)
+    cust = cust.materialize()  # feeds the scalar pass AND the filter pass
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        b = batch["bal_cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = b[b > 0]
+        return pa.table({"n": pa.array([len(pos)], pa.int64()),
+                         "s": pa.array([int(pos.sum())], pa.int64())})
+
+    stats = (cust.map_batches(pos_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .sum(["n", "s"]))
+    n_pos, sum_pos = int(stats["sum(n)"]), int(stats["sum(s)"])
+
+    def above(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(batch["bal_cents"],
+                                      pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(sum_pos, pa.int64()))
+        return batch.filter(keep)
+
+    rich = cust.map_batches(above, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate")
+                >= pa.scalar(since_us, pa.timestamp("us"))),
+    ).map_batches(
+        lambda b: pa.table({"c_custkey": pc.unique(
+            b["o_custkey"].combine_chunks())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    idle = anti_join(rich, orders, "c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"c_mktsegment": batch["c_mktsegment"],
+                       "one": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+                       "bal_cents": batch["bal_cents"]})
+             .group_by("c_mktsegment")
+             .aggregate([("one", "sum"), ("bal_cents", "sum")]))
+        return g.rename_columns(["c_mktsegment", "n_local", "s_local"])
+
+    agg = (idle.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("c_mktsegment").sum(["n_local", "s_local"]))
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            ["c_mktsegment", "n_custs", "sum_acctbal_cents"]),
+        batch_format="pyarrow").sort("c_mktsegment")
