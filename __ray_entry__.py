@@ -1191,6 +1191,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bfs_distances(
             supplier_part_edges(sf_dir, max_quantity=2), max_hops=4)
 
+    def part_clustering_coeff(sf_dir: str):
+        """Local clustering coefficient per part over the co-purchase
+        graph: triangles (degree-oriented wedges) ⋈ degrees in one
+        left-outer bucketed cogroup, cc6 = 2t/(d(d−1)) as a single
+        IEEE division from exact ints (ops/graph.py
+        clustering_coefficients)."""
+        from kgrecrun.ops.graph import (clustering_coefficients,
+                                        copurchase_edges)
+
+        return clustering_coefficients(copurchase_edges(sf_dir))
+
     def doc_tfidf_top_terms(sf_dir: str):
         """Per-document top-3 discriminative terms: integer-exact
         tf-idf ordering (tf DESC, df ASC, term ASC — the tf·idf rank
@@ -1634,6 +1645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": graph_bfs,
         "graph_link_prediction": graph_link_prediction,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
+        "part_clustering_coeff": part_clustering_coeff,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
@@ -2227,6 +2239,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE common >= 2
               AND NOT EXISTS (SELECT 1 FROM pairs p
                               WHERE p.u = wed.x AND p.v = wed.y)
+        """,
+        "part_clustering_coeff": """
+            WITH pp AS (
+                SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT a.p AS u, b.p AS v
+                FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+            ), deg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+                ) GROUP BY node HAVING COUNT(*) >= 2
+            ), tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), t AS (
+                SELECT node, COUNT(*) AS n_triangles FROM (
+                    SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY node
+            )
+            SELECT deg.node, deg.deg,
+                   COALESCE(t.n_triangles, 0) AS n_triangles,
+                   round(2.0 * COALESCE(t.n_triangles, 0)
+                         / (deg.deg * (deg.deg - 1)), 6) AS cc6
+            FROM deg LEFT JOIN t USING (node)
         """,
         "part_copurchase_triangles": """
             WITH pp AS (

@@ -108,6 +108,7 @@ def bench_main() -> None:
         "returned_items_topk", "graph_link_prediction", "doc_tfidf_top_terms",
         "nation_trade_volume", "late_shipment_priority_counts",
         "brand_disjunctive_revenue", "idle_customer_balance",
+        "part_clustering_coeff",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -1084,3 +1084,62 @@ def link_prediction(edges_ds, *, min_common: int = 2,
         })
 
     return common.map_batches(finish, batch_format="pyarrow")
+
+
+def clustering_coefficients(edges_ds, *, n_buckets: int = 256,
+                            broadcast_edges: int | None = 50_000_000):
+    """Per-node local clustering coefficient over a distinct canonical
+    (``src < dst``) edge list: cc(v) = 2·t(v) / (deg(v)·(deg(v)−1)) for
+    every node with deg ≥ 2 — triangles from :func:`triangle_counts`
+    (degree-oriented wedges, exact), degrees from map-side partials +
+    one native groupby-sum, met in ONE left-outer bucketed cogroup so
+    triangle-free nodes report cc = 0 rather than vanishing.
+
+    Output: (node, deg, n_triangles, cc6) — cc6 is one IEEE division
+    from exact ints rounded to 6 dp (the repo's float-parity recipe).
+    """
+    from .cogroup import bucket_join
+
+    edges_ds = edges_ds.materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        s = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        node, cnt = np.unique(np.concatenate([s, d]), return_counts=True)
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "d": pa.array(cnt, pa.int64())})
+
+    deg = (edges_ds.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").sum("d")
+           .map_batches(lambda b: b.rename_columns(["node", "deg"]),
+                        batch_format="pyarrow")
+           .map_batches(lambda b: b.filter(pc.greater_equal(b["deg"], 2)),
+                        batch_format="pyarrow"))
+
+    tri = triangle_counts(edges_ds, n_buckets=n_buckets,
+                          broadcast_edges=broadcast_edges).map_batches(
+        lambda b: b.rename_columns(["node", "n_triangles"]),
+        batch_format="pyarrow")
+
+    joined = bucket_join(
+        deg, tri, key="node", join_type="left outer", n_buckets=n_buckets,
+        left_schema=pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()),
+                                ("n_triangles", pa.int64())]),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b["n_triangles"], 0).combine_chunks().to_numpy(
+            zero_copy_only=False)
+        d = b["deg"].combine_chunks().to_numpy(zero_copy_only=False)
+        cc6 = pc.round(
+            pa.array(2.0 * t / (d.astype(np.float64) * (d - 1)), pa.float64()),
+            ndigits=6, round_mode="half_towards_infinity")
+        return pa.table({
+            "node": b["node"],
+            "deg": b["deg"],
+            "n_triangles": pa.array(t, pa.int64()),
+            "cc6": cc6,
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

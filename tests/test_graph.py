@@ -420,3 +420,25 @@ def test_link_prediction_duplicate_blocks(ray_session):
            link_prediction(ds, min_common=2).take_all()}
     assert set(out) == {(10, 12), (11, 13)}
     assert out[(11, 13)]["common"] == 2 and out[(11, 13)]["deg_x"] == 2
+
+
+def test_clustering_coefficients_toy(ray_session):
+    """Triangle + pendant: closed nodes get 1.0, the bridge 1/3,
+    degree-1 nodes are excluded, triangle-free nodes report 0."""
+    from kgrecrun.ops.graph import clustering_coefficients
+
+    import ray.data
+
+    # triangle 1-2-3, pendant 3-4, and a path 5-6-7 (6 has deg 2, t=0);
+    # canonical src<dst distinct edges (the triangle_counts contract)
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6), (6, 7)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    got = {r["node"]: r for r in clustering_coefficients(ds).take_all()}
+    assert set(got) == {1, 2, 3, 6}
+    assert got[1]["cc6"] == 1.0 and got[2]["cc6"] == 1.0
+    assert got[3]["deg"] == 3 and got[3]["n_triangles"] == 1
+    assert got[3]["cc6"] == 0.333333
+    assert got[6]["n_triangles"] == 0 and got[6]["cc6"] == 0.0
