@@ -1227,6 +1227,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return link_prediction(supplier_part_edges(sf_dir, max_quantity=2))
 
+    def part_copurchase_kcore(sf_dir: str):
+        """65-core of the co-purchase graph: iterated degree-< k
+        peeling to fixpoint (zero-shuffle rounds — survivor set
+        broadcast, per-block degree partials, node-order driver fold),
+        RAISES past 12 rounds so the unrolled-SQL oracle depth is a
+        hard contract (ops/graph.py kcore)."""
+        from kgrecrun.ops.graph import copurchase_edges, kcore
+
+        return kcore(copurchase_edges(sf_dir), k=65)
+
+    def cust_order_histogram(sf_dir: str):
+        """TPC-H Q13-shaped customer distribution: per-custkey order
+        counts (non-urgent orders only) fold map-side into one native
+        groupby-sum; the count-of-counts second level folds the tiny
+        result; the zero-order bucket is two scalars, never a join
+        (ops/relational.py cust_order_histogram)."""
+        from kgrecrun.ops.relational import cust_order_histogram as coh
+
+        return coh(sf_dir)
+
+    def top_supplier_revenue(sf_dir: str):
+        """TPC-H Q15-shaped top supplier(s): exact cents×100 revenue
+        per supplier over a read-pushed shipdate window, scalar max +
+        vectorized equality filter over the reduced supplier-order
+        table (no sort), name via broadcast lookup (ops/relational.py
+        top_supplier_revenue)."""
+        from kgrecrun.ops.relational import top_supplier_revenue as tsr
+
+        return tsr(sf_dir)
+
+    def small_qty_avg_revenue(sf_dir: str):
+        """TPC-H Q17-shaped small-quantity revenue: the correlated
+        0.2·AVG(quantity) subquery as the exact-integer cross-multiply
+        5·q·n < Σq — brand partkeys broadcast into the scan, filtered
+        narrow rows materialized once for both the per-part reduce and
+        the predicate pass (ops/relational.py small_qty_avg_revenue)."""
+        from kgrecrun.ops.relational import small_qty_avg_revenue as sqr
+
+        return sqr(sf_dir)
+
+    def docs_length_band(sf_dir: str):
+        """LLM-corpus length gate: keep documents whose n_chars lies
+        in the exact global [p5, p95] band — the (value, count)
+        histogram folds in one groupby-sum (distinct-length-bounded),
+        thresholds resolve driver-side by the explicit ceil(q·N)
+        cumulative rule, one vectorized filter pass
+        (ops/sample.py quantile_band_filter)."""
+        import ray.data
+
+        from kgrecrun.ops.sample import quantile_band_filter
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "n_chars"])
+        return quantile_band_filter(docs, value_col="n_chars")
+
+    def events_running_max(sf_dir: str):
+        """Streaming record tracker: for every event in arrival order
+        (event_id), the global running max of value-cents over all
+        earlier events + an is_record flag — NO global sort (contiguous
+        order ranges, per-range max partials, driver prefix-max
+        broadcast, one vectorized shifted-cummax sweep per range;
+        ops/window.py global_cummax)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents as as_cents
+        from kgrecrun.ops.window import global_cummax
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "value"])
+        return global_cummax(ev, order_col="event_id", value_col="value",
+                             value_fn=lambda b: as_cents(b["value"]))
+
     def term_heavy_hitters(sf_dir: str):
         """Terms with frequency > n/100 via the two-pass
         candidate/verify heavy-hitter scheme — no vocabulary-order
@@ -1646,6 +1718,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_link_prediction": graph_link_prediction,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "part_clustering_coeff": part_clustering_coeff,
+        "part_copurchase_kcore": part_copurchase_kcore,
+        "cust_order_histogram": cust_order_histogram,
+        "top_supplier_revenue": top_supplier_revenue,
+        "small_qty_avg_revenue": small_qty_avg_revenue,
+        "docs_length_band": docs_length_band,
+        "events_running_max": events_running_max,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
@@ -1992,6 +2070,41 @@ def _embedding_dedup_sql(threshold: float = 0.95) -> str:
 _IDHASH = "md5_number_upper(CAST(doc_id AS VARCHAR))"
 
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """k-core peeling over the co-purchase graph, UNROLLED ``rounds``
+    times (recursive CTEs cannot aggregate in the recursive term).
+    Rounds past the fixpoint are no-ops, so this equals the engine's
+    fixpoint EXACTLY when the engine converges within the same cap —
+    which the engine enforces by raising (ops/graph.py kcore)."""
+    # AS MATERIALIZED: each CTE references its predecessor 2-3x —
+    # DuckDB's default CTE inlining would expand the chain
+    # EXPONENTIALLY across rounds (measured: file-handle exhaustion at
+    # 12 rounds); materialization makes each round computed once.
+    ctes = [
+        "pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+        "CAST(l_partkey AS BIGINT) AS p FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v "
+        "FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT node FROM "
+            f"(SELECT u AS node FROM e{i-1} "
+            f"UNION ALL SELECT v FROM e{i-1}) "
+            f"GROUP BY node HAVING COUNT(*) >= {k})")
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM e{i-1} "
+            f"WHERE u IN (SELECT node FROM n{i}) "
+            f"AND v IN (SELECT node FROM n{i}))")
+    return (
+        "WITH " + ",\n             ".join(ctes) + f"""
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT u AS node FROM e{rounds}
+                  UNION ALL SELECT v FROM e{rounds})
+            GROUP BY node ORDER BY node
+        """)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # KG extraction goldens: REFERENCE output (unmodified kernel run
@@ -2287,6 +2400,88 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT b FROM tri
                 UNION ALL SELECT c FROM tri
             ) GROUP BY part
+        """,
+        "part_copurchase_kcore": _kcore_sql(k=65, rounds=12),
+        "cust_order_histogram": """
+            WITH c AS (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY 1
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM c GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "top_supplier_revenue": """
+            WITH r AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                           AS revenue_c4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, revenue_c4
+            FROM r JOIN supplier USING (s_suppkey)
+            WHERE revenue_c4 = (SELECT MAX(revenue_c4) FROM r)
+            ORDER BY s_suppkey
+        """,
+        "small_qty_avg_revenue": """
+            WITH l AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS q_units,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_cents
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#1' AND p_size <= 10
+            ), a AS (
+                SELECT l_partkey, CAST(SUM(q_units) AS BIGINT) AS sum_q,
+                       COUNT(*) AS n
+                FROM l GROUP BY 1
+            )
+            SELECT COALESCE(CAST(SUM(ep_cents) AS BIGINT), 0) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM l JOIN a USING (l_partkey)
+            WHERE 5 * l.q_units * a.n < a.sum_q
+        """,
+        "docs_length_band": """
+            WITH ranked AS (
+                SELECT doc_id, n_chars,
+                       COUNT(*) OVER (ORDER BY n_chars) AS cum,
+                       COUNT(*) OVER () AS n
+                FROM documents
+            ), t AS (
+                SELECT MIN(CASE WHEN cum >= CAST(ceil(CAST(0.05 AS DOUBLE)
+                                 * n) AS BIGINT) THEN n_chars END) AS lo,
+                       MIN(CASE WHEN cum >= CAST(ceil(CAST(0.95 AS DOUBLE)
+                                 * n) AS BIGINT) THEN n_chars END) AS hi
+                FROM ranked
+            )
+            SELECT doc_id, n_chars FROM documents, t
+            WHERE n_chars BETWEEN t.lo AND t.hi
+            ORDER BY doc_id
+        """,
+        "events_running_max": """
+            WITH x AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS value
+                FROM events
+            ), w AS (
+                SELECT event_id, value,
+                       MAX(value) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+                FROM x
+            )
+            SELECT event_id, value,
+                   CAST(COALESCE(wm, value) AS BIGINT) AS prev_max,
+                   CAST(CASE WHEN wm IS NULL OR value > wm
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_record
+            FROM w ORDER BY event_id
         """,
         "term_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),

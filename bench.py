@@ -109,6 +109,9 @@ def bench_main() -> None:
         "nation_trade_volume", "late_shipment_priority_counts",
         "brand_disjunctive_revenue", "idle_customer_balance",
         "part_clustering_coeff",
+        "part_copurchase_kcore", "cust_order_histogram",
+        "top_supplier_revenue", "small_qty_avg_revenue",
+        "docs_length_band", "events_running_max",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

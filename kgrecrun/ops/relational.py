@@ -1315,3 +1315,199 @@ def idle_customer_balance(sf_dir: str, *, since: str = "2000-01-01"):
         lambda b: b.rename_columns(
             ["c_mktsegment", "n_custs", "sum_acctbal_cents"]),
         batch_format="pyarrow").sort("c_mktsegment")
+
+
+def cust_order_histogram(sf_dir: str, *, excl_priority: str = "1-URGENT"):
+    """TPC-H Q13-shaped customer-distribution report: how many
+    customers placed exactly c qualifying orders (orders with priority
+    ``excl_priority`` excluded — the comment-LIKE analogue), INCLUDING
+    the zero-order customers of the classic left join.
+
+    Scale shape: per-custkey counts fold map-side (one int64 row per
+    custkey per block) and reduce in one native groupby-sum; the
+    second-level distribution (count of counts) folds the already
+    tiny (custkey, c_count) table the same way. The zero bucket never
+    joins anything: it is ``n_customers − n_customers_with_orders``,
+    two scalars (customer row count from parquet metadata — catalog
+    order; the distribution's own mass). Output: (c_count, custdist).
+    """
+    import ray.data
+
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch["o_orderpriority"], excl_priority))
+        t = pa.table({"c_custkey": batch.filter(keep)["o_custkey"]})
+        g = t.group_by("c_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["c_custkey", "n_local"])
+
+    counts = (ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(order_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("c_custkey").sum("n_local"))
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_count": batch["sum(n_local)"]})
+        g = t.group_by("c_count").aggregate([([], "count_all")])
+        return g.rename_columns(["c_count", "d_local"])
+
+    dist = (counts.map_batches(dist_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("c_count").sum("d_local"))
+    # tiny: at most (max orders per customer) rows — collect, add the
+    # zero-order bucket, hand back an in-memory Dataset
+    tbl = pa.concat_tables(
+        [b for b in dist.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"c_count": pa.array([], pa.int64()),
+                      "sum(d_local)": pa.array([], pa.int64())})]
+    ).rename_columns(["c_count", "custdist"])
+    n_with = int(pc.sum(tbl["custdist"]).as_py() or 0)
+    if n_cust - n_with > 0:
+        tbl = pa.concat_tables([tbl, pa.table({
+            "c_count": pa.array([0], pa.int64()),
+            "custdist": pa.array([n_cust - n_with], pa.int64())})])
+    out = tbl.sort_by([("custdist", "descending"), ("c_count", "descending")])
+    return ray.data.from_arrow(out)
+
+
+def top_supplier_revenue(sf_dir: str, *, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01"):
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose shipped
+    revenue over ``[date_lo, date_hi)`` equals the global maximum
+    (ties all emitted, as the Q15 view semantics demand).
+
+    Revenue is exact int64 "cents×100": cents(extendedprice) ×
+    (100 − round(discount·100)) per row, order-free sums. Scale shape:
+    read-pushed shipdate window, map-side per-suppkey partials, one
+    native groupby-sum to a supplier-order table; the arg-max is a
+    scalar ``.max()`` over that reduced table plus one vectorized
+    filter — no sort, no driver loop. The name attaches via broadcast
+    lookup. Output: (s_suppkey, s_name, revenue_c4).
+    """
+    import ray.data
+
+    from .joins import broadcast_lookup
+
+    lo_us = int(np.datetime64(date_lo, "us").astype(np.int64))
+    hi_us = int(np.datetime64(date_hi, "us").astype(np.int64))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.round(pc.multiply(pc.cast(batch["l_discount"],
+                                                    pa.float64()), 100.0),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        rev = pc.multiply(_cents(batch["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table({"s_suppkey": batch["l_suppkey"], "rev": rev})
+        g = t.group_by("s_suppkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["s_suppkey", "rev_local"])
+
+    rev = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=((pc.field("l_shipdate")
+                 >= pa.scalar(lo_us, pa.timestamp("us")))
+                & (pc.field("l_shipdate")
+                   < pa.scalar(hi_us, pa.timestamp("us")))))
+        .map_batches(rev_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("s_suppkey").sum("rev_local")
+        .map_batches(lambda b: b.rename_columns(["s_suppkey", "revenue_c4"]),
+                     batch_format="pyarrow"))
+    rev = rev.materialize()  # supplier-order; feeds max AND filter
+    best = rev.max("revenue_c4")
+    top = rev.map_batches(
+        lambda b: b.filter(pc.equal(b["revenue_c4"],
+                                    pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    names = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    return broadcast_lookup(top, names, key="s_suppkey").map_batches(
+        lambda b: b.select(["s_suppkey", "s_name", "revenue_c4"]),
+        batch_format="pyarrow")
+
+
+def small_qty_avg_revenue(sf_dir: str, *, brand: str = "Brand#1",
+                          max_size: int = 10):
+    """TPC-H Q17-shaped small-quantity revenue: total extended price of
+    lineitems for ``brand`` parts of size ≤ ``max_size`` whose quantity
+    is below 20% of that part's average lineitem quantity.
+
+    The correlated AVG subquery is exact-integer: with quantities
+    scaled ×100 (q_units), ``q < 0.2·avg`` ⇔ ``5·q_units·n <
+    sum_q_units`` — no float division anywhere. Scale shape: the
+    qualifying partkey set resolves from the catalog-order part table
+    and broadcasts into the lineitem read (map-side isin — brand rows
+    only ever leave the scan); the filtered narrow projection is
+    materialized ONCE and feeds both the per-part (sum, n) reduce and
+    the final predicate pass; per-part stats are catalog-order and
+    come back via broadcast lookup, not a shuffle join. Output: one
+    row (revenue_cents, n_items).
+    """
+    import ray.data
+
+    from .joins import broadcast_lookup
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keep = pc.and_(pc.equal(part["p_brand"], brand),
+                   pc.less_equal(part["p_size"], max_size))
+    pkeys = np.sort(pc.cast(part.filter(keep)["p_partkey"], pa.int64())
+                    .to_numpy(zero_copy_only=False))
+
+    def line_proj(batch: pa.Table) -> pa.Table:
+        pk = pc.cast(batch["l_partkey"], pa.int64()).combine_chunks()
+        m = np.isin(pk.to_numpy(zero_copy_only=False), pkeys)
+        t = pa.table({
+            "l_partkey": pk,
+            "q_units": _cents(batch["l_quantity"]),
+            "ep_cents": _cents(batch["l_extendedprice"]),
+        }).filter(pa.array(m))
+        return t
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(line_proj, batch_format="pyarrow", zero_copy_batch=True)
+    lines = lines.materialize()  # brand-restricted narrow rows, used twice
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": batch["l_partkey"],
+                      "sum_q": batch["q_units"],
+                      "n": pa.nulls(batch.num_rows, pa.int64()).fill_null(1)})
+        g = t.group_by("l_partkey").aggregate([("sum_q", "sum"), ("n", "sum")])
+        return g.rename_columns(["l_partkey", "sum_q", "n"])
+
+    stats = (lines.map_batches(stat_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .groupby("l_partkey").sum(["sum_q", "n"])
+             .map_batches(lambda b: b.rename_columns(
+                 ["l_partkey", "sum_q", "n"]), batch_format="pyarrow"))
+    stats_tbl = pa.concat_tables(
+        [b for b in stats.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"l_partkey": pa.array([], pa.int64()),
+                      "sum_q": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})])
+
+    with_stats = broadcast_lookup(lines, stats_tbl, key="l_partkey")
+
+    def small_partial(batch: pa.Table) -> pa.Table:
+        q = batch["q_units"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = batch["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = batch["sum_q"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = 5 * q * n < s
+        ep = batch["ep_cents"].combine_chunks().to_numpy(
+            zero_copy_only=False)[m]
+        return pa.table({"revenue_cents": pa.array([int(ep.sum())], pa.int64()),
+                         "n_items": pa.array([int(m.sum())], pa.int64())})
+
+    tot = (with_stats.map_batches(small_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+           .sum(["revenue_cents", "n_items"]))
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "revenue_cents": pa.array([int(tot["sum(revenue_cents)"] or 0)],
+                                  pa.int64()),
+        "n_items": pa.array([int(tot["sum(n_items)"] or 0)], pa.int64()),
+    }))

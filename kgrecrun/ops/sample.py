@@ -193,3 +193,73 @@ def weighted_hash_sample(ds, *, weight_col: str, target: int,
         return batch.filter(pa.array(h % np.uint64(denom) < thresh))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantile_band_filter(ds, *, value_col: str, id_col: str = "doc_id",
+                         q_lo: float = 0.05, q_hi: float = 0.95):
+    """Global-quantile band filter — the classic LLM-corpus length
+    gate: keep rows whose ``value_col`` lies inside the [q_lo, q_hi]
+    EXACT discrete quantile band of the whole dataset.
+
+    The threshold rule is explicit (and mirrored verbatim in SQL):
+    t(q) = the smallest value v with cumulative count(≤ v) ≥
+    ceil(q · N), both ceil operands IEEE doubles, so engine and oracle
+    agree bit-for-bit even where q·N lands on an exact integer
+    boundary (0.05 · 500 = 25.000000000000004 in binary — ceil 26 on
+    BOTH sides).
+
+    Scale shape: the (value → count) histogram folds map-side and
+    reduces in one native groupby-sum; only the histogram (bounded by
+    the distinct-value domain — lengths, not documents; same contract
+    as group_quantiles) reaches the driver, which sorts, cumsums and
+    resolves the two thresholds; the filter pass is a broadcast-free
+    vectorized compare. The input is materialized once and feeds both
+    passes. Output: (id_col, value_col) inside the band.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = ds.materialize()  # feeds the histogram AND the filter pass
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"v": pc.cast(batch[value_col], pa.int64()),
+                      "c": pa.nulls(batch.num_rows, pa.int64()).fill_null(1)})
+        g = t.group_by("v").aggregate([("c", "sum")])
+        return g.rename_columns(["v", "c"])
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("v").sum("c"))
+    vs, cs = [], []
+    for b in hist.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "v" not in b.column_names:
+            continue
+        vs.append(b["v"].to_numpy(zero_copy_only=False))
+        cs.append(b["sum(c)"].to_numpy(zero_copy_only=False))
+    v = np.concatenate(vs) if vs else np.array([], np.int64)
+    c = np.concatenate(cs) if cs else np.array([], np.int64)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def thresh(q: float) -> int:
+        k = math.ceil(q * float(n))
+        i = int(np.searchsorted(cum, k, side="left"))
+        return int(v[min(i, len(v) - 1)])
+
+    if n == 0:
+        return ds.map_batches(
+            lambda b: b.select([id_col, value_col]).slice(0, 0),
+            batch_format="pyarrow")
+    lo, hi = thresh(q_lo), thresh(q_hi)
+
+    def band(batch: pa.Table) -> pa.Table:
+        val = pc.cast(batch[value_col], pa.int64())
+        keep = pc.and_(pc.greater_equal(val, pa.scalar(lo, pa.int64())),
+                       pc.less_equal(val, pa.scalar(hi, pa.int64())))
+        return batch.select([id_col, value_col]).filter(keep)
+
+    return ds.map_batches(band, batch_format="pyarrow",
+                          zero_copy_batch=True)

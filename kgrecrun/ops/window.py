@@ -794,3 +794,95 @@ def daily_new_users(sf_dir: str, *, events_ds=None):
         return b.append_column("cum_users", pa.array(cum, pa.int64()))
 
     return per_day.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def global_cummax(ds, *, order_col: str, value_col: str,
+                  range_width: int = 65_536, value_fn=None):
+    """GLOBAL running maximum over arrival order — the streaming
+    "record tracker": for each row (ordered by ``order_col``), the max
+    of every STRICTLY EARLIER row's value, plus an ``is_record`` flag
+    (value exceeds everything before it; the first row is a record).
+
+    No global sort: the global_rank range-prefix pattern over
+    CONTIGUOUS order ranges (``range_id = order // range_width``) —
+
+    1. tag (range_id, order, value) — narrow, materialized once;
+    2. per-range max via a map-side combiner + native groupby-max —
+       the only driver-collected state, one int64 per range; the
+       driver prefix-maxes them in ASCENDING range order (exclusive)
+       and broadcasts {range: prefix_max};
+    3. one vectorized sort + shifted cummax per range group, offset
+       by the range's prefix.
+
+    Output: (order_col, value, prev_max, is_record) — ``prev_max`` is
+    NULL-free int64 with the first global row carrying its own value
+    (a record by definition, int64 min stays internal). Scale
+    contract: one range's rows fit a worker (ranges are order-id
+    slices — tune ``range_width``); order ids need not be dense, only
+    unique.
+    """
+    from ..kg.resources import broadcast, resolve
+
+    I64_MIN = np.iinfo(np.int64).min
+
+    def tag(batch: pa.Table) -> pa.Table:
+        o = batch[order_col]
+        if isinstance(o, pa.ChunkedArray):
+            o = o.combine_chunks()
+        v = (value_fn(batch) if value_fn is not None else batch[value_col])
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        on = o.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__range": pa.array(on // range_width, pa.int64()),
+            order_col: o,
+            "value": pc.cast(v, pa.int64()),
+        })
+
+    ranged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"__range": batch["__range"], "value": batch["value"]})
+        g = t.group_by("__range").aggregate([("value", "max")])
+        return g.rename_columns(["__range", "m_local"])
+
+    per_range = (ranged.map_batches(max_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                 .groupby("__range").max("m_local"))
+    max_by_range: dict[int, int] = {}
+    for b in per_range.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "__range" not in b.column_names:
+            continue
+        for r, m in zip(b["__range"].to_pylist(), b["max(m_local)"].to_pylist()):
+            max_by_range[r] = max(max_by_range.get(r, I64_MIN), m)
+    prefix: dict[int, int] = {}
+    acc = I64_MIN
+    for r in sorted(max_by_range):  # ASC order; exclusive prefix
+        prefix[r] = acc
+        acc = max(acc, max_by_range[r])
+    try:
+        pre_ref = broadcast(prefix)
+    except Exception:
+        pre_ref = prefix
+
+    def sweep(group: pa.Table) -> pa.Table:
+        pre = resolve(pre_ref)[group["__range"][0].as_py()]
+        g = group.take(pc.sort_indices(group, sort_keys=[(order_col,
+                                                          "ascending")]))
+        v = g["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        shifted = np.empty_like(v)
+        shifted[0] = pre
+        if len(v) > 1:
+            np.maximum.accumulate(v[:-1], out=shifted[1:])
+            np.maximum(shifted[1:], pre, out=shifted[1:])
+        is_rec = v > shifted
+        prev = np.where(shifted == np.iinfo(np.int64).min, v, shifted)
+        return pa.table({
+            order_col: g[order_col],
+            "value": g["value"],
+            "prev_max": pa.array(prev, pa.int64()),
+            "is_record": pa.array(is_rec.astype(np.int64), pa.int64()),
+        })
+
+    return ranged.groupby("__range").map_groups(sweep, batch_format="pyarrow")

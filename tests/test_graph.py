@@ -442,3 +442,50 @@ def test_clustering_coefficients_toy(ray_session):
     assert got[3]["deg"] == 3 and got[3]["n_triangles"] == 1
     assert got[3]["cc6"] == 0.333333
     assert got[6]["n_triangles"] == 0 and got[6]["cc6"] == 0.0
+
+
+def test_kcore_peeling(ray_session):
+    """Multi-round peeling: a 4-clique with a pendant chain — the chain
+    peels over several rounds (each round only exposes the next node),
+    the clique survives as the 3-core."""
+    import ray.data
+
+    from kgrecrun.ops.graph import kcore
+
+    # 4-clique on 1..4, chain 4-5-6-7 hanging off it
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    got = {r["node"]: r["deg"] for r in kcore(ds, k=3).take_all()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: the whole chain peels (pendant by pendant), clique keeps
+    # its full degrees
+    got2 = {r["node"]: r["deg"] for r in kcore(ds, k=2).take_all()}
+    assert got2 == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above max degree: empty, but typed
+    assert kcore(ds, k=10).count() == 0
+
+
+def test_kcore_nonconvergence_raises(ray_session):
+    """A long path needs one peel round per node at k=2 — the round cap
+    must RAISE (the unionfind convergence rule), never return a
+    partially peeled set, because the SQL oracle is unrolled to the
+    same depth."""
+    import pytest
+    import ray.data
+
+    from kgrecrun.ops.graph import kcore
+
+    n = 12  # path 0-1-...-12 needs ~6 rounds from both ends at k=2
+    pairs = [(i, i + 1) for i in range(n)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        kcore(ds, k=2, max_rounds=3)
+    # ample rounds: the whole path dissolves
+    assert kcore(ds, k=2, max_rounds=12).count() == 0

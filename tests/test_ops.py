@@ -2016,3 +2016,54 @@ def test_dup_spans_overlapping_windows_and_hot_span_counts():
     # doc0 has it at tokens 0 and 12 (stride 4 hits both), doc1 at 4
     assert int(row["n_occ"].iloc[0]) == 3
     assert int(row["n_docs"].iloc[0]) == 2
+
+
+def test_global_cummax_matches_numpy(ray_session):
+    """Distributed shifted cummax == the single-machine sweep, across a
+    shuffled block layout and a range width that splits the stream."""
+    import numpy as np
+    import ray.data
+
+    from kgrecrun.ops.window import global_cummax
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    order = rng.permutation(n).astype(np.int64)  # non-contiguous arrival
+    vals = rng.integers(-1000, 1000, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "oid": pa.array(order, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    })).repartition(13)
+    out = global_cummax(ds, order_col="oid", value_col="v",
+                        range_width=257).to_pandas()
+    out = out.sort_values("oid").reset_index(drop=True)
+    srt = np.argsort(order)
+    v_sorted = vals[srt]
+    exp_prev = np.empty(n, np.int64)
+    exp_prev[0] = v_sorted[0]
+    np.maximum.accumulate(v_sorted[:-1], out=exp_prev[1:])
+    exp_rec = np.ones(n, np.int64)
+    exp_rec[1:] = (v_sorted[1:] > exp_prev[1:]).astype(np.int64)
+    assert (out["value"].to_numpy() == v_sorted).all()
+    assert (out["prev_max"].to_numpy() == exp_prev).all()
+    assert (out["is_record"].to_numpy() == exp_rec).all()
+
+
+def test_quantile_band_filter_rule(ray_session):
+    """The explicit ceil(q·N) threshold rule, including the tie run at
+    the boundary value."""
+    import ray.data
+
+    from kgrecrun.ops.sample import quantile_band_filter
+
+    # 10 rows: values 1..8 with 5 repeated 3x → N=10
+    vals = [1, 2, 3, 4, 5, 5, 5, 6, 7, 8]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "n": pa.array(vals, pa.int64()),
+    })).repartition(3)
+    out = quantile_band_filter(ds, value_col="n", q_lo=0.2,
+                               q_hi=0.8).to_pandas()
+    # t(0.2): ceil(2.0)=2 → v=2; t(0.8): ceil(8.0)=8 → cum(5)=7,
+    # cum(6)=8 → v=6; band [2, 6] keeps 7 rows incl. every 5
+    assert sorted(out["n"].tolist()) == [2, 3, 4, 5, 5, 5, 6]

@@ -51,6 +51,14 @@ SUBSET = [
     "events_value_ntile",
     "events_tumbling",
     "graph_bfs",
+    # round-3 session-3 additions: k-core peeling (unrolled-SQL oracle),
+    # Q13/Q15/Q17 shapes, global-quantile band filter, streaming cummax
+    "part_copurchase_kcore",
+    "cust_order_histogram",
+    "top_supplier_revenue",
+    "small_qty_avg_revenue",
+    "docs_length_band",
+    "events_running_max",
 ]
 
 

@@ -10,11 +10,18 @@ Two-parallelism protocol: run once at 8 and once at 32 cpus in fresh
 processes and compare edge throughput (BENCH/BASELINE.md).
 
 Usage: python tools/graph_stress.py [n_edge_rows] [n_nodes] [num_cpus]
-       [--skip-exchange] [--triangles]
+       [--skip-exchange] [--triangles] [--linkpred] [--bfs]
 
 --triangles: stress `triangle_counts` instead — distinct canonical
 edge list, broadcast-edge vs bucket_join-exchange paths, per-node
 triangle-count checksums (must be bit-identical).
+
+--linkpred: stress `link_prediction` — distinct canonical edge list,
+per-pair (common, jaccard) checksums; cross-parallelism bit-identity
+is certified by comparing the checksum across the 8- and 32-cpu runs.
+
+--bfs: stress `bfs_distances` (4 hops from node 0) — broadcast vs
+exchange frontier paths, (node, dist) checksums, must be identical.
 """
 
 from __future__ import annotations
@@ -134,6 +141,59 @@ def main() -> None:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              log_to_driver=False)
     from kgrecrun.ops.graph import pagerank_fixedpoint
+
+    if "--linkpred" in sys.argv:
+        from kgrecrun.ops.graph import link_prediction
+
+        edges = synth_distinct_edges(n_rows, n_nodes).materialize()
+        m = edges.count()
+        rec = {"mode": "linkpred", "n_edges": m, "n_nodes": n_nodes,
+               "num_cpus": num_cpus}
+        t0 = time.time()
+        out = link_prediction(edges, min_common=2).map_batches(
+            lambda b: pa.table({
+                "pk": pa.array(
+                    (b["x"].combine_chunks().to_numpy(zero_copy_only=False)
+                     << np.int64(32))
+                    | b["y"].combine_chunks().to_numpy(zero_copy_only=False),
+                    pa.int64()),
+                "common": b["common"],
+            }), batch_format="pyarrow").materialize()
+        rec["wall_sec"] = round(time.time() - t0, 2)
+        rec["edges_per_sec"] = round(m / rec["wall_sec"], 0)
+        cs = _checksum(out, "pk", "common")
+        rec["checksum"] = cs
+        rec["n_pairs"] = cs[0]
+        print(json.dumps(rec))
+        ray.shutdown()
+        return
+
+    if "--bfs" in sys.argv:
+        from kgrecrun.ops.graph import bfs_distances
+
+        edges = synth_distinct_edges(n_rows, n_nodes).materialize()
+        m = edges.count()
+        rec = {"mode": "bfs", "n_edges": m, "n_nodes": n_nodes,
+               "num_cpus": num_cpus, "max_hops": 4}
+        t0 = time.time()
+        bc = bfs_distances(edges, source=0, max_hops=4).materialize()
+        rec["broadcast_sec"] = round(time.time() - t0, 2)
+        cs_bc = _checksum(bc, "node", "dist")
+        rec["checksum_broadcast"] = cs_bc
+        rec["n_reached"] = cs_bc[0]
+        if not skip_exchange:
+            t0 = time.time()
+            ex = bfs_distances(edges, source=0, max_hops=4,
+                               broadcast_nodes=None).materialize()
+            rec["exchange_sec"] = round(time.time() - t0, 2)
+            cs_ex = _checksum(ex, "node", "dist")
+            rec["checksum_exchange"] = cs_ex
+            rec["paths_identical"] = cs_ex == cs_bc
+            assert rec["paths_identical"], "broadcast != exchange bfs"
+        rec["broadcast_edges_per_sec"] = round(m / rec["broadcast_sec"], 0)
+        print(json.dumps(rec))
+        ray.shutdown()
+        return
 
     if "--triangles" in sys.argv:
         from kgrecrun.ops.graph import triangle_counts
