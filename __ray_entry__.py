@@ -1299,6 +1299,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return global_cummax(ev, order_col="event_id", value_col="value",
                              value_fn=lambda b: as_cents(b["value"]))
 
+    def docs_source_overlap(sf_dir: str):
+        """Cross-source boilerplate matrix: distinct 10-token segment
+        contents shared by each source pair — segments ship as md5
+        only, one bucketed cogroup emits within-segment source pairs
+        via the shared vectorized pair sweep, per-pair partials fold
+        into a sources²-bounded reduce (ops/dedup.py
+        source_segment_overlap)."""
+        import ray.data
+
+        from kgrecrun.ops.dedup import source_segment_overlap
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["source", "text"])
+        return source_segment_overlap(docs)
+
+    def events_gap_histogram(sf_dir: str):
+        """Inter-event inactivity histogram (gap minutes between a
+        user's consecutive events): bucket-vectorized per-user ordered
+        diff — one lexsort per hash bucket, map-side gap partials, a
+        gap-domain-bounded reduce (ops/window.py user_gap_histogram)."""
+        from kgrecrun.ops.window import user_gap_histogram
+
+        return user_gap_histogram(sf_dir)
+
     def term_heavy_hitters(sf_dir: str):
         """Terms with frequency > n/100 via the two-pass
         candidate/verify heavy-hitter scheme — no vocabulary-order
@@ -1724,6 +1748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_avg_revenue": small_qty_avg_revenue,
         "docs_length_band": docs_length_band,
         "events_running_max": events_running_max,
+        "docs_source_overlap": docs_source_overlap,
+        "events_gap_histogram": events_gap_histogram,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
@@ -2482,6 +2508,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN wm IS NULL OR value > wm
                         THEN 1 ELSE 0 END AS BIGINT) AS is_record
             FROM w ORDER BY event_id
+        """,
+        "docs_source_overlap": r"""
+            WITH toks AS (
+                SELECT source,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), idx AS (
+                SELECT source, ws,
+                       unnest(range(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)
+                                       + 1)) AS seg_no
+                FROM toks
+            ), seg AS (
+                SELECT source,
+                       array_to_string(
+                           ws[(seg_no - 1) * 10 + 1 : seg_no * 10],
+                           ' ') AS seg
+                FROM idx
+            ), hs AS (
+                SELECT DISTINCT seg, source FROM seg
+            ), p AS (
+                SELECT a.source AS s1, b.source AS s2
+                FROM hs a JOIN hs b
+                  ON a.seg = b.seg AND a.source < b.source
+            )
+            SELECT s1, s2, COUNT(*) AS n_shared
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_gap_histogram": """
+            WITH d AS (
+                SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events
+            )
+            SELECT CAST(gap // 60000000 AS BIGINT) AS gap_min,
+                   COUNT(*) AS n
+            FROM d WHERE gap IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "term_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),

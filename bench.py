@@ -112,6 +112,7 @@ def bench_main() -> None:
         "part_copurchase_kcore", "cust_order_histogram",
         "top_supplier_revenue", "small_qty_avg_revenue",
         "docs_length_band", "events_running_max",
+        "docs_source_overlap", "events_gap_histogram",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

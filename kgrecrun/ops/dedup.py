@@ -803,3 +803,90 @@ def dup_spans(ds, *, w: int = 8, stride: int = 4, text_col: str = "text",
         .groupby("__bucket")
         .map_groups(reduce_bucket, batch_format="pyarrow")
     )
+
+
+def source_segment_overlap(docs_ds, *, text_col: str = "text",
+                           group_col: str = "source", seg_words: int = 10,
+                           n_buckets: int = VERIFY_BUCKETS):
+    """Cross-source boilerplate matrix: for every pair of sources, the
+    number of DISTINCT ``seg_words``-token segment contents present in
+    BOTH — the contamination-style diagnostic that tells a corpus
+    curator which crawl sources share templates (and should share a
+    dedup pass).
+
+    Scale shape: segments never ship — each block emits its distinct
+    (md5, source) pairs (combiner); ONE bucketed cogroup on
+    hash(md5) sorts (h, source), drops duplicate (h, source) rows and
+    emits the within-segment source pairs via the shared vectorized
+    segment-pair sweep; per-(s1, s2) partial counts fold map-side and
+    one tiny native groupby-sum finishes. Pair fanout per segment
+    content is C(k, 2) with k ≤ |sources| — the SOURCE DOMAIN must be
+    catalog-order (crawl-source scale, not doc scale), which is the
+    operator's stated contract. Output: (s1, s2, n_shared) with
+    s1 < s2.
+    """
+    from ..kg.unionfind import hash_bucket
+    from ..textnorm import ascii_words
+    from .graph import _pairs_within_segments
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        hs, gs = [], []
+        for g, t in zip(batch[group_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            ws = ascii_words(t or "")
+            for i in range(0, len(ws), seg_words):
+                seg = " ".join(ws[i:i + seg_words])
+                hs.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+                gs.append(g)
+        t = pa.table({"h": pa.array(hs, pa.string()),
+                      "g": pa.array(gs, pa.string())})
+        t = t.group_by(["h", "g"]).aggregate([])  # per-block distinct
+        return t.append_column(
+            "__bucket", hash_bucket(t["h"].combine_chunks(), n_buckets))
+
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), ("g", "ascending")])
+        gt = group.take(order)
+        h = gt["h"].combine_chunks()
+        g = gt["g"].combine_chunks()
+        n = gt.num_rows
+        if n == 0:
+            return pa.table({"s1": pa.array([], pa.string()),
+                             "s2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        same_h = np.zeros(n, dtype=bool)
+        same_g = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_h[1:] = pc.equal(h.slice(1), h.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+            same_g[1:] = pc.equal(g.slice(1), g.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+        keep = ~(same_h & same_g)  # distinct (h, g) across blocks
+        h = h.filter(pa.array(keep))
+        g = g.filter(pa.array(keep))
+        m = len(h)
+        new_seg = np.ones(m, dtype=bool)
+        if m > 1:
+            new_seg[1:] = np.invert(
+                pc.equal(h.slice(1), h.slice(0, m - 1)).to_numpy(
+                    zero_copy_only=False).astype(bool))
+        idx = np.arange(m, dtype=np.int64)
+        seg_start = idx[new_seg]
+        seg_id = np.cumsum(new_seg) - 1
+        w = idx - seg_start[seg_id]
+        i, j = _pairs_within_segments(w)
+        t = pa.table({"s1": g.take(pa.array(i, pa.int64())),
+                      "s2": g.take(pa.array(j, pa.int64())),
+                      "c": pa.nulls(len(i), pa.int64()).fill_null(1)})
+        agg = t.group_by(["s1", "s2"]).aggregate([("c", "sum")])
+        return agg.rename_columns(["s1", "s2", "c"])
+
+    out = (docs_ds.map_batches(to_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+           .groupby("__bucket").map_groups(pairs_bucket,
+                                           batch_format="pyarrow")
+           .groupby(["s1", "s2"]).sum("c"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["s1", "s2", "n_shared"]),
+        batch_format="pyarrow")

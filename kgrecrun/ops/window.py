@@ -886,3 +886,56 @@ def global_cummax(ds, *, order_col: str, value_col: str,
         })
 
     return ranged.groupby("__range").map_groups(sweep, batch_format="pyarrow")
+
+
+def user_gap_histogram(sf_dir: str | None = None, *, events_ds=None,
+                       bucket_us: int = 60_000_000):
+    """Inter-event inactivity distribution: the histogram of gaps
+    between a user's CONSECUTIVE events, bucketed to minutes — the
+    session-gap diagnostic behind sessionize's ``gap_minutes`` knob.
+
+    Scale shape: the per-user ordered diff is the bucket-vectorized
+    single-sweep pattern (one lexsort (user, ts) per hash bucket —
+    N_BUCKETS dispatch, never per user); gap partials fold map-side
+    inside the sweep and one tiny groupby-sum over the gap-minute
+    domain finishes. Tie order among equal timestamps does not affect
+    the gap MULTISET, so the histogram is deterministic without an id
+    tiebreak. Output: (gap_min, n).
+    """
+    import ray.data
+
+    if events_ds is None:
+        events_ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                          columns=["user_id", "ts"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "ts_us": pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                             pa.int64()),
+        })
+
+    ds = _bucketed(events_ds.map_batches(proj, batch_format="pyarrow",
+                                         zero_copy_batch=True), "user_id")
+
+    def sweep(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("user_id", "ascending"),
+                                                  ("ts_us", "ascending")])
+        g = group.take(order)
+        u = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n < 2:
+            return pa.table({"gap_min": pa.array([], pa.int64()),
+                             "n_local": pa.array([], pa.int64())})
+        same = u[1:] == u[:-1]
+        gaps = (t[1:] - t[:-1])[same] // bucket_us
+        vals, cnts = np.unique(gaps, return_counts=True)
+        return pa.table({"gap_min": pa.array(vals, pa.int64()),
+                         "n_local": pa.array(cnts, pa.int64())})
+
+    out = ds.groupby("__bucket").map_groups(
+        sweep, batch_format="pyarrow").groupby("gap_min").sum("n_local")
+    return out.map_batches(
+        lambda b: b.rename_columns(["gap_min", "n"]),
+        batch_format="pyarrow").sort("gap_min")

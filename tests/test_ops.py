@@ -2067,3 +2067,52 @@ def test_quantile_band_filter_rule(ray_session):
     # t(0.2): ceil(2.0)=2 → v=2; t(0.8): ceil(8.0)=8 → cum(5)=7,
     # cum(6)=8 → v=6; band [2, 6] keeps 7 rows incl. every 5
     assert sorted(out["n"].tolist()) == [2, 3, 4, 5, 5, 5, 6]
+
+
+def test_source_segment_overlap_counts(ray_session):
+    """Planted shared segments: sources A/B share 2 distinct segment
+    contents, B/C share 1, A/C none; a segment repeated WITHIN a source
+    counts once; block layout must not matter."""
+    import ray.data
+
+    from kgrecrun.ops.dedup import source_segment_overlap
+
+    seg1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    seg2 = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    seg3 = "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+    rows = [
+        ("A", seg1 + " " + seg2),
+        ("A", seg1),                      # repeat within A: counts once
+        ("B", seg2 + " " + seg1),
+        ("B", seg3),
+        ("C", seg3 + " " + "z1 z2 z3"),   # short tail segment, C-only
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(3)
+    got = {(r["s1"], r["s2"]): r["n_shared"]
+           for r in source_segment_overlap(ds).take_all()}
+    assert got == {("A", "B"): 2, ("B", "C"): 1}
+
+
+def test_user_gap_histogram(ray_session):
+    """Gaps bucket to minutes per user; cross-user boundaries emit no
+    gap; single-event users emit nothing."""
+    import ray.data
+
+    from kgrecrun.ops.window import user_gap_histogram
+
+    us = 1_000_000
+    rows = [  # user, ts_us
+        (1, 0), (1, 30 * us), (1, 90 * us),          # gaps 0min, 1min
+        (2, 0), (2, 3600 * us),                      # gap 60min
+        (3, 500 * us),                               # single event
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })).repartition(2)
+    got = {r["gap_min"]: r["n"]
+           for r in user_gap_histogram(events_ds=ds).take_all()}
+    assert got == {0: 1, 1: 1, 60: 1}

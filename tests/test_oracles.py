@@ -59,6 +59,8 @@ SUBSET = [
     "small_qty_avg_revenue",
     "docs_length_band",
     "events_running_max",
+    "docs_source_overlap",
+    "events_gap_histogram",
 ]
 
 
