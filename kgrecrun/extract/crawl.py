@@ -320,7 +320,7 @@ def crawl_rounds(pages_ds, continuation_ds, *, max_rounds: int = 3,
             lambda b: pa.table({"url": pc.cast(b["url"], pa.string()),
                                 "root": pc.cast(b["text"], pa.string())}),
             batch_format="pyarrow",
-        ).materialize()
+        ).repartition(8).materialize()
 
         frontier = crawl_frontier(
             rooted.map_batches(
@@ -328,7 +328,7 @@ def crawl_rounds(pages_ds, continuation_ds, *, max_rounds: int = 3,
                 batch_format="pyarrow",
             ),
             seen,
-        ).materialize()
+        ).repartition(8).materialize()
         if frontier.count() == 0:
             break
 
@@ -348,7 +348,11 @@ def crawl_rounds(pages_ds, continuation_ds, *, max_rounds: int = 3,
                 page_no=rnd + 2,
             )
         )
-        seen = seen.union(frontier).materialize()
+        # compact the iterated narrow tables: the bucketed cogroups
+        # above emit ~n_buckets tiny blocks per round and Ray's shuffle
+        # cost scales with input BLOCK COUNT — the bfs_distances lesson
+        # (BENCH/BASELINE.md round-3 session 3) applied to the crawl
+        seen = seen.union(frontier).repartition(8).materialize()
         cur_articles = arts_text
         cur_roots = rooted
 
