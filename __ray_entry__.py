@@ -1323,6 +1323,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return user_gap_histogram(sf_dir)
 
+    def docs_incremental_ingest(sf_dir: str):
+        """Incremental-ingestion dedup signal: the 90% id-hash split is
+        the already-ingested base, the 10% complement the incoming
+        batch; per incoming doc, how many of its 10-token segments
+        already exist in the base — one left-outer bucketed cogroup on
+        segment md5 (base side per-block distinct, never broadcast)
+        (ops/dedup.py incremental_segment_dedup)."""
+        import ray.data
+
+        from kgrecrun.ops.dedup import incremental_segment_dedup
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return incremental_segment_dedup(docs)
+
+    def embedding_quantization(sf_dir: str):
+        """Vector compression: global per-dimension min-max int8-style
+        codes — per-block (dim, mn, mx) partials into a dims-order
+        reduce, broadcast once, stateless vectorized quantize pass;
+        bit-equal to SQL because min/max are exact and the code formula
+        is one fixed-order IEEE chain (ops/ann.py quantize_embeddings)."""
+        import ray.data
+
+        from kgrecrun.ops.ann import quantize_embeddings
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        return quantize_embeddings(emb)
+
     def term_heavy_hitters(sf_dir: str):
         """Terms with frequency > n/100 via the two-pass
         candidate/verify heavy-hitter scheme — no vocabulary-order
@@ -1750,6 +1779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_max": events_running_max,
         "docs_source_overlap": docs_source_overlap,
         "events_gap_histogram": events_gap_histogram,
+        "docs_incremental_ingest": docs_incremental_ingest,
+        "embedding_quantization": embedding_quantization,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
@@ -2546,6 +2577,53 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM d WHERE gap IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        "docs_incremental_ingest": rf"""
+            WITH toks AS (
+                SELECT doc_id, {_IDHASH} AS ih,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), idx AS (
+                SELECT doc_id, ih, ws,
+                       unnest(range(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)
+                                       + 1)) AS seg_no
+                FROM toks
+            ), seg AS (
+                SELECT doc_id, ih,
+                       array_to_string(
+                           ws[(seg_no - 1) * 10 + 1 : seg_no * 10],
+                           ' ') AS seg
+                FROM idx
+            ), base AS (
+                SELECT DISTINCT seg FROM seg WHERE ih % 10 < 9
+            )
+            SELECT doc_id, COUNT(*) AS n_segs,
+                   CAST(SUM(CASE WHEN seg IN (SELECT seg FROM base)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+            FROM seg WHERE ih % 10 >= 9
+            GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_quantization": """
+            WITH flat AS (
+                SELECT vec_id,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM embeddings
+            ), st AS (
+                SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+                FROM flat GROUP BY 1
+            ), codes AS (
+                SELECT vec_id,
+                       CASE WHEN mx = mn THEN 0
+                            ELSE CAST(floor((x - mn) * 255.0 / (mx - mn)
+                                            + 0.5) AS BIGINT) END AS c
+                FROM flat JOIN st USING (dim)
+            )
+            SELECT vec_id, CAST(SUM(c) AS BIGINT) AS code_sum,
+                   CAST(MIN(c) AS BIGINT) AS code_min,
+                   CAST(MAX(c) AS BIGINT) AS code_max
+            FROM codes GROUP BY 1 ORDER BY 1
         """,
         "term_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),

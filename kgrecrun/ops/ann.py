@@ -312,3 +312,76 @@ def knn_label_confusion(embeds_ds, *, vec_col: str = "embedding",
             lambda b: b.rename_columns(["label", "pred_label", "n"]),
             batch_format="pyarrow")
     )
+
+
+def quantize_embeddings(ds, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id", levels: int = 255):
+    """Global min-max int8-style quantization of an embedding column —
+    the vector-compression step before shipping an index: per-DIMENSION
+    (min, max) over the whole corpus, then code = floor((x − mn) ·
+    levels / (mx − mn) + 0.5) per element (0 for constant dimensions).
+
+    Determinism: min/max are exact (no summation), and the code
+    expression is ONE fixed-order chain of IEEE-double ops evaluated
+    identically by numpy and SQL — bit-equal codes, no float-sum
+    ambiguity anywhere.
+
+    Scale shape: pass 1 folds per-block per-dim (mn, mx) partials
+    (2·dims values per block) into a native dim-keyed reduce — the only
+    driver-collected state is dims-order; the (mn, mx) vectors broadcast
+    once and pass 2 is a stateless vectorized map. The input is
+    materialized once and feeds both passes. Output per vector:
+    (id, code_sum, code_min, code_max) int64 — the row-level summary a
+    SQL oracle can check without list-typed columns.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    ds = ds.materialize()
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[vec_col])
+        if m.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64()),
+        })
+
+    stats = (ds.map_batches(mm_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("dim").aggregate(Min("mn"), Max("mx")))
+    dims, mns, mxs = [], [], []
+    for b in stats.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "dim" not in b.column_names:
+            continue
+        dims.append(b["dim"].to_numpy(zero_copy_only=False))
+        mns.append(b["min(mn)"].to_numpy(zero_copy_only=False))
+        mxs.append(b["max(mx)"].to_numpy(zero_copy_only=False))
+    dim = np.concatenate(dims) if dims else np.array([], np.int64)
+    order = np.argsort(dim)
+    mn = (np.concatenate(mns) if mns else np.array([]))[order]
+    mx = (np.concatenate(mxs) if mxs else np.array([]))[order]
+    mn_ref, mx_ref = ray.put(mn), ray.put(mx)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        lo = ray.get(mn_ref)
+        hi = ray.get(mx_ref)
+        m = _as_matrix(batch[vec_col])
+        span = hi - lo
+        safe = np.where(span == 0.0, 1.0, span)
+        codes = np.floor((m - lo) * float(levels) / safe + 0.5)
+        codes = np.where(span == 0.0, 0.0, codes).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+            "code_min": pa.array(codes.min(axis=1), pa.int64()),
+            "code_max": pa.array(codes.max(axis=1), pa.int64()),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -131,6 +131,12 @@ def bucket_join(
             .select([key, *pref])
             .rename_columns([key, *r_payload])
         )
+        if right_distinct and rt.num_rows:
+            # The pre-shuffle distinct is per-batch only; the same right
+            # row can arrive from several blocks, and a left-outer join
+            # would then multiply matching left rows. Finish the
+            # distinct per bucket (all copies of a key land here).
+            rt = rt.group_by(rt.column_names).aggregate([])
         if lt.num_rows == 0:
             if join_type == "full outer" and rt.num_rows:
                 padded = rt

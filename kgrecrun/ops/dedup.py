@@ -890,3 +890,86 @@ def source_segment_overlap(docs_ds, *, text_col: str = "text",
     return out.map_batches(
         lambda b: b.rename_columns(["s1", "s2", "n_shared"]),
         batch_format="pyarrow")
+
+
+def incremental_segment_dedup(docs_ds, *, text_col: str = "text",
+                              id_col: str = "doc_id", seg_words: int = 10,
+                              base_numer: int = 9, base_denom: int = 10):
+    """Incremental-ingestion dedup diagnostic: treat the deterministic
+    ``base_numer/base_denom`` id-hash split as the ALREADY-INGESTED
+    corpus and the complement as the incoming batch; for every incoming
+    document report how many of its ``seg_words``-token segments
+    already exist in the base — the decision signal an ingestion
+    pipeline uses to drop, trim, or keep a new document.
+
+    Scale shape: segments ship as md5 only; the base side applies a
+    per-block distinct combiner; ONE bucketed left-outer cogroup on the
+    segment hash flags incoming segments (``bucket_join`` with
+    ``right_distinct``), and per-doc (n_segs, n_dup) partials fold
+    map-side into a native groupby-sum. The base hash set is
+    corpus-order and is never broadcast or collected. Output:
+    (doc_id, n_segs, n_dup).
+    """
+    from ..textnorm import ascii_words
+    from .cogroup import bucket_join
+    from .sample import _hash64
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        is_base = (_hash64(ids) % base_denom) < base_numer
+        doc_ids, hs, base_flags = [], [], []
+        for did, flag, t in zip(ids, is_base.tolist(),
+                                batch[text_col].to_pylist()):
+            ws = ascii_words(t or "")
+            for i in range(0, len(ws), seg_words):
+                seg = " ".join(ws[i:i + seg_words])
+                doc_ids.append(did)
+                hs.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+                base_flags.append(flag)
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "h": pa.array(hs, pa.string()),
+            "is_base": pa.array(base_flags, pa.bool_()),
+        })
+
+    segs = docs_ds.map_batches(to_segments, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    def base_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["is_base"]).select(["h"])
+        uniq = pc.unique(t["h"].combine_chunks())
+        return pa.table({
+            "h": uniq,
+            "hit": pa.nulls(len(uniq), pa.int64()).fill_null(1),
+        })
+
+    def inc_side(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(batch["is_base"])).select([id_col, "h"])
+
+    base = segs.map_batches(base_side, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    inc = segs.map_batches(inc_side, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    flagged = bucket_join(
+        inc, base, key="h", join_type="left outer", right_distinct=True,
+        left_schema=pa.schema([(id_col, pa.int64()), ("h", pa.string())]),
+        right_schema=pa.schema([("h", pa.string()), ("hit", pa.int64())]),
+    )
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch[id_col],
+            "n_segs": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+            "n_dup": batch["hit"].combine_chunks().fill_null(0),
+        })
+        g = t.group_by(id_col).aggregate([("n_segs", "sum"),
+                                          ("n_dup", "sum")])
+        return g.rename_columns([id_col, "n_segs", "n_dup"])
+
+    out = (flagged.map_batches(doc_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+           .groupby(id_col).sum(["n_segs", "n_dup"]))
+    return out.map_batches(
+        lambda b: b.rename_columns([id_col, "n_segs", "n_dup"]),
+        batch_format="pyarrow")

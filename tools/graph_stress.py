@@ -22,6 +22,10 @@ is certified by comparing the checksum across the 8- and 32-cpu runs.
 
 --bfs: stress `bfs_distances` (4 hops from node 0) — broadcast vs
 exchange frontier paths, (node, dist) checksums, must be identical.
+
+--kcore: stress `kcore` deep peeling — at mean degree 20 the k=14
+core survives (~88% of nodes) only after ~21 peel rounds, i.e. ~21
+full edge passes; (node, deg) checksums certified across parallelism.
 """
 
 from __future__ import annotations
@@ -164,6 +168,25 @@ def main() -> None:
         cs = _checksum(out, "pk", "common")
         rec["checksum"] = cs
         rec["n_pairs"] = cs[0]
+        print(json.dumps(rec))
+        ray.shutdown()
+        return
+
+    if "--kcore" in sys.argv:
+        from kgrecrun.ops.graph import kcore
+
+        edges = synth_distinct_edges(n_rows, n_nodes).materialize()
+        m = edges.count()
+        k = 14  # just under the mean-degree-20 collapse threshold
+        rec = {"mode": "kcore", "n_edges": m, "n_nodes": n_nodes,
+               "num_cpus": num_cpus, "k": k}
+        t0 = time.time()
+        out = kcore(edges, k=k, max_rounds=64).materialize()
+        rec["wall_sec"] = round(time.time() - t0, 2)
+        cs = _checksum(out, "node", "deg")
+        rec["checksum"] = cs
+        rec["n_core"] = cs[0]
+        rec["edge_passes_per_sec"] = round(m / rec["wall_sec"], 0)
         print(json.dumps(rec))
         ray.shutdown()
         return
