@@ -1352,6 +1352,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     columns=["vec_id", "embedding"])
         return quantize_embeddings(emb)
 
+    def part_pareto_frontier(sf_dir: str):
+        """Distributed 2-D skyline: parts on the (minimize price,
+        minimize size) Pareto frontier — map-combinable per-block
+        dominance sweeps, one single-task reduce over the tiny
+        candidate set (ops/skyline.py pareto_frontier)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.skyline import pareto_frontier
+
+        def prep(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            return pa.table({
+                "p_partkey": batch["p_partkey"],
+                "price_cents": cents(batch["p_retailprice"]),
+                "size": pc.cast(batch["p_size"], pa.int64()),
+            })
+
+        parts = ray.data.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_retailprice", "p_size"],
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        return pareto_frontier(parts, x="price_cents", y="size")
+
+    def customer_balance_merge(sf_dir: str):
+        """CDC / changelog merge (lakehouse MERGE): orders replayed as
+        a changelog over the customer snapshot — 'F' orders delete the
+        key, others upsert the balance to the order total; latest
+        (date, orderkey) wins, untouched customers pass through.
+        One bucketed exchange, winner election via the shared
+        arg-extreme combiner (ops/cdc.py apply_changelog)."""
+        import ray.data
+
+        from kgrecrun.ops.cdc import apply_changelog
+        from kgrecrun.ops.relational import cents
+
+        def prep_base(batch):
+            import pyarrow as pa
+            return pa.table({
+                "custkey": batch["c_custkey"],
+                "bal_cents": cents(batch["c_acctbal"]),
+            })
+
+        def prep_change(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            return pa.table({
+                "custkey": batch["o_custkey"],
+                "bal_cents": cents(batch["o_totalprice"]),
+                "ts": batch["o_orderdate"],
+                "seq": batch["o_orderkey"],
+                "op": pc.if_else(
+                    pc.equal(batch["o_orderstatus"], "F"),
+                    pa.scalar("delete"), pa.scalar("upsert")),
+            })
+
+        base = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_acctbal"],
+        ).map_batches(prep_base, batch_format="pyarrow", zero_copy_batch=True)
+        changes = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice", "o_orderdate",
+                     "o_orderkey", "o_orderstatus"],
+        ).map_batches(prep_change, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        return apply_changelog(
+            base, changes, key="custkey", value_cols=["bal_cents"],
+            ts_col="ts", seq_col="seq", op_col="op")
+
+    def docs_preferred_copy(sf_dir: str):
+        """Cross-source preferred-provenance dedup: docs sharing an
+        8-token normalized prefix (the near-title key) collapse to the
+        copy from the most-trusted source (rank = source suffix, then
+        doc_id); text never shuffles — the key is a map-side md5
+        (ops/dedup.py provenance_dedup)."""
+        import ray.data
+
+        from kgrecrun.ops.dedup import provenance_dedup
+
+        def prep(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            rank = pc.cast(
+                pc.utf8_slice_codeunits(batch["source"], 3, 99),
+                pa.int64())
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+                "rank": rank,
+            })
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+        ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        return provenance_dedup(docs)
+
+    def embedding_dim_stats(sf_dir: str):
+        """Feature-redundancy audit: exact integer covariance
+        sufficient statistics between every pair of QUANTIZED embedding
+        dimensions — one d×d matmul partial per block, native pair-keyed
+        sum; integer sums make the d(d−1)/2-row answer bit-identical
+        across layouts where float covariance wouldn't be
+        (ops/ann.py quantized_dim_stats)."""
+        import ray.data
+
+        from kgrecrun.ops.ann import quantized_dim_stats
+
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        return quantized_dim_stats(emb)
+
     def term_heavy_hitters(sf_dir: str):
         """Terms with frequency > n/100 via the two-pass
         candidate/verify heavy-hitter scheme — no vocabulary-order
@@ -1781,6 +1895,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_histogram": events_gap_histogram,
         "docs_incremental_ingest": docs_incremental_ingest,
         "embedding_quantization": embedding_quantization,
+        "part_pareto_frontier": part_pareto_frontier,
+        "customer_balance_merge": customer_balance_merge,
+        "docs_preferred_copy": docs_preferred_copy,
+        "embedding_dim_stats": embedding_dim_stats,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
@@ -2624,6 +2742,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(c) AS BIGINT) AS code_min,
                    CAST(MAX(c) AS BIGINT) AS code_max
             FROM codes GROUP BY 1 ORDER BY 1
+        """,
+        "part_pareto_frontier": """
+            WITH p AS (
+                SELECT p_partkey,
+                       CAST(round(p_retailprice * 100) AS BIGINT)
+                           AS price_cents,
+                       CAST(p_size AS BIGINT) AS size
+                FROM part
+            )
+            SELECT p_partkey, price_cents, size FROM p a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.price_cents <= a.price_cents AND b.size <= a.size
+                  AND (b.price_cents < a.price_cents OR b.size < a.size)
+            )
+            ORDER BY 1
+        """,
+        "customer_balance_merge": """
+            WITH base AS (
+                SELECT c_custkey AS custkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                       CAST(NULL AS TIMESTAMP) AS ts,
+                       CAST(NULL AS BIGINT) AS seq, FALSE AS del
+                FROM customer
+            ), ch AS (
+                SELECT o_custkey AS custkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS bal_cents,
+                       o_orderdate AS ts, o_orderkey AS seq,
+                       o_orderstatus = 'F' AS del
+                FROM orders
+            ), u AS (
+                SELECT * FROM base UNION ALL SELECT * FROM ch
+            ), w AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY custkey
+                    ORDER BY ts DESC NULLS LAST, seq DESC NULLS LAST) AS rn
+                FROM u
+            )
+            SELECT custkey, bal_cents FROM w
+            WHERE rn = 1 AND NOT del ORDER BY 1
+        """,
+        "docs_preferred_copy": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       CAST(substr(source, 4) AS BIGINT) AS rank,
+                       array_to_string(
+                           (list_filter(
+                               regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> ''))[1:8], ' ') AS p
+                FROM documents
+            ), w AS (
+                SELECT p, doc_id AS keep_id, row_number() OVER (
+                    PARTITION BY p ORDER BY rank, doc_id) AS rn
+                FROM n
+            )
+            SELECT n.doc_id, w.keep_id, n.doc_id = w.keep_id AS kept
+            FROM n JOIN w ON w.p = n.p AND w.rn = 1
+            ORDER BY 1
+        """,
+        "embedding_dim_stats": """
+            WITH flat AS (
+                SELECT vec_id,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       unnest(range(0, len(embedding))) AS dim
+                FROM embeddings
+            ), st AS (
+                SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+                FROM flat GROUP BY 1
+            ), codes AS (
+                SELECT vec_id, dim,
+                       CASE WHEN mx = mn THEN 0
+                            ELSE CAST(floor((x - mn) * 255.0 / (mx - mn)
+                                            + 0.5) AS BIGINT) END AS c
+                FROM flat JOIN st USING (dim)
+            )
+            SELECT a.dim AS di, b.dim AS dj,
+                   COUNT(*) AS n,
+                   CAST(SUM(a.c) AS BIGINT) AS si,
+                   CAST(SUM(b.c) AS BIGINT) AS sj,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS sij
+            FROM codes a JOIN codes b
+              ON a.vec_id = b.vec_id AND a.dim < b.dim
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "term_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),

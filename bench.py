@@ -113,6 +113,9 @@ def bench_main() -> None:
         "top_supplier_revenue", "small_qty_avg_revenue",
         "docs_length_band", "events_running_max",
         "docs_source_overlap", "events_gap_histogram",
+        "docs_incremental_ingest", "embedding_quantization",
+        "part_pareto_frontier", "customer_balance_merge",
+        "docs_preferred_copy", "embedding_dim_stats",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

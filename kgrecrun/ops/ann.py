@@ -335,10 +335,30 @@ def quantize_embeddings(ds, *, vec_col: str = "embedding",
     SQL oracle can check without list-typed columns.
     """
     import ray
-    import ray.data
-    from ray.data.aggregate import Max, Min
 
     ds = ds.materialize()
+    mn_ref, mx_ref = _global_minmax(ds, vec_col)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        codes = _quant_codes(_as_matrix(batch[vec_col]),
+                             ray.get(mn_ref), ray.get(mx_ref), levels)
+        return pa.table({
+            id_col: batch[id_col],
+            "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+            "code_min": pa.array(codes.min(axis=1), pa.int64()),
+            "code_max": pa.array(codes.max(axis=1), pa.int64()),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _global_minmax(ds, vec_col: str):
+    """Exact per-dimension (min, max) over the corpus: per-block
+    (dim, mn, mx) partials → one dims-order native reduce → two
+    broadcast numpy vectors (object refs)."""
+    import ray
+    from ray.data.aggregate import Max, Min
 
     def mm_partial(batch: pa.Table) -> pa.Table:
         m = _as_matrix(batch[vec_col])
@@ -366,22 +386,74 @@ def quantize_embeddings(ds, *, vec_col: str = "embedding",
     order = np.argsort(dim)
     mn = (np.concatenate(mns) if mns else np.array([]))[order]
     mx = (np.concatenate(mxs) if mxs else np.array([]))[order]
-    mn_ref, mx_ref = ray.put(mn), ray.put(mx)
+    return ray.put(mn), ray.put(mx)
 
-    def quantize(batch: pa.Table) -> pa.Table:
-        lo = ray.get(mn_ref)
-        hi = ray.get(mx_ref)
-        m = _as_matrix(batch[vec_col])
-        span = hi - lo
-        safe = np.where(span == 0.0, 1.0, span)
-        codes = np.floor((m - lo) * float(levels) / safe + 0.5)
-        codes = np.where(span == 0.0, 0.0, codes).astype(np.int64)
+
+def _quant_codes(m: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                 levels: int) -> np.ndarray:
+    """code = floor((x − lo) · levels / (hi − lo) + 0.5), 0 where the
+    dimension is constant — ONE fixed-order IEEE-double chain, bit-equal
+    between numpy and SQL."""
+    span = hi - lo
+    safe = np.where(span == 0.0, 1.0, span)
+    codes = np.floor((m - lo) * float(levels) / safe + 0.5)
+    return np.where(span == 0.0, 0.0, codes).astype(np.int64)
+
+
+def quantized_dim_stats(ds, *, vec_col: str = "embedding",
+                        levels: int = 255):
+    """Exact integer covariance sufficient statistics between every
+    PAIR of quantized embedding dimensions — the feature-redundancy
+    audit run before pruning or rotating an embedding space: which
+    dimensions move together?
+
+    Composition story: :func:`quantize_embeddings`' global min-max
+    codes turn float vectors into small ints, and integer sums are
+    order-free — so the full d×d second-moment matrix is EXACT and
+    bit-identical across block layouts, where float covariance would be
+    summation-order-dependent. Output: one row per unordered dim pair
+    i < j with (di, dj, n, si, sj, sij) int64; the consumer forms the
+    correlation numerator n·sij − si·sj driver-side (or in SQL).
+
+    Scale shape: two streaming passes over the materialized input (one
+    for min-max, one for products); each block contributes ONE
+    d(d−1)/2-row partial (d=64 → 2016 rows) computed as a single
+    C-level matmul (codesᵀ·codes), and a native (di, dj)-keyed sum
+    folds partials — no per-pair dispatch, nothing corpus-order leaves
+    the block. int64 headroom: codes ≤ levels, so sij ≤ n·levels²;
+    overflow needs n > 1.4e14 vectors at levels=255.
+    """
+    import ray
+
+    ds = ds.materialize()
+    mn_ref, mx_ref = _global_minmax(ds, vec_col)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        codes = _quant_codes(_as_matrix(batch[vec_col]),
+                             ray.get(mn_ref), ray.get(mx_ref), levels)
+        if codes.size == 0:
+            return pa.table({"di": pa.array([], pa.int64()),
+                             "dj": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "si": pa.array([], pa.int64()),
+                             "sj": pa.array([], pa.int64()),
+                             "sij": pa.array([], pa.int64())})
+        d = codes.shape[1]
+        prod = codes.T @ codes            # d×d int64 matmul
+        sums = codes.sum(axis=0)          # per-dim Σcode
+        iu, ju = np.triu_indices(d, k=1)
         return pa.table({
-            id_col: batch[id_col],
-            "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
-            "code_min": pa.array(codes.min(axis=1), pa.int64()),
-            "code_max": pa.array(codes.max(axis=1), pa.int64()),
+            "di": pa.array(iu.astype(np.int64)),
+            "dj": pa.array(ju.astype(np.int64)),
+            "n": pa.array(np.full(len(iu), codes.shape[0], np.int64)),
+            "si": pa.array(sums[iu]),
+            "sj": pa.array(sums[ju]),
+            "sij": pa.array(prod[iu, ju]),
         })
 
-    return ds.map_batches(quantize, batch_format="pyarrow",
+    out = (ds.map_batches(pair_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
+           .groupby(["di", "dj"]).sum(["n", "si", "sj", "sij"]))
+    return out.map_batches(
+        lambda b: b.rename_columns(["di", "dj", "n", "si", "sj", "sij"]),
+        batch_format="pyarrow")

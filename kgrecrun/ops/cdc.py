@@ -1,0 +1,81 @@
+"""CDC / changelog merge (lakehouse MERGE, SCD type-1): apply a stream
+of keyed change records (upserts + deletes) to a base snapshot and emit
+the latest state per key — the compaction step of an incremental
+ingestion pipeline.
+
+Semantics: per key, the winning record is the change with the highest
+``(ts, seq)`` (``seq`` is the unique tie-break — a change id); base
+rows act as changes older than every real change. If the winner is a
+delete, the key is absent from the output; keys never touched by a
+change pass through from base; insert-by-change (key absent from base)
+works the same way.
+
+Scale shape: ONE bucketed exchange total — base and changelog are
+tagged into a common narrow layout in ``map_batches``, the per-key
+winner election reuses :func:`group_arg_extreme` (map-side combiner
+keeps ≤ 1 row/key/block, one ``n_buckets``-capped groupby elects
+winners), and deletes are dropped with a vectorized filter. No
+broadcast of either side; both may be corpus-order.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .argext import group_arg_extreme
+
+
+def apply_changelog(base_ds, changes_ds, *, key: str, value_cols: list[str],
+                    ts_col: str, seq_col: str, op_col: str,
+                    delete_op: str = "delete"):
+    """Merge ``changes_ds`` into ``base_ds``.
+
+    ``base_ds``: (key, *value_cols). ``changes_ds``: (key, *value_cols,
+    ts_col, seq_col, op_col) where ``op_col == delete_op`` marks a
+    delete (its value columns are ignored) and anything else an upsert.
+    ``ts_col``/``seq_col`` must be orderable; (ts, seq) must be unique
+    per key for deterministic output. Returns (key, *value_cols) — the
+    surviving latest state.
+    """
+    from .cogroup import _arrow_schema
+
+    ch_schema = _arrow_schema(changes_ds.schema())
+    ts_type = ch_schema.field(ts_col).type
+    seq_type = ch_schema.field(seq_col).type
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {key: batch[key]}
+        for c in value_cols:
+            cols[c] = batch[c]
+        cols["__ts"] = pa.nulls(n, ts_type)
+        cols["__seq"] = pa.nulls(n, seq_type)
+        cols["__del"] = pa.nulls(n, pa.bool_()).fill_null(False)
+        return pa.table(cols)
+
+    def tag_change(batch: pa.Table) -> pa.Table:
+        cols = {key: batch[key]}
+        for c in value_cols:
+            cols[c] = batch[c]
+        cols["__ts"] = batch[ts_col]
+        cols["__seq"] = batch[seq_col]
+        cols["__del"] = pc.equal(batch[op_col], delete_op)
+        return pa.table(cols)
+
+    # nulls sort LAST under "descending" in arrow lexsort, so base rows
+    # (null ts/seq) lose to every change — exactly "older than all".
+    tagged = base_ds.map_batches(
+        tag_base, batch_format="pyarrow", zero_copy_batch=True
+    ).union(changes_ds.map_batches(
+        tag_change, batch_format="pyarrow", zero_copy_batch=True))
+    winners = group_arg_extreme(
+        tagged, key=key,
+        order_cols=[("__ts", "descending"), ("__seq", "descending")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        live = batch.filter(pc.invert(batch["__del"]))
+        return live.select([key, *value_cols])
+
+    return winners.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)

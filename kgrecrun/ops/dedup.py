@@ -973,3 +973,62 @@ def incremental_segment_dedup(docs_ds, *, text_col: str = "text",
     return out.map_batches(
         lambda b: b.rename_columns([id_col, "n_segs", "n_dup"]),
         batch_format="pyarrow")
+
+
+def provenance_dedup(docs_ds, *, text_col: str = "text",
+                     id_col: str = "doc_id", rank_col: str = "rank",
+                     prefix_words: int = 8):
+    """Cross-source preferred-provenance dedup: documents sharing the
+    same ``prefix_words``-token normalized prefix (the near-title key a
+    crawl uses to spot re-hosted copies) collapse to ONE preferred copy
+    — the row with the smallest ``(rank_col, id_col)``, where the
+    caller derives ``rank_col`` from source priority (lower = more
+    trusted). Returns (id, keep_id, kept) for every input doc.
+
+    Scale shape: text reduces to a 32-char md5 key map-side and never
+    shuffles; winner election reuses :func:`group_arg_extreme`
+    (combiner + one bucket-capped groupby); the keep-id fans back to
+    all members via ONE bucketed cogroup join on the key. Three narrow
+    exchanges total, none carrying text.
+    """
+    from .argext import group_arg_extreme
+    from .cogroup import bucket_join
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        from ..textnorm import ascii_words
+        hs = []
+        for t in batch[text_col].to_pylist():
+            pref = " ".join(ascii_words((t or "").lower())[:prefix_words])
+            hs.append(hashlib.md5(pref.encode("utf-8")).hexdigest())
+        return pa.table({
+            "h": pa.array(hs, pa.string()),
+            id_col: batch[id_col],
+            rank_col: batch[rank_col],
+        })
+
+    keys = docs_ds.map_batches(keyed, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    winners = group_arg_extreme(
+        keys, key="h",
+        order_cols=[(rank_col, "ascending"), (id_col, "ascending")],
+    ).map_batches(
+        lambda b: pa.table({"h": b["h"], "keep_id": b[id_col]}),
+        batch_format="pyarrow")
+
+    joined = bucket_join(
+        keys.map_batches(lambda b: b.select(["h", id_col]),
+                         batch_format="pyarrow"),
+        winners, key="h", join_type="inner",
+        left_schema=pa.schema([("h", pa.string()), (id_col, pa.int64())]),
+        right_schema=pa.schema([("h", pa.string()), ("keep_id", pa.int64())]),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "keep_id": batch["keep_id"],
+            "kept": pc.equal(batch[id_col], batch["keep_id"]),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

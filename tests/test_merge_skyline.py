@@ -1,0 +1,122 @@
+"""Skyline, CDC merge, provenance dedup, quantized dim stats —
+behavioral tests on planted synthetic inputs, each compared against a
+driver-side brute-force or closed-form answer."""
+
+import numpy as np
+import pyarrow as pa
+
+from kgrecrun.ops.ann import quantized_dim_stats
+from kgrecrun.ops.cdc import apply_changelog
+from kgrecrun.ops.dedup import provenance_dedup
+from kgrecrun.ops.skyline import pareto_frontier
+
+
+def _brute_skyline(x, y):
+    n = len(x)
+    return sorted(
+        i for i in range(n)
+        if not any(
+            x[j] <= x[i] and y[j] <= y[i] and (x[j] < x[i] or y[j] < y[i])
+            for j in range(n)
+        )
+    )
+
+
+def test_pareto_frontier_matches_brute_force(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 40, 400).astype(np.int64)
+    y = rng.randint(0, 40, 400).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"x": x, "y": y, "id": np.arange(400, dtype=np.int64)})
+    ).repartition(7)  # frontier must be layout-independent
+    got = sorted(pareto_frontier(ds, x="x", y="y").to_pandas()["id"])
+    assert got == _brute_skyline(x, y)
+
+
+def test_pareto_frontier_keeps_tied_points(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "x": pa.array([1, 1, 2, 3], pa.int64()),
+        "y": pa.array([5, 5, 9, 4], pa.int64()),
+        "id": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    got = sorted(
+        pareto_frontier(ray.data.from_arrow(t), x="x", y="y")
+        .to_pandas()["id"])
+    # the duplicate (1,5) pair both survive; (2,9) is dominated by (1,5)
+    assert got == [0, 1, 3]
+
+
+def test_apply_changelog_semantics(ray_session):
+    import ray.data
+
+    base = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64()),
+    }))
+    changes = ray.data.from_arrow(pa.table({
+        # k=1: two upserts, later ts wins; k=2: delete wins (latest);
+        # k=3: untouched; k=5: insert-by-change; k=4: same-ts tie →
+        # higher seq wins; k=6: insert then delete → absent
+        "k": pa.array([1, 1, 2, 5, 4, 4, 6, 6], pa.int64()),
+        "v": pa.array([11, 12, 0, 50, 41, 42, 60, 0], pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 5, 5, 1, 2], pa.int64()),
+        "seq": pa.array([101, 102, 103, 104, 105, 106, 107, 108],
+                        pa.int64()),
+        "op": pa.array(["upsert", "upsert", "delete", "upsert", "upsert",
+                        "upsert", "upsert", "delete"], pa.string()),
+    })).repartition(3)
+    out = apply_changelog(
+        base, changes, key="k", value_cols=["v"],
+        ts_col="ts", seq_col="seq", op_col="op",
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(zip(out["k"], out["v"])) == [(1, 12), (3, 30), (4, 42),
+                                             (5, 50)]
+
+
+def test_provenance_dedup_prefers_low_rank(ray_session):
+    import ray.data
+
+    pref = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            pref + " tail one", pref + " tail two",  # same 8-token key
+            pref + " tail three", "unrelated text entirely different here",
+        ], pa.string()),
+        "rank": pa.array([5, 2, 2, 9], pa.int64()),
+    })).repartition(2)
+    out = (provenance_dedup(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # winner of the shared key: rank 2 tie → lower doc_id (2)
+    assert list(out["keep_id"]) == [2, 2, 2, 4]
+    assert list(out["kept"]) == [False, True, False, True]
+
+
+def test_quantized_dim_stats_exact(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    m = rng.rand(50, 5)
+    m[:, 4] = 0.25  # constant dim → code 0
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array([row.tolist() for row in m],
+                              pa.list_(pa.float32())),
+    })).repartition(4)
+    out = (quantized_dim_stats(ds).to_pandas()
+           .sort_values(["di", "dj"]).reset_index(drop=True))
+    mf = m.astype(np.float32).astype(np.float64)
+    lo, hi = mf.min(axis=0), mf.max(axis=0)
+    span = np.where(hi == lo, 1.0, hi - lo)
+    codes = np.floor((mf - lo) * 255.0 / span + 0.5)
+    codes = np.where(hi == lo, 0.0, codes).astype(np.int64)
+    iu, ju = np.triu_indices(5, k=1)
+    assert out["n"].tolist() == [50] * len(iu)
+    assert out["si"].tolist() == codes.sum(axis=0)[iu].tolist()
+    assert out["sij"].tolist() == (codes.T @ codes)[iu, ju].tolist()
+    # constant dim pairs have sj == 0
+    assert out[out["dj"] == 4]["sj"].eq(0).all()
