@@ -1466,6 +1466,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     columns=["vec_id", "embedding"])
         return quantized_dim_stats(emb)
 
+    def docs_similarity_join(sf_dir: str):
+        """EXACT all-pairs 3-shingle Jaccard self-join at t ≥ 1/2 via
+        AllPairs/PPJoin prefix filtering — df-rarest prefix tokens
+        generate candidates (provably no false negatives), sorted-array
+        intersection verifies; integer (inter, uni) output. The exact
+        counterpart of the LSH dedup family
+        (ops/simjoin.py allpairs_jaccard_join)."""
+        import ray.data
+
+        from kgrecrun.ops.simjoin import allpairs_jaccard_join
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return allpairs_jaccard_join(docs, threshold_num=1,
+                                     threshold_den=2)
+
     def term_heavy_hitters(sf_dir: str):
         """Terms with frequency > n/100 via the two-pass
         candidate/verify heavy-hitter scheme — no vocabulary-order
@@ -1899,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_balance_merge": customer_balance_merge,
         "docs_preferred_copy": docs_preferred_copy,
         "embedding_dim_stats": embedding_dim_stats,
+        "docs_similarity_join": docs_similarity_join,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,
@@ -2825,6 +2842,36 @@ def oracle_sql() -> dict[str, str]:
             FROM codes a JOIN codes b
               ON a.vec_id = b.vec_id AND a.dim < b.dim
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "docs_similarity_join": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(w) >= 3
+                            THEN array_to_string(w[s:s+2], ' ')
+                            ELSE array_to_string(w, ' ') END AS tok
+                FROM ws, unnest(range(1, greatest(len(w) - 2, 1) + 1))
+                         AS t(s)
+                WHERE len(w) > 0
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+            ), i AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM sh x JOIN sh y
+                  ON x.tok = y.tok AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.a, i.b, inter,
+                   sa.n + sb.n - inter AS uni
+            FROM i JOIN sz sa ON sa.doc_id = i.a
+                   JOIN sz sb ON sb.doc_id = i.b
+            WHERE inter * 2 >= sa.n + sb.n - inter
+            ORDER BY 1, 2
         """,
         "term_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),

@@ -116,6 +116,7 @@ def bench_main() -> None:
         "docs_incremental_ingest", "embedding_quantization",
         "part_pareto_frontier", "customer_balance_merge",
         "docs_preferred_copy", "embedding_dim_stats",
+        "docs_similarity_join",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

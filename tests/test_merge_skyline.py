@@ -120,3 +120,48 @@ def test_quantized_dim_stats_exact(ray_session):
     assert out["sij"].tolist() == (codes.T @ codes)[iu, ju].tolist()
     # constant dim pairs have sj == 0
     assert out[out["dj"] == 4]["sj"].eq(0).all()
+
+
+def _brute_jaccard_pairs(texts, k, num, den):
+    from kgrecrun.ops.simjoin import _shingle_hashes
+
+    sets = {i: set(_shingle_hashes(t, k).tolist())
+            for i, t in enumerate(texts) if _shingle_hashes(t, k).size}
+    out = []
+    keys = sorted(sets)
+    for ai in range(len(keys)):
+        for bi in range(ai + 1, len(keys)):
+            a, b = keys[ai], keys[bi]
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * den >= num * uni:
+                out.append((a, b, inter, uni))
+    return out
+
+
+def test_allpairs_jaccard_join_exact(ray_session):
+    import ray.data
+
+    from kgrecrun.ops.simjoin import allpairs_jaccard_join
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    for i in range(40):
+        words = [vocab[j] for j in rng.randint(0, 60, 25)]
+        texts.append(" ".join(words))
+    # planted near-dup chain: 40≈41≈42 (one-word edits)
+    base = texts[0].split()
+    e1 = list(base); e1[3] = "edited"
+    e2 = list(e1); e2[17] = "again"
+    texts += [" ".join(e1), " ".join(e2), "tiny", ""]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(5)
+    got = sorted(
+        tuple(r) for r in allpairs_jaccard_join(
+            ds, threshold_num=3, threshold_den=10
+        ).to_pandas().itertuples(index=False))
+    assert got == _brute_jaccard_pairs(texts, 3, 3, 10)
+    assert any(a == 0 for a, *_ in got)  # the planted chain was found
