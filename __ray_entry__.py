@@ -1482,6 +1482,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return allpairs_jaccard_join(docs, threshold_num=1,
                                      threshold_den=2)
 
+    def docs_table_profile(sf_dir: str):
+        """Data profiling audit: per-column (n_rows, n_null,
+        n_distinct) over the documents table in one read — exact
+        distinct via per-block unique-hash combiners, counts via
+        constant-size partials; raw values never leave the block
+        (ops/profile.py profile_table)."""
+        import ray.data
+
+        from kgrecrun.ops.profile import profile_table
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return profile_table(
+            docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def brand_weighted_median_price(sf_dir: str):
+        """Per-brand QUANTITY-weighted lower median line price — the
+        'half the shipped volume is cheaper than this' point: broadcast
+        part→brand lookup, per-block (brand, cents, qty) histogram
+        partials, one bucketed shuffle, vectorized segment walk
+        (ops/stats.py group_weighted_median)."""
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from kgrecrun.ops.joins import broadcast_lookup
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.stats import group_weighted_median
+
+        part = _pq.read_table(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"])
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_quantity"])
+        withbrand = broadcast_lookup(
+            li, part, key="l_partkey", right_key="p_partkey")
+
+        def qty(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            return pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+
+        return group_weighted_median(
+            withbrand, key="p_brand",
+            value_cents=lambda b: cents(b["l_extendedprice"]),
+            weight=qty)
+
+    def docs_similarity_clusters(sf_dir: str):
+        """Near-dup clusters from the EXACT similarity join: the
+        allpairs_jaccard_join edge list (t ≥ 1/2, 3-shingles) closed
+        into connected components and applied to every doc — the
+        no-false-negative sibling of the LSH dedup family, sharing its
+        cluster/apply machinery (ops/simjoin.py + ops/dedup.py
+        _cluster_and_apply)."""
+        import pyarrow as pa
+        import ray.data
+
+        from kgrecrun.ops.dedup import _cluster_and_apply
+        from kgrecrun.ops.simjoin import allpairs_jaccard_join
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        edges = allpairs_jaccard_join(
+            docs, threshold_num=1, threshold_den=2
+        ).map_batches(
+            lambda b: pa.table({"src": b["a"], "dst": b["b"]}),
+            batch_format="pyarrow")
+        return _cluster_and_apply(docs, edges, "doc_id")
+
     def term_heavy_hitters(sf_dir: str):
         """Terms with frequency > n/100 via the two-pass
         candidate/verify heavy-hitter scheme — no vocabulary-order
@@ -1916,6 +1983,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_preferred_copy": docs_preferred_copy,
         "embedding_dim_stats": embedding_dim_stats,
         "docs_similarity_join": docs_similarity_join,
+        "docs_table_profile": docs_table_profile,
+        "brand_weighted_median_price": brand_weighted_median_price,
+        "docs_similarity_clusters": docs_similarity_clusters,
         # --- sketch + window additions (SQL-checkable) ---
         "term_heavy_hitters": term_heavy_hitters,
         "bm25_topk": bm25_topk_q,

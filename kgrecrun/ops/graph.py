@@ -411,53 +411,45 @@ def _collect(ds) -> pa.Table:
 def _pagerank_broadcast(edges, node_np, od_np, *, iters, r_init, base,
                         d_num, d_den):
     """Broadcast-ranks Pregel rounds (see pagerank_fixedpoint): the
-    (sorted node, outdeg, rank) vectors live as one ray.put object per
-    round and are looked up map-side, so edges NEVER shuffle — not even
-    once for the outdeg attach — and the only cross-task traffic is the
-    per-block (node, partial-sum) combiner rows streamed back into the
-    rank vector."""
+    (sorted node, outdeg) vectors broadcast once and the rank vector
+    once per round; edges NEVER shuffle — not even once for the outdeg
+    attach — and the only cross-task traffic is the per-block
+    (node, partial-sum) combiner rows folded into the rank vector.
+
+    Execution note: like ``kcore``, the serially-dependent rounds run
+    as plain ``ray.remote`` tasks over the ONCE-cached Arrow edge-block
+    refs — per-round Dataset executor startup dwarfed the millisecond
+    numpy round work (same measurement, see kcore docstring)."""
     import ray
     import ray.data
 
     n_nodes = len(node_np)
     rank_np = np.full(n_nodes, r_init, dtype=np.int64)
+    block_refs = list(edges.materialize().to_arrow_refs())
+    static_ref = ray.put((node_np, od_np))
+
+    @ray.remote
+    def contrib_bc(block: pa.Table, static, rv: np.ndarray):
+        nv, ov = static
+        s = block["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = block["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        i = np.searchsorted(nv, s)
+        c = rv[i] // ov[i]
+        nodes, inv = np.unique(d, return_inverse=True)
+        # integer segment-sum combiner (bincount's float64 weights
+        # would break bit-exactness above 2^53)
+        sums = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        return nodes, sums
 
     for _ in range(iters):
-        ref = ray.put((node_np, od_np, rank_np))
-
-        def contrib_bc(b: pa.Table) -> pa.Table:
-            nv, ov, rv = ray.get(ref)
-            s = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
-            d = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-            i = np.searchsorted(nv, s)
-            c = rv[i] // ov[i]
-            t = pa.table({
-                "node": pa.array(d, pa.int64()),
-                "c": pa.array(c, pa.int64()),
-            })
-            return (
-                t.group_by("node").aggregate([("c", "sum")])
-                .rename_columns(["node", "c"])
-            )
-
-        # stream the per-block combiner partials straight into the rank
-        # vector — no per-round Ray groupby; driver holds one block of
-        # (node, partial) rows at a time, bounded by the broadcast
-        # contract
+        rank_ref = ray.put(rank_np)
+        parts = ray.get([contrib_bc.remote(br, static_ref, rank_ref)
+                         for br in block_refs])
         s_vec = np.zeros(n_nodes, dtype=np.int64)
-        for b in edges.map_batches(
-            contrib_bc, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow", batch_size=None):
-            idx = np.searchsorted(
-                node_np,
-                b["node"].combine_chunks().to_numpy(zero_copy_only=False),
-            )
-            # integer scatter-add (np.bincount's float64 weights would
-            # break bit-exactness above 2^53)
-            np.add.at(
-                s_vec, idx,
-                b["c"].combine_chunks().to_numpy(zero_copy_only=False),
-            )
+        for nodes, sums in parts:
+            if len(nodes):
+                np.add.at(s_vec, np.searchsorted(node_np, nodes), sums)
         rank_np = base + (d_num * s_vec) // d_den
 
     return ray.data.from_arrow(
@@ -928,26 +920,24 @@ def _bfs_broadcast(edges, *, source: int, max_hops: int, bound: int):
     visited_np = nodes[0]
     frontier_np = nodes[0]
     n_visited = 1
+    # serially-dependent rounds over static edge blocks → raw tasks on
+    # once-cached Arrow refs (the kcore execution note)
+    block_refs = list(edges.to_arrow_refs())
+
+    @ray.remote
+    def expand(block: pa.Table, fr: np.ndarray, vis: np.ndarray):
+        u = block["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = block["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        cand = np.unique(v[np.isin(u, fr)])
+        return cand[~np.isin(cand, vis)]
 
     for hop in range(1, max_hops + 1):
         fr_ref = ray.put(np.sort(frontier_np))
         vis_ref = ray.put(np.sort(visited_np))
-
-        def expand(b: pa.Table, *, _fr=fr_ref, _vis=vis_ref) -> pa.Table:
-            fr = _fr if isinstance(_fr, np.ndarray) else ray.get(_fr)
-            vis = _vis if isinstance(_vis, np.ndarray) else ray.get(_vis)
-            u = b["u"].combine_chunks().to_numpy(zero_copy_only=False)
-            v = b["v"].combine_chunks().to_numpy(zero_copy_only=False)
-            cand = np.unique(v[np.isin(u, fr)])
-            new = cand[~np.isin(cand, vis)]
-            return pa.table({"node": pa.array(new, pa.int64())})
-
-        new_np = np.unique(np.concatenate([
-            b["node"].combine_chunks().to_numpy(zero_copy_only=False)
-            for b in edges.map_batches(
-                expand, batch_format="pyarrow", zero_copy_batch=True
-            ).iter_batches(batch_format="pyarrow")
-        ] or [np.array([], np.int64)]))
+        parts = ray.get([expand.remote(br, fr_ref, vis_ref)
+                         for br in block_refs])
+        new_np = np.unique(np.concatenate(
+            [p for p in parts if len(p)] or [np.array([], np.int64)]))
         if new_np.size == 0:
             break
         n_visited += int(new_np.size)
@@ -1170,43 +1160,55 @@ def kcore(edges_ds, *, k: int, max_rounds: int = 12,
 
     Scale shape (broadcast regime, the catalog-graph sibling of
     triangle_counts/bfs): per round ONE zero-shuffle pass over the
-    edge blocks (survivor set ``ray.put`` once, ``np.isin`` filter
-    map-side, per-block (node, cnt) degree partials) and one
-    node-order driver fold — driver state is bounded by the NODE
-    count (``broadcast_nodes``; a hard RuntimeError past it names the
-    exchange alternative: bucket-fold degrees + semi-join edge filter
-    per round, the bfs_distances exchange pattern). Edges live in the
-    object store and never move.
+    edge blocks (survivor set ``ray.put`` once, sorted-membership
+    ``searchsorted`` filter map-side, per-block (node, cnt) degree
+    partials) and one node-order driver fold — driver state is bounded
+    by the NODE count (``broadcast_nodes``; a hard RuntimeError past it
+    names the exchange alternative: bucket-fold degrees + semi-join
+    edge filter per round, the bfs_distances exchange pattern). Edges
+    live in the object store and never move.
+
+    Execution note — the ONE raw-task loop in this repo: deep peeling
+    runs O(tens) of serially-dependent rounds whose per-round compute
+    is milliseconds of numpy; re-launching a Dataset execution per
+    round costs ~100× the compute in executor startup + driver
+    ``iter_batches`` (measured: ~10 s/round vs ~0.3 s at 2M edges).
+    The materialized edge blocks are cached ONCE as Arrow object refs
+    and each round maps a plain ``ray.remote`` degree-partial task
+    over them — same blocks, same partials, same fold, no per-round
+    executor. This is the documented escape hatch for iterative
+    driver-synced algebra; everything single-pass stays Dataset-native.
     """
     import ray
     import ray.data
 
     edges = edges_ds.materialize()
-    survivors: np.ndarray | None = None  # None = all nodes
+    block_refs = [r for r in edges.to_arrow_refs()]
+    survivors: np.ndarray | None = None  # None = all nodes (sorted)
     deg_nodes = deg_counts = None
+
+    @ray.remote
+    def deg_partial(block: pa.Table, s: np.ndarray | None):
+        u = block["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = block["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        if s is not None:
+            # s is sorted+unique (np.unique output): membership via two
+            # binary searches, no per-call re-sort like np.isin
+            iu = np.searchsorted(s, u)
+            iv = np.searchsorted(s, v)
+            iu[iu == len(s)] = 0
+            iv[iv == len(s)] = 0
+            m = (s[iu] == u) & (s[iv] == v) if len(s) else np.zeros(
+                len(u), bool)
+            u, v = u[m], v[m]
+        return np.unique(np.concatenate([u, v]), return_counts=True)
 
     for round_no in range(1, max_rounds + 1):
         surv_ref = None if survivors is None else ray.put(survivors)
-
-        def deg_partial(b: pa.Table, *, _s=surv_ref) -> pa.Table:
-            u = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
-            v = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-            if _s is not None:
-                s = _s if isinstance(_s, np.ndarray) else ray.get(_s)
-                m = np.isin(u, s) & np.isin(v, s)
-                u, v = u[m], v[m]
-            nodes, cnt = np.unique(np.concatenate([u, v]),
-                                   return_counts=True)
-            return pa.table({"node": pa.array(nodes, pa.int64()),
-                             "cnt": pa.array(cnt, pa.int64())})
-
-        parts_n, parts_c = [], []
-        for b in edges.map_batches(deg_partial, batch_format="pyarrow",
-                                   zero_copy_batch=True).iter_batches(
-                                       batch_format="pyarrow"):
-            if b.num_rows:
-                parts_n.append(b["node"].to_numpy(zero_copy_only=False))
-                parts_c.append(b["cnt"].to_numpy(zero_copy_only=False))
+        parts = ray.get([deg_partial.remote(br, surv_ref)
+                         for br in block_refs])
+        parts_n = [n for n, _ in parts if len(n)]
+        parts_c = [c for _, c in parts if len(c)]
         if not parts_n:
             deg_nodes = np.array([], np.int64)
             deg_counts = np.array([], np.int64)

@@ -641,3 +641,71 @@ def iqr_outliers(ds, *, key: str, value_col: str, id_cols: list[str],
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def group_weighted_median(ds, *, key: str, value_cents, weight,
+                          key_type: pa.DataType = pa.string(),
+                          n_buckets: int = N_BUCKETS):
+    """Exact per-group WEIGHTED (lower) median: the smallest value v
+    with 2·Σ{w : value ≤ v} ≥ Σw — e.g. the price point at which half
+    the shipped QUANTITY is cheaper. ``value_cents``/``weight`` are
+    callables batch→int64 pa.Array; integer weights keep the cumulative
+    sums exact and the answer bit-identical across layouts.
+
+    Same scale shape as :func:`group_quantiles`: per-block (key, v,
+    w_partial) histogram rows, ONE bucketed shuffle, a vectorized
+    per-bucket sort + segment walk (no per-key dispatch). Output:
+    (key, wmedian_cents int64, total_w int64).
+    """
+    from ..kg.unionfind import hash_bucket
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            key: batch[key],
+            "v": value_cents(batch),
+            "w": weight(batch),
+        })
+        g = t.group_by([key, "v"]).aggregate([("w", "sum")])
+        g = g.rename_columns([key, "v", "w"])
+        return g.append_column(
+            "__bucket", hash_bucket(g[key].combine_chunks(), n_buckets))
+
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow")
+    out_schema = pa.schema([(key, key_type), ("wmedian_cents", pa.int64()),
+                            ("total_w", pa.int64())])
+
+    def median_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(
+            group, sort_keys=[(key, "ascending"), ("v", "ascending")])
+        g = group.take(order)
+        ka = g[key].combine_chunks()
+        v = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = g["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(v)
+        neq = pc.not_equal(ka.slice(1), ka.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(neq.astype(bool)) + 1))
+        ends = np.append(starts[1:], n)
+        # duplicate v bins across partials are fine: the walk needs the
+        # FIRST index where 2·cum ≥ tot, and cum is nondecreasing
+        cum = np.cumsum(w)
+        base = np.concatenate(([0], cum[ends[:-1] - 1]))
+        seg_cum = cum - np.repeat(base, ends - starts)
+        tot = seg_cum[ends - 1]
+        keys_out, med_out, tot_out = [], [], []
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            j = s + int(np.searchsorted(2 * seg_cum[s:e], tot[i],
+                                        side="left"))
+            keys_out.append(ka[s].as_py())
+            med_out.append(int(v[j]))
+            tot_out.append(int(tot[i]))
+        return pa.table({
+            key: pa.array(keys_out, key_type),
+            "wmedian_cents": pa.array(med_out, pa.int64()),
+            "total_w": pa.array(tot_out, pa.int64()),
+        })
+
+    return (hist.groupby("__bucket")
+            .map_groups(median_bucket, batch_format="pyarrow"))
