@@ -2098,6 +2098,37 @@ def _cc_sql(pairs_cte: str, base_table: str, id_expr: str, out_id: str) -> str:
     """
 
 
+def _simjoin_cc_sql() -> str:
+    """Near-dup clusters over the EXACT similarity join's edges: the
+    docs_similarity_join pair derivation (3-shingle jaccard ≥ 1/2)
+    closed with the shared recursive-CTE connected components."""
+    pairs = r"""ws AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(w) >= 3
+                        THEN array_to_string(w[s:s+2], ' ')
+                        ELSE array_to_string(w, ' ') END AS tok
+            FROM ws, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(s)
+            WHERE len(w) > 0
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+        ), iv AS (
+            SELECT x.doc_id AS u, y.doc_id AS v, COUNT(*) AS i
+            FROM sh x JOIN sh y ON x.tok = y.tok AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT u, v FROM iv
+            JOIN sz sa ON sa.doc_id = iv.u
+            JOIN sz sb ON sb.doc_id = iv.v
+            WHERE i * 2 >= sa.n + sb.n - i
+        )"""
+    return _cc_sql(pairs, "documents", "doc_id", "doc_id")
+
+
 # distinct symmetric supplier-part edges, node encoding 2p / 2s+1 —
 # mirrors kgrecrun/ops/graph.supplier_part_edges
 _GRAPH_EDGES_SQL = """edges AS (
@@ -2943,6 +2974,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 2 >= sa.n + sb.n - inter
             ORDER BY 1, 2
         """,
+        "docs_table_profile": """
+            SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(doc_id) AS n_null,
+                   COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+            UNION ALL
+            SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+                   COUNT(DISTINCT text) FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                   COUNT(DISTINCT lang) FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                   COUNT(DISTINCT source) FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                   COUNT(DISTINCT n_chars) FROM documents
+        """,
+        "brand_weighted_median_price": """
+            WITH li AS (
+                SELECT p.p_brand,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                       CAST(round(l_quantity) AS BIGINT) AS w
+                FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+            ), hist AS (
+                SELECT p_brand, v, SUM(w) AS w
+                FROM li GROUP BY 1, 2
+            ), cum AS (
+                SELECT p_brand, v, w,
+                       SUM(w) OVER (PARTITION BY p_brand ORDER BY v)
+                           AS cw,
+                       SUM(w) OVER (PARTITION BY p_brand) AS tot
+                FROM hist
+            )
+            SELECT p_brand, MIN(v) AS wmedian_cents,
+                   CAST(MIN(tot) AS BIGINT) AS total_w
+            FROM cum WHERE 2 * cw >= tot GROUP BY 1 ORDER BY 1
+        """,
+        "docs_similarity_clusters": _simjoin_cc_sql(),
         "term_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
             tot AS (SELECT COUNT(*) AS n FROM toks),

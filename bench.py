@@ -116,7 +116,8 @@ def bench_main() -> None:
         "docs_incremental_ingest", "embedding_quantization",
         "part_pareto_frontier", "customer_balance_merge",
         "docs_preferred_copy", "embedding_dim_stats",
-        "docs_similarity_join",
+        "docs_similarity_join", "docs_table_profile",
+        "brand_weighted_median_price", "docs_similarity_clusters",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

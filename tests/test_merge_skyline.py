@@ -165,3 +165,46 @@ def test_allpairs_jaccard_join_exact(ray_session):
         ).to_pandas().itertuples(index=False))
     assert got == _brute_jaccard_pairs(texts, 3, 3, 10)
     assert any(a == 0 for a, *_ in got)  # the planted chain was found
+
+
+def test_profile_table(ray_session):
+    import ray.data
+
+    from kgrecrun.ops.profile import profile_table
+
+    t = pa.table({
+        "a": pa.array([1, 1, 2, None, 3], pa.int64()),
+        "b": pa.array(["x", None, None, "x", "y"], pa.string()),
+        "c": pa.array([1.5, 1.5, 1.5, 1.5, 1.5], pa.float64()),
+    })
+    out = (profile_table(ray.data.from_arrow(t).repartition(3))
+           .to_pandas().set_index("column").sort_index())
+    assert out.loc["a"].tolist() == [5, 1, 3]
+    assert out.loc["b"].tolist() == [5, 2, 2]
+    assert out.loc["c"].tolist() == [5, 0, 1]
+
+
+def test_group_weighted_median(ray_session):
+    import ray.data
+
+    from kgrecrun.ops.stats import group_weighted_median
+
+    rng = np.random.RandomState(9)
+    keys = rng.choice(["g1", "g2", "g3"], 300)
+    vals = rng.randint(0, 50, 300).astype(np.int64)
+    wts = rng.randint(1, 6, 300).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys), "v": pa.array(vals), "w": pa.array(wts),
+    })).repartition(4)
+    out = (group_weighted_median(
+        ds, key="k", value_cents=lambda b: b["v"],
+        weight=lambda b: b["w"]).to_pandas()
+        .set_index("k").sort_index())
+    for g in ["g1", "g2", "g3"]:
+        m = keys == g
+        v, w = vals[m], wts[m]
+        order = np.argsort(v, kind="stable")
+        cum = np.cumsum(w[order])
+        expect = int(v[order][np.searchsorted(2 * cum, cum[-1])])
+        assert out.loc[g, "wmedian_cents"] == expect
+        assert out.loc[g, "total_w"] == int(w.sum())
