@@ -1482,6 +1482,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return allpairs_jaccard_join(docs, threshold_num=1,
                                      threshold_den=2)
 
+    def hybrid_rank_fusion(sf_dir: str):
+        """Hybrid retrieval: fixed-point BM25 top-20 (5-term query)
+        fused with exact-cosine top-20 (query vector = embedding 0) by
+        Borda count — fused = bm25_rank + cos_rank with a k+1 = 21
+        miss penalty, all integers. The heavy stages are the two
+        existing retrieval operators; fusion is one full-outer bucket
+        join over two 20-row tables (ops/rank.py bm25_topk +
+        ops/ann.py brute_force_topk)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from kgrecrun.ops.ann import brute_force_topk
+        from kgrecrun.ops.cogroup import bucket_join
+        from kgrecrun.ops.rank import bm25_topk
+
+        K = 20
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        bm = bm25_topk(docs, _BM25_TERMS, k=K)
+
+        def bm_rank(batch: pa.Table) -> pa.Table:
+            order = pc.sort_indices(batch, sort_keys=[
+                ("score_fp", "descending"), ("doc_id", "ascending")])
+            s = batch.take(order)
+            return pa.table({
+                "doc_id": s["doc_id"],
+                "bm25_rank": pa.array(
+                    range(1, s.num_rows + 1), pa.int64()),
+            })
+
+        bm_ranked = bm.repartition(1).map_batches(
+            bm_rank, batch_format="pyarrow")
+
+        q, qids = _query_vectors(sf_dir)
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        ann = brute_force_topk(emb, q[:1], qids[:1], k=K).map_batches(
+            lambda b: pa.table({
+                "doc_id": b["vec_id"],
+                "cos_rank": pc.cast(b["rank"], pa.int64()),
+            }), batch_format="pyarrow")
+
+        fused = bucket_join(
+            bm_ranked, ann, key="doc_id", join_type="full outer",
+            n_buckets=8,
+            left_schema=pa.schema([("doc_id", pa.int64()),
+                                   ("bm25_rank", pa.int64())]),
+            right_schema=pa.schema([("doc_id", pa.int64()),
+                                    ("cos_rank", pa.int64())]),
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            br = batch["bm25_rank"].combine_chunks().fill_null(K + 1)
+            cr = batch["cos_rank"].combine_chunks().fill_null(K + 1)
+            t = pa.table({
+                "doc_id": batch["doc_id"],
+                "bm25_rank": br,
+                "cos_rank": cr,
+                "fused": pc.add(br, cr),
+            })
+            order = pc.sort_indices(t, sort_keys=[
+                ("fused", "ascending"), ("doc_id", "ascending")])
+            return t.take(order).slice(0, 10)
+
+        return fused.repartition(1).map_batches(
+            finish, batch_format="pyarrow")
+
+    def forecast_revenue(sf_dir: str):
+        """TPC-H Q6-shaped revenue change: ALL predicates (ship year,
+        discount band, quantity cap) pushed to the parquet read, one
+        cents partial per batch, constant-size reduce
+        (ops/relational.py forecast_revenue_change)."""
+        from kgrecrun.ops.relational import forecast_revenue_change
+
+        return forecast_revenue_change(sf_dir)
+
     def docs_table_profile(sf_dir: str):
         """Data profiling audit: per-column (n_rows, n_null,
         n_distinct) over the documents table in one read — exact
@@ -1983,6 +2060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_preferred_copy": docs_preferred_copy,
         "embedding_dim_stats": embedding_dim_stats,
         "docs_similarity_join": docs_similarity_join,
+        "forecast_revenue": forecast_revenue,
+        "hybrid_rank_fusion": hybrid_rank_fusion,
         "docs_table_profile": docs_table_profile,
         "brand_weighted_median_price": brand_weighted_median_price,
         "docs_similarity_clusters": docs_similarity_clusters,
@@ -2973,6 +3052,40 @@ def oracle_sql() -> dict[str, str]:
                    JOIN sz sb ON sb.doc_id = i.b
             WHERE inter * 2 >= sa.n + sb.n - inter
             ORDER BY 1, 2
+        """,
+        "hybrid_rank_fusion": f"""
+            WITH b AS (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY score_fp DESC, doc_id) AS bm25_rank
+                FROM ({_bm25_sql(_BM25_TERMS, 20)})
+            ), a AS (
+                SELECT vec_id AS doc_id, rn AS cos_rank FROM (
+                    SELECT e.vec_id, row_number() OVER (
+                        ORDER BY list_cosine_similarity(
+                            q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id ASC) AS rn
+                    FROM (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                          FROM embeddings WHERE vec_id = 0) q
+                    CROSS JOIN embeddings e
+                ) WHERE rn <= 20
+            ), f AS (
+                SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+                       COALESCE(bm25_rank, 21) AS bm25_rank,
+                       COALESCE(cos_rank, 21) AS cos_rank
+                FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id
+            )
+            SELECT doc_id, bm25_rank, cos_rank,
+                   bm25_rank + cos_rank AS fused
+            FROM f ORDER BY fused, doc_id LIMIT 10
+        """,
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "docs_table_profile": """
             SELECT 'doc_id' AS column, COUNT(*) AS n_rows,

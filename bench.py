@@ -118,6 +118,7 @@ def bench_main() -> None:
         "docs_preferred_copy", "embedding_dim_stats",
         "docs_similarity_join", "docs_table_profile",
         "brand_weighted_median_price", "docs_similarity_clusters",
+        "forecast_revenue", "hybrid_rank_fusion",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -1511,3 +1511,53 @@ def small_qty_avg_revenue(sf_dir: str, *, brand: str = "Brand#1",
                                   pa.int64()),
         "n_items": pa.array([int(tot["sum(n_items)"] or 0)], pa.int64()),
     }))
+
+
+def forecast_revenue_change(sf_dir: str, *, year_lo: str = "1995-01-01",
+                            year_hi: str = "1996-01-01",
+                            disc_lo: float = 0.05, disc_hi: float = 0.07,
+                            qty_lt: float = 24.0):
+    """TPC-H Q6-shaped forecasting-revenue-change: total
+    discount·price over one ship year within a discount band and a
+    quantity cap — the canonical read-pushed filter + constant-size
+    partial reduce. Every predicate is pushed to the parquet read (only
+    matching row groups leave storage, four columns); each batch folds
+    to ONE cents partial. Output: one row (revenue_cents)."""
+    import ray.data
+
+    lo = np.datetime64(year_lo, "us").astype(np.int64)
+    hi = np.datetime64(year_hi, "us").astype(np.int64)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(int(lo), pa.timestamp("us")))
+            & (pc.field("l_shipdate") < pa.scalar(int(hi), pa.timestamp("us")))
+            & (pc.field("l_discount") >= disc_lo)
+            & (pc.field("l_discount") <= disc_hi)
+            & (pc.field("l_quantity") < qty_lt)
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        disc = batch["l_discount"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        rc = pc.cast(
+            pc.round(pa.array(ep * disc * 100.0, pa.float64()),
+                     round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "revenue_cents": pa.array([int(rc.sum())], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("k").sum("revenue_cents"))
+    return agg.map_batches(
+        lambda b: b.rename_columns(["k", "revenue_cents"])
+        .select(["revenue_cents"]),
+        batch_format="pyarrow")
