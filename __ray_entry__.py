@@ -1550,6 +1550,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return fused.repartition(1).map_batches(
             finish, batch_format="pyarrow")
 
+    def event_trigram_paths(sf_dir: str):
+        """Length-3 user-journey mining: counts of every consecutive
+        event-type triple per user in (ts, event_id) order — one
+        bucketed shuffle, vectorized double-adjacency mask, ≤ |types|³
+        partial rows per bucket (ops/window.py event_trigram_paths)."""
+        from kgrecrun.ops.window import event_trigram_paths as etp
+
+        return etp(sf_dir)
+
+    def events_value_winsorized(sf_dir: str):
+        """Global rank-based winsorization: every event value clipped
+        to the exact [5%, 95%] quantile band — value histogram fold +
+        one single-block threshold walk + broadcast stateless clip
+        (ops/stats.py winsorize_global)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.stats import winsorize_global
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "value"])
+        return winsorize_global(
+            ev, id_col="event_id",
+            value_cents=lambda b: cents(b["value"]))
+
     def forecast_revenue(sf_dir: str):
         """TPC-H Q6-shaped revenue change: ALL predicates (ship year,
         discount band, quantity cap) pushed to the parquet read, one
@@ -2062,6 +2087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_similarity_join": docs_similarity_join,
         "forecast_revenue": forecast_revenue,
         "hybrid_rank_fusion": hybrid_rank_fusion,
+        "event_trigram_paths": event_trigram_paths,
+        "events_value_winsorized": events_value_winsorized,
         "docs_table_profile": docs_table_profile,
         "brand_weighted_median_price": brand_weighted_median_price,
         "docs_similarity_clusters": docs_similarity_clusters,
@@ -3052,6 +3079,38 @@ def oracle_sql() -> dict[str, str]:
                    JOIN sz sb ON sb.doc_id = i.b
             WHERE inter * 2 >= sa.n + sb.n - inter
             ORDER BY 1, 2
+        """,
+        "event_trigram_paths": """
+            WITH s AS (
+                SELECT event_type AS t1,
+                       lead(event_type, 1) OVER w AS t2,
+                       lead(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+            )
+            SELECT t1, t2, t3, COUNT(*) AS n FROM s
+            WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "events_value_winsorized": """
+            WITH v AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS val
+                FROM events
+            ), tot AS (SELECT COUNT(*) AS n FROM v),
+            hist AS (SELECT val, COUNT(*) AS c FROM v GROUP BY 1),
+            cum AS (
+                SELECT val, SUM(c) OVER (ORDER BY val) AS cc FROM hist
+            ),
+            lo AS (SELECT MIN(val) AS v FROM cum
+                   WHERE cc >= (5 * (SELECT n FROM tot) + 99) // 100),
+            hi AS (SELECT MIN(val) AS v FROM cum
+                   WHERE cc >= (95 * (SELECT n FROM tot) + 99) // 100)
+            SELECT event_id, val AS v_cents,
+                   least(greatest(val, (SELECT v FROM lo)),
+                         (SELECT v FROM hi)) AS v_clipped_cents
+            FROM v ORDER BY 1
         """,
         "hybrid_rank_fusion": f"""
             WITH b AS (

@@ -78,6 +78,139 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return px.mean(axis=2).astype(np.uint8)
 
 
+# ---------------------------------------------------------------- PNG
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(gray: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """Grayscale (h, w) uint8 → standards-compliant 8-bit grayscale PNG
+    (color type 0, non-interlaced), stdlib zlib only. ``filter_type``
+    selects the per-row filter (0=None 1=Sub 2=Up 3=Average 4=Paeth) —
+    all five produce valid files; tests use them to exercise every
+    decoder unfilter path."""
+    import zlib
+
+    h, w = gray.shape
+    g = np.ascontiguousarray(gray, dtype=np.uint8)
+    raw = bytearray()
+    prior = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        row = g[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            left = np.concatenate(([0], row[:-1])).astype(np.uint8)
+            filt = (row.astype(np.int16) - left) % 256
+        elif filter_type == 2:
+            filt = (row.astype(np.int16) - prior) % 256
+        elif filter_type == 3:
+            left = np.concatenate(([0], row[:-1])).astype(np.int16)
+            filt = (row.astype(np.int16)
+                    - (left + prior.astype(np.int16)) // 2) % 256
+        elif filter_type == 4:
+            out = np.empty(w, dtype=np.uint8)
+            for x in range(w):
+                a = int(row[x - 1]) if x else 0
+                b = int(prior[x])
+                c = int(prior[x - 1]) if x else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                    b if pb <= pc_ else c)
+                out[x] = (int(row[x]) - pred) % 256
+            filt = out
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        raw.append(filter_type)
+        raw.extend(np.asarray(filt, dtype=np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (grayscale / RGB / gray+alpha / RGBA,
+    color types 0/2/4/6) → grayscale (h, w) uint8 (color-channel mean,
+    alpha dropped — the BMP convention). Implements all five PNG row
+    filters with stdlib zlib inflate; palette (type 3), 16-bit and
+    interlaced files raise into the error column."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB(A) PNG decodes "
+            f"(depth={bit_depth} color={color_type} interlace={interlace})")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    bpp = channels  # 8-bit: bytes per pixel == channels
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, dtype=np.uint8,
+                            offset=y * (stride + 1) + 1,
+                            count=stride).astype(np.int16)
+        if ft == 0:
+            rec = row
+        elif ft == 2:
+            rec = (row + prior) % 256
+        elif ft in (1, 3, 4):
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + int(prior[x])) // 2
+                else:  # paeth
+                    b = int(prior[x])
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                        b if pb <= pc_ else c)
+                rec[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    px = out.reshape(h, w, bpp)
+    color = px[:, :, :3] if color_type in (2, 6) else px[:, :, :1]
+    return color.mean(axis=2).astype(np.uint8)
+
+
 # ---------------------------------------------------------------- WAV
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -107,14 +240,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # ------------------------------------------------------------ synthesis
 
 def synth_media_batch(media_ids, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media rows: real BMP images (~1/3), real
-    PCM WAV audio (~1/3), and the legacy FAKEIMG format (~1/3, kept to
-    exercise the non-standard-container path)."""
+    """Deterministic synthetic media rows: real PCM WAV audio, real BMP
+    images, real 8-bit PNG images (cycling through all five row
+    filters), and the legacy FAKEIMG format (kept to exercise the
+    non-standard-container path) — one quarter each by id."""
     rows = []
     for mid in media_ids:
         mid = int(mid)
         rng = np.random.RandomState((seed * 1_000_003 + mid) % (2**31))
-        which = mid % 3
+        which = mid % 4
         if which == 0:
             sr = 8000
             n = int(rng.randint(800, 4000))
@@ -132,6 +266,14 @@ def synth_media_batch(media_ids, seed: int = 42) -> pa.Table:
                 dict(media_id=mid, kind="image", payload=payload, width=w, height=h,
                      sample_rate=0, url=f"https://media.example/img/{mid}.bmp")
             )
+        elif which == 2:
+            w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
+            gray = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+            payload = encode_png(gray, filter_type=(mid // 4) % 5)
+            rows.append(
+                dict(media_id=mid, kind="image", payload=payload, width=w, height=h,
+                     sample_rate=0, url=f"https://media.example/img/{mid}.png")
+            )
         else:
             w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
             pixels = rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
@@ -148,6 +290,8 @@ def _decode_payload(payload: bytes):
     raise into the error column."""
     if payload[:2] == b"BM":
         return "image", decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return "image", decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio", decode_wav(payload)[0]
     if payload[:8] == _IMG_MAGIC:
@@ -158,8 +302,9 @@ def _decode_payload(payload: bytes):
         n = int.from_bytes(payload[12:16], "little")
         return "audio", np.frombuffer(payload[16:16 + 2 * n], dtype=np.int16)
     raise NotImplementedError(
-        "no codec for this container (BMP and PCM WAV decode natively; "
-        "JPEG/PNG/MP3 need PIL/ffmpeg — plug them in here in production)"
+        "no codec for this container (BMP, 8-bit PNG and PCM WAV decode "
+        "natively; JPEG/MP3 need PIL/ffmpeg — plug them in here in "
+        "production)"
     )
 
 

@@ -709,3 +709,75 @@ def group_weighted_median(ds, *, key: str, value_cents, weight,
 
     return (hist.groupby("__bucket")
             .map_groups(median_bucket, batch_format="pyarrow"))
+
+
+def winsorize_global(ds, *, id_col: str, value_cents, q_num: int = 5,
+                     q_den: int = 100):
+    """Global rank-based winsorization: clip every value to the
+    [q, 1−q] quantile band (q = q_num/q_den), where the thresholds are
+    the LOWER quantiles — the smallest v with count(≤ v) ≥ ceil(q·n) /
+    ceil((1−q)·n) — so both thresholds are exact corpus values and the
+    clipped output is all-integer, bit-identical across layouts.
+
+    Scale shape: per-block (v, n) histogram partials fold into a native
+    v-keyed sum (narrow, value-domain-order); ONE single-block cumsum
+    walk finds the two thresholds (the global-rank trade — a value
+    histogram, not the corpus, sits in one task); the thresholds
+    broadcast and the clip pass is a stateless vectorized map. The
+    input is materialized once and feeds both passes. Output:
+    (id, v_cents, v_clipped_cents).
+    """
+    import ray
+    import ray.data
+
+    ds = ds.materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "v": value_cents(batch),
+            "n": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+        })
+        g = t.group_by("v").aggregate([("n", "sum")])
+        return g.rename_columns(["v", "n"])
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("v").sum("n")
+            .map_batches(lambda b: b.rename_columns(["v", "n"]),
+                         batch_format="pyarrow"))
+
+    lo_hi = []
+    for b in hist.repartition(1).map_batches(
+            lambda t: _threshold_walk(t, q_num, q_den),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            lo_hi.append((b["lo"][0].as_py(), b["hi"][0].as_py()))
+    (lo, hi), = lo_hi
+    ref = ray.put((lo, hi))
+
+    def clip(batch: pa.Table) -> pa.Table:
+        lo_, hi_ = ray.get(ref)
+        v = value_cents(batch).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch[id_col],
+            "v_cents": pa.array(v),
+            "v_clipped_cents": pa.array(np.clip(v, lo_, hi_)),
+        })
+
+    return ds.map_batches(clip, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _threshold_walk(t: pa.Table, q_num: int, q_den: int) -> pa.Table:
+    order = pc.sort_indices(t, sort_keys=[("v", "ascending")])
+    s = t.take(order)
+    v = s["v"].combine_chunks().to_numpy(zero_copy_only=False)
+    n = s["n"].combine_chunks().to_numpy(zero_copy_only=False)
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    r_lo = -(-q_num * total // q_den)           # ceil(q*n)
+    r_hi = -(-(q_den - q_num) * total // q_den)  # ceil((1-q)*n)
+    lo = v[np.searchsorted(cum, r_lo)]
+    hi = v[np.searchsorted(cum, r_hi)]
+    return pa.table({"lo": pa.array([int(lo)], pa.int64()),
+                     "hi": pa.array([int(hi)], pa.int64())})

@@ -939,3 +939,51 @@ def user_gap_histogram(sf_dir: str | None = None, *, events_ds=None,
     return out.map_batches(
         lambda b: b.rename_columns(["gap_min", "n"]),
         batch_format="pyarrow").sort("gap_min")
+
+
+def event_trigram_paths(sf_dir: str, *, events_ds=None):
+    """Length-3 user-journey mining: (t1, t2, t3, n) counts over every
+    run of three consecutive events of one user in (ts, event_id)
+    order — the sequence extension of :func:`event_transitions`, same
+    scale shape (one bucketed shuffle, vectorized double-adjacency
+    mask, per-bucket partials ≤ |types|³ rows)."""
+    import ray.data
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"])
+
+    def trigrams(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "t3": pa.array([], pa.string()),
+            "n_local": pa.array([], pa.int64()),
+        })
+        order = pc.sort_indices(group, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = group.take(order)
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = g["event_type"].combine_chunks()
+        n = len(uid)
+        if n < 3:
+            return empty
+        same = pa.array((uid[1:-1] == uid[:-2]) & (uid[2:] == uid[:-2]))
+        t = pa.table({
+            "t1": et.slice(0, n - 2),
+            "t2": et.slice(1, n - 2),
+            "t3": et.slice(2, n - 2),
+        }).filter(same)
+        if t.num_rows == 0:
+            return empty
+        agg = t.group_by(["t1", "t2", "t3"]).aggregate([("t1", "count")])
+        return agg.rename_columns(["t1", "t2", "t3", "n_local"])
+
+    agg = (_bucketed(ds, "user_id")
+           .groupby("__bucket")
+           .map_groups(trigrams, batch_format="pyarrow")
+           .groupby(["t1", "t2", "t3"]).sum("n_local"))
+    return agg.map_batches(
+        lambda b: b.rename_columns(["t1", "t2", "t3", "n"]),
+        batch_format="pyarrow")
