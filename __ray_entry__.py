@@ -1575,6 +1575,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, id_col="event_id",
             value_cents=lambda b: cents(b["value"]))
 
+    def events_value_tiers(sf_dir: str):
+        """Broadcast INTERVAL join (the IP-geo / price-tier pattern):
+        every event value mapped to its catalog tier with one
+        searchsorted per batch — zero shuffles, no BETWEEN-join
+        exchange; values outside every interval tier NULL
+        (ops/joins.py broadcast_interval_lookup)."""
+        import pyarrow as pa
+        import ray.data
+
+        from kgrecrun.ops.joins import broadcast_interval_lookup
+        from kgrecrun.ops.relational import cents
+
+        tiers = pa.table({
+            "lo": pa.array([0, 1000, 5000, 20000], pa.int64()),
+            "hi": pa.array([1000, 5000, 20000, 40000], pa.int64()),
+            "tier": pa.array(["low", "mid", "high", "whale"],
+                             pa.string()),
+        })
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "value"])
+
+        def prep(batch):
+            return pa.table({
+                "event_id": batch["event_id"],
+                "v_cents": cents(batch["value"]),
+            })
+
+        return broadcast_interval_lookup(
+            ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            tiers, "v_cents")
+
     def forecast_revenue(sf_dir: str):
         """TPC-H Q6-shaped revenue change: ALL predicates (ship year,
         discount band, quantity cap) pushed to the parquet read, one
@@ -2089,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rank_fusion": hybrid_rank_fusion,
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
+        "events_value_tiers": events_value_tiers,
         "docs_table_profile": docs_table_profile,
         "brand_weighted_median_price": brand_weighted_median_price,
         "docs_similarity_clusters": docs_similarity_clusters,
@@ -3079,6 +3112,20 @@ def oracle_sql() -> dict[str, str]:
                    JOIN sz sb ON sb.doc_id = i.b
             WHERE inter * 2 >= sa.n + sb.n - inter
             ORDER BY 1, 2
+        """,
+        "events_value_tiers": """
+            WITH tiers(lo, hi, tier) AS (
+                VALUES (0, 1000, 'low'), (1000, 5000, 'mid'),
+                       (5000, 20000, 'high'), (20000, 40000, 'whale')
+            ), v AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS v_cents
+                FROM events
+            )
+            SELECT event_id, v_cents, t.tier
+            FROM v LEFT JOIN tiers t
+              ON v.v_cents >= t.lo AND v.v_cents < t.hi
+            ORDER BY 1
         """,
         "event_trigram_paths": """
             WITH s AS (

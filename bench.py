@@ -119,7 +119,7 @@ def bench_main() -> None:
         "docs_similarity_join", "docs_table_profile",
         "brand_weighted_median_price", "docs_similarity_clusters",
         "forecast_revenue", "hybrid_rank_fusion",
-        "event_trigram_paths", "events_value_winsorized",
+        "event_trigram_paths", "events_value_winsorized", "events_value_tiers",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

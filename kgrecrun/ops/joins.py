@@ -199,3 +199,52 @@ def fuzzy_join(ds, probe_tbl: pa.Table, *, text_col: str, id_col: str,
 
     return ds.map_batches(match, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def broadcast_interval_lookup(left_ds, intervals: pa.Table, value_col: str,
+                              *, lo_col: str = "lo", hi_col: str = "hi",
+                              n_cols: list[str] | None = None):
+    """Map-side INTERVAL join (the IP-geolocation / price-tier
+    pattern): each left row's ``value_col`` is matched to the catalog
+    interval with ``lo ≤ v < hi``; rows matching no interval get null
+    attributes. ``intervals`` is a SMALL driver-side table whose
+    intervals must be non-overlapping (validated here, sorted by lo).
+
+    Zero shuffles: the sorted (lo, hi, *attrs) vectors broadcast once
+    (``ray.put``); per batch ONE ``searchsorted`` against the lo
+    column + an in-bounds check resolves every row — no per-row
+    dispatch, no BETWEEN join exchange. The left side streams.
+    """
+    import ray
+
+    order = pc.sort_indices(intervals, sort_keys=[(lo_col, "ascending")])
+    s = intervals.take(order)
+    lo = s[lo_col].to_numpy(zero_copy_only=False)
+    hi = s[hi_col].to_numpy(zero_copy_only=False)
+    if (hi[:-1] > lo[1:]).any() if len(lo) > 1 else False:
+        raise ValueError("broadcast_interval_lookup: intervals overlap")
+    attrs = n_cols or [c for c in s.column_names if c not in (lo_col, hi_col)]
+    ref = ray.put((lo, hi, {c: s[c] for c in attrs}))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lo_, hi_, att = ray.get(ref)
+        import numpy as np
+
+        v = batch[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo_, v, side="right") - 1
+        safe = np.clip(idx, 0, max(len(lo_) - 1, 0))
+        ok = (idx >= 0) & (len(lo_) > 0)
+        if len(lo_):
+            ok &= v < hi_[safe]
+        out = batch
+        mask = pa.array(~ok)
+        for c in attrs:
+            col = att[c].take(pa.array(safe, pa.int64()))
+            if hasattr(col, "combine_chunks"):
+                col = col.combine_chunks()
+            col = pc.if_else(mask, pa.scalar(None, col.type), col)
+            out = out.append_column(c, col)
+        return out
+
+    return left_ds.map_batches(attach, batch_format="pyarrow",
+                               zero_copy_batch=True)

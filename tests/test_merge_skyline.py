@@ -208,3 +208,30 @@ def test_group_weighted_median(ray_session):
         expect = int(v[order][np.searchsorted(2 * cum, cum[-1])])
         assert out.loc[g, "wmedian_cents"] == expect
         assert out.loc[g, "total_w"] == int(w.sum())
+
+
+def test_broadcast_interval_lookup(ray_session):
+    import pytest
+    import ray.data
+
+    from kgrecrun.ops.joins import broadcast_interval_lookup
+
+    tiers = pa.table({
+        "lo": pa.array([10, 30], pa.int64()),
+        "hi": pa.array([20, 40], pa.int64()),
+        "tier": pa.array(["a", "b"], pa.string()),
+    })
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([5, 10, 19, 25, 39], pa.int64()),
+    }))
+    out = (broadcast_interval_lookup(ds, tiers, "v")
+           .to_pandas().sort_values("id"))
+    assert out["tier"].where(out["tier"].notna(), None).tolist() == [
+        None, "a", "a", None, "b"]
+    with pytest.raises(ValueError, match="overlap"):
+        broadcast_interval_lookup(ds, pa.table({
+            "lo": pa.array([0, 5], pa.int64()),
+            "hi": pa.array([10, 15], pa.int64()),
+            "tier": pa.array(["x", "y"], pa.string()),
+        }), "v")
