@@ -1575,6 +1575,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, id_col="event_id",
             value_cents=lambda b: cents(b["value"]))
 
+    def embedding_pq_codes(sf_dir: str):
+        """Product-quantization codes in oracle mode: 64 dims → 4
+        subspaces of 16, each sub-vector replaced by its nearest-L2
+        centroid id among the first 8 corpus vectors' sub-slices —
+        closed-form, so the whole encoding is SQL-checkable; the Lloyd
+        quality path is distortion-gated in pytest (ops/ann.py
+        pq_codes)."""
+        import ray.data
+
+        from kgrecrun.ops.ann import pq_codes
+
+        seed = pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 8)],
+        ).sort_by("vec_id")
+        seeds = np.array(seed["embedding"].to_pylist(), dtype=np.float64)
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        return pq_codes(ds, seed_vectors=seeds, n_sub=4, n_centroids=8)
+
     def events_value_tiers(sf_dir: str):
         """Broadcast INTERVAL join (the IP-geo / price-tier pattern):
         every event value mapped to its catalog tier with one
@@ -2122,6 +2143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
         "events_value_tiers": events_value_tiers,
+        "embedding_pq_codes": embedding_pq_codes,
         "docs_table_profile": docs_table_profile,
         "brand_weighted_median_price": brand_weighted_median_price,
         "docs_similarity_clusters": docs_similarity_clusters,
@@ -3112,6 +3134,44 @@ def oracle_sql() -> dict[str, str]:
                    JOIN sz sb ON sb.doc_id = i.b
             WHERE inter * 2 >= sa.n + sb.n - inter
             ORDER BY 1, 2
+        """,
+        "embedding_pq_codes": """
+            WITH c AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), b AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                FROM embeddings
+            ),
+            a0 AS (SELECT vec_id, cid FROM (
+                SELECT b.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY b.vec_id
+                    ORDER BY list_distance(b.ve[1:16], c.ce[1:16]) ASC,
+                             c.cid ASC) AS rn
+                FROM b CROSS JOIN c) WHERE rn = 1),
+            a1 AS (SELECT vec_id, cid FROM (
+                SELECT b.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY b.vec_id
+                    ORDER BY list_distance(b.ve[17:32], c.ce[17:32]) ASC,
+                             c.cid ASC) AS rn
+                FROM b CROSS JOIN c) WHERE rn = 1),
+            a2 AS (SELECT vec_id, cid FROM (
+                SELECT b.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY b.vec_id
+                    ORDER BY list_distance(b.ve[33:48], c.ce[33:48]) ASC,
+                             c.cid ASC) AS rn
+                FROM b CROSS JOIN c) WHERE rn = 1),
+            a3 AS (SELECT vec_id, cid FROM (
+                SELECT b.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY b.vec_id
+                    ORDER BY list_distance(b.ve[49:64], c.ce[49:64]) ASC,
+                             c.cid ASC) AS rn
+                FROM b CROSS JOIN c) WHERE rn = 1)
+            SELECT a0.vec_id, a0.cid AS sub_0, a1.cid AS sub_1,
+                   a2.cid AS sub_2, a3.cid AS sub_3
+            FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+                    JOIN a3 USING (vec_id)
+            ORDER BY 1
         """,
         "events_value_tiers": """
             WITH tiers(lo, hi, tier) AS (

@@ -457,3 +457,78 @@ def quantized_dim_stats(ds, *, vec_col: str = "embedding",
     return out.map_batches(
         lambda b: b.rename_columns(["di", "dj", "n", "si", "sj", "sij"]),
         batch_format="pyarrow")
+
+
+def pq_codes(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+             seed_vectors: np.ndarray | None = None, n_sub: int = 4,
+             n_centroids: int = 8, n_iters: int = 0,
+             fit_sample: np.ndarray | None = None):
+    """Product-quantization codes — THE standard vector-compression
+    scale path (Jégou et al., public literature): dimensions split into
+    ``n_sub`` contiguous subspaces, each sub-vector replaced by the id
+    of its nearest (L2) subspace centroid, compressing dims×4 bytes to
+    ``n_sub`` small ints per vector.
+
+    ``n_iters=0`` is the ORACLE MODE (the IVFIndex convention): subspace
+    centroids are exactly the sub-slices of ``seed_vectors`` (the first
+    ``n_centroids`` corpus vectors), so the whole encoding is
+    closed-form and SQL-checkable (argmin list_distance per slice,
+    ties → lower centroid id). ``n_iters>0`` runs Lloyd refinement per
+    subspace over ``fit_sample`` (a driver-side sample STRICTLY larger
+    than the centroid count — refining over the seeds alone is an
+    instant fixpoint) with fixed init + fixed iteration count —
+    deterministic; quality is gated by a reconstruction-distortion
+    pytest, not SQL.
+
+    Scale shape: centroids broadcast once; encoding is a stateless
+    vectorized map (one (B × n_centroids) distance matrix per subspace
+    per batch). Output: (id, sub_0 … sub_{n_sub−1}) int64.
+    """
+    import ray
+
+    if seed_vectors is None:
+        raise ValueError("pq_codes needs seed_vectors (the first "
+                         "n_centroids vectors, fetched driver-side)")
+    seeds = np.asarray(seed_vectors, dtype=np.float64)[:n_centroids]
+    dims = seeds.shape[1]
+    if dims % n_sub:
+        raise ValueError(f"dims {dims} not divisible by n_sub {n_sub}")
+    w = dims // n_sub
+    cents = [seeds[:, s * w:(s + 1) * w].copy() for s in range(n_sub)]
+    if n_iters > 0:
+        if fit_sample is None or len(fit_sample) <= n_centroids:
+            raise ValueError(
+                "n_iters>0 needs fit_sample with more vectors than "
+                "n_centroids (Lloyd over the seeds alone is a no-op)")
+        fit = np.asarray(fit_sample, dtype=np.float64)
+        # Lloyd per subspace over the fit sample (deterministic: fixed
+        # init = the seed centroids, fixed iteration count)
+        for s in range(n_sub):
+            sample = fit[:, s * w:(s + 1) * w]
+            c = cents[s].copy()
+            for _ in range(n_iters):
+                d = ((sample[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d, axis=1)
+                for j in range(len(c)):
+                    m = a == j
+                    if m.any():
+                        c[j] = sample[m].mean(axis=0)
+            cents[s] = c
+    cents_ref = ray.put(cents)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cents_ref)
+        m = _as_matrix(batch[vec_col])
+        cols = {id_col: batch[id_col]}
+        for s in range(n_sub):
+            sub = m[:, s * w:(s + 1) * w]
+            # direct (v−c)² form, NOT the expanded ‖v‖²−2v·c+‖c‖²: the
+            # expansion cancels catastrophically near ties and can flip
+            # the argmin vs the SQL oracle's per-element difference sum
+            d = ((sub[:, None, :] - cs[s][None, :, :]) ** 2).sum(axis=2)
+            cols[f"sub_{s}"] = pa.array(
+                np.argmin(d, axis=1).astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)

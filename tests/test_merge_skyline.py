@@ -235,3 +235,44 @@ def test_broadcast_interval_lookup(ray_session):
             "hi": pa.array([10, 15], pa.int64()),
             "tier": pa.array(["x", "y"], pa.string()),
         }), "v")
+
+
+def test_pq_codes_lloyd_reduces_distortion(ray_session):
+    import ray.data
+
+    from kgrecrun.ops.ann import pq_codes
+
+    rng = np.random.RandomState(13)
+    m = rng.rand(200, 32)
+    seeds = m[:8]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in m],
+                              pa.list_(pa.float64())),
+    })).repartition(3)
+
+    def distortion(n_iters):
+        out = (pq_codes(ds, seed_vectors=seeds, n_sub=4, n_centroids=8,
+                        n_iters=n_iters, fit_sample=m[:64])
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        # rebuild the centroids exactly as the op does
+        cents = [seeds[:, s * 8:(s + 1) * 8].copy() for s in range(4)]
+        if n_iters:
+            for s in range(4):
+                sample = m[:64, s * 8:(s + 1) * 8]
+                c = cents[s].copy()
+                for _ in range(n_iters):
+                    d = ((sample[:, None, :] - c[None, :, :]) ** 2).sum(2)
+                    a = d.argmin(1)
+                    for j in range(len(c)):
+                        if (a == j).any():
+                            c[j] = sample[a == j].mean(0)
+                cents[s] = c
+        err = 0.0
+        for s in range(4):
+            codes = out[f"sub_{s}"].to_numpy()
+            err += ((m[:, s * 8:(s + 1) * 8] - cents[s][codes]) ** 2).sum()
+        return err
+
+    d0, d4 = distortion(0), distortion(4)
+    assert d4 < d0  # Lloyd refinement reduces reconstruction error
