@@ -346,6 +346,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_cols=["o_orderdate", "o_orderkey"],
         )
 
+    def orders_next_event(sf_dir: str):
+        """FORWARD as-of join: each order attaches the customer's first
+        event at-or-after the order date (smallest ts ≥ o_orderdate,
+        ties → smallest event_id) — time-reversal composition over the
+        proven backward sweep, zero new shuffle machinery
+        (ops/temporal.py asof_join_forward)."""
+        import ray.data
+
+        from kgrecrun.ops.temporal import asof_join_forward
+
+        od = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+        def key_orders(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": b["o_custkey"],
+                "o_orderdate": b["o_orderdate"],
+                "o_orderkey": b["o_orderkey"],
+            })
+
+        od = od.map_batches(key_orders, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts"])
+        return asof_join_forward(
+            od, ev,
+            key="user_id", left_ts="o_orderdate", right_ts="ts",
+            right_tie="event_id",
+            left_cols=["o_orderkey"], right_cols=["ts", "event_id"])
+
     def events_hopping(sf_dir: str):
         """Hopping-window aggregate: 2-hour windows every hour per
         event_type (each event lands in two windows)."""
@@ -2085,6 +2117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_per_brand": W.top_parts_per_brand,
         "user_event_windows": user_event_windows_q,
         "events_asof_orders": events_asof_orders,
+        "orders_next_event": orders_next_event,
         "events_hopping": events_hopping,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "lineitem_price_quantiles_approx": lineitem_price_quantiles_approx,
@@ -2732,6 +2765,21 @@ def oracle_sql() -> dict[str, str]:
                   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             )
             SELECT user_id, ts, event_id, o_orderdate, o_orderkey
+            FROM j WHERE rn = 1
+        """,
+        "orders_next_event": """
+            WITH j AS (
+                SELECT o.o_custkey AS user_id,
+                       epoch_us(o.o_orderdate) AS o_orderdate,
+                       o.o_orderkey,
+                       epoch_us(e.ts) AS ts, e.event_id,
+                       row_number() OVER (
+                           PARTITION BY o.o_orderkey
+                           ORDER BY e.ts ASC, e.event_id ASC) AS rn
+                FROM orders o JOIN events e
+                  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            )
+            SELECT user_id, o_orderdate, o_orderkey, ts, event_id
             FROM j WHERE rn = 1
         """,
         "graph_degrees": f"""

@@ -120,7 +120,7 @@ def bench_main() -> None:
         "brand_weighted_median_price", "docs_similarity_clusters",
         "forecast_revenue", "hybrid_rank_fusion",
         "event_trigram_paths", "events_value_winsorized", "events_value_tiers",
-        "embedding_pq_codes",
+        "embedding_pq_codes", "orders_next_event",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

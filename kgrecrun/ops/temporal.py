@@ -569,3 +569,64 @@ def interval_attribution(points_ds, intervals_ds, *, key: str,
 
     return joined.map_batches(cover, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def asof_join_forward(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_tie: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 256,
+):
+    """Nearest-NEXT join (inner): for each left row, attach the right
+    row with the SMALLEST ``right_ts`` ≥ the left row's ``left_ts``
+    within the same key; ties on ``right_ts`` resolve to the smallest
+    ``right_tie``. Same int64-only type contract as :func:`asof_join`.
+
+    Implementation: time reversal — negate both timestamp columns and
+    the tie column, run the proven backward as-of sweep (greatest
+    −ts ≤ −left_ts ⇔ smallest ts ≥ left_ts; greatest −tie ⇔ smallest
+    tie), then un-negate. Zero new shuffle machinery; the bucket sweep
+    and its measured scale behavior carry over unchanged.
+    """
+    def neg_cols(ts_col, tie: str | None):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for name in batch.column_names:
+                col = batch[name]
+                if name == ts_col:
+                    col = pc.negate_checked(_epoch_us(col))
+                elif tie is not None and name == tie:
+                    col = pc.negate_checked(pc.cast(col, pa.int64()))
+                cols[name] = col
+            return pa.table(cols)
+        return f
+
+    out = asof_join(
+        left_ds.map_batches(neg_cols(left_ts, None),
+                            batch_format="pyarrow", zero_copy_batch=True),
+        right_ds.map_batches(neg_cols(right_ts, right_tie),
+                             batch_format="pyarrow", zero_copy_batch=True),
+        key=key, left_ts=left_ts, right_ts=right_ts, right_tie=right_tie,
+        left_cols=left_cols, right_cols=right_cols, n_buckets=n_buckets,
+    )
+
+    back = [left_ts, right_ts] + ([right_tie] if right_tie in
+                                  (right_cols or []) else [])
+
+    def unneg(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            col = batch[name]
+            if name in back:
+                col = pc.negate_checked(col)
+            cols[name] = col
+        return pa.table(cols)
+
+    return out.map_batches(unneg, batch_format="pyarrow",
+                           zero_copy_batch=True)
