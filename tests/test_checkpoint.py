@@ -85,3 +85,33 @@ def test_materialize_out_dir_keyed_by_corpus_fingerprint():
     assert a == c            # same corpus definition → same resumable tree
     assert a != d            # different seed → different tree
     assert a.startswith("/tmp/kgrecrun_materialize_")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_parquet_dir(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgrecrun.runtime.compact import compact_parquet_dir
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    want = {}
+    for i in range(12):
+        t = pa.table({"k": pa.array(range(i * 100, i * 100 + 100), pa.int64()),
+                      "v": pa.array([i] * 100, pa.int64())})
+        pq.write_table(t, d / f"part-{i:03d}.parquet")
+        for k in range(i * 100, i * 100 + 100):
+            want[k] = i
+    rep = compact_parquet_dir(str(d), target_bytes=8 << 10)
+    assert rep["compacted"] and rep["files_before"] == 12
+    assert rep["files_after"] < 12 and rep["rows"] == 1200
+    got = pads.dataset(str(d)).to_table()
+    assert dict(zip(got["k"].to_pylist(), got["v"].to_pylist())) == want
+    # second run is a no-op (already one target's worth)
+    rep2 = compact_parquet_dir(str(d), target_bytes=1 << 20)
+    assert not rep2["compacted"]
+    assert not any(p.endswith((".compact-tmp", ".compact-old"))
+                   for p in os.listdir(tmp_path))
