@@ -378,6 +378,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             right_tie="event_id",
             left_cols=["o_orderkey"], right_cols=["ts", "event_id"])
 
+    def sessions_overlap_purchases(sf_dir: str):
+        """Interval OVERLAP join (genomics/campaign pattern): every
+        (session window, 2h post-purchase window) pair of one user
+        that intersects, with the overlap length — left side
+        non-overlapping by construction, so both run bounds come from
+        one vectorized lexicographic searchsorted per bucket
+        (ops/temporal.py interval_overlap_join)."""
+        import ray.data
+
+        from kgrecrun.ops.temporal import interval_overlap_join
+        from kgrecrun.ops.window import session_intervals
+
+        sess = session_intervals(sf_dir).map_batches(
+            lambda b: pa.table({
+                "user_id": b["user_id"],
+                "session_no": b["session_no"],
+                "s_lo": b["start_us"],
+                "s_hi": pc.add(b["end_us"], 1),  # closed → half-open
+            }), batch_format="pyarrow")
+        TWO_H_US = 7_200_000_000
+        purchases = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "event_type"],
+            filter=pc.field("event_type") == "purchase",
+        ).map_batches(
+            lambda b: pa.table({
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "w_lo": pc.cast(pc.cast(b["ts"],
+                                        pa.timestamp("us")), pa.int64()),
+                "w_hi": pc.add(pc.cast(pc.cast(
+                    b["ts"], pa.timestamp("us")), pa.int64()), TWO_H_US),
+            }), batch_format="pyarrow")
+        return interval_overlap_join(
+            sess, purchases, key="user_id", left_lo="s_lo",
+            left_hi="s_hi", right_lo="w_lo", right_hi="w_hi",
+            left_cols=["session_no"], right_cols=["event_id"])
+
     def events_hopping(sf_dir: str):
         """Hopping-window aggregate: 2-hour windows every hour per
         event_type (each event lands in two windows)."""
@@ -2118,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_windows": user_event_windows_q,
         "events_asof_orders": events_asof_orders,
         "orders_next_event": orders_next_event,
+        "sessions_overlap_purchases": sessions_overlap_purchases,
         "events_hopping": events_hopping,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "lineitem_price_quantiles_approx": lineitem_price_quantiles_approx,
@@ -2766,6 +2805,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, ts, event_id, o_orderdate, o_orderkey
             FROM j WHERE rn = 1
+        """,
+        "sessions_overlap_purchases": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS tsu FROM events
+            ), g AS (
+                SELECT user_id, tsu,
+                       CASE WHEN lag(tsu) OVER w IS NULL
+                                 OR tsu - lag(tsu) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)
+            ), s AS (
+                SELECT user_id, tsu,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g
+            ), iv AS (
+                SELECT user_id, CAST(sess AS BIGINT) AS session_no,
+                       MIN(tsu) AS s_lo, MAX(tsu) + 1 AS s_hi
+                FROM s GROUP BY user_id, sess
+            ), w AS (
+                SELECT user_id, event_id,
+                       epoch_us(ts) AS w_lo,
+                       epoch_us(ts) + 7200000000 AS w_hi
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT iv.user_id, s_lo, s_hi, session_no, w_lo, w_hi,
+                   event_id,
+                   least(s_hi, w_hi) - greatest(s_lo, w_lo) AS overlap
+            FROM iv JOIN w ON w.user_id = iv.user_id
+             AND s_lo < w_hi AND w_lo < s_hi
+            ORDER BY 1, 4, 7
         """,
         "orders_next_event": """
             WITH j AS (

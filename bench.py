@@ -120,7 +120,7 @@ def bench_main() -> None:
         "brand_weighted_median_price", "docs_similarity_clusters",
         "forecast_revenue", "hybrid_rank_fusion",
         "event_trigram_paths", "events_value_winsorized", "events_value_tiers",
-        "embedding_pq_codes", "orders_next_event",
+        "embedding_pq_codes", "orders_next_event", "sessions_overlap_purchases",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

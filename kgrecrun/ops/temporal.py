@@ -630,3 +630,154 @@ def asof_join_forward(
 
     return out.map_batches(unneg, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def _lex_insert(hk: np.ndarray, hv: np.ndarray, nk: np.ndarray,
+                nv: np.ndarray, side: str) -> np.ndarray:
+    """Vectorized lexicographic searchsorted: insertion index of each
+    needle (nk, nv) into the haystack sorted by (hk, hv) — computed by
+    one union lexsort with a side flag as the tie-break, no per-needle
+    Python. side='left' counts haystack rows strictly less; 'right'
+    counts rows ≤."""
+    n_h = len(hk)
+    k = np.concatenate([hk, nk])
+    v = np.concatenate([hv, nv])
+    if side == "left":
+        flag = np.concatenate([np.ones(n_h, np.int8),
+                               np.zeros(len(nk), np.int8)])
+    else:
+        flag = np.concatenate([np.zeros(n_h, np.int8),
+                               np.ones(len(nk), np.int8)])
+    order = np.lexsort((flag, v, k))
+    is_hay = (order < n_h).astype(np.int64)
+    hay_upto = np.cumsum(is_hay)
+    pos = np.empty(len(order), np.int64)
+    pos[order] = np.arange(len(order))
+    return hay_upto[pos[n_h:]]  # needles are never hay at their slot
+
+
+def interval_overlap_join(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 256,
+    validate: bool = False,
+):
+    """Interval OVERLAP join (the genomics / session-vs-campaign
+    pattern): every (left, right) pair within a key whose half-open
+    intervals intersect — ``l.lo < r.hi AND r.lo < l.hi`` — plus the
+    overlap length in the native units. Distinct from
+    :func:`range_join` (point-in-interval).
+
+    PARTITIONING ASSUMPTION (the range_join convention): LEFT intervals
+    must be non-overlapping within a key (session windows qualify by
+    construction) — then sorting by lo also sorts hi, and each right
+    interval's partners form one CONTIGUOUS run of the key's left rows:
+    [first l with l.hi > r.lo, first l with l.lo ≥ r.hi). Both bounds
+    come from ONE vectorized lexicographic searchsorted over the whole
+    bucket (union lexsort — no per-key or per-row Python), and the
+    pairs emit via a ragged-arange expansion. ``validate=True`` scans
+    each bucket for left overlaps and raises (misuse fails loudly).
+    The right side may overlap itself freely.
+
+    Same int64-only type contract as :func:`asof_join`. One bucketed
+    cogroup exchange; output is
+    (key, left_lo, left_hi, *left_cols, right_lo, right_hi,
+    *right_cols, overlap) int64.
+    """
+    from ..kg.unionfind import hash_bucket
+
+    l_pay = list(left_cols)
+    r_pay = list(right_cols)
+    out_fields = ([(key, pa.int64()), (left_lo, pa.int64()),
+                   (left_hi, pa.int64())]
+                  + [(c, pa.int64()) for c in l_pay]
+                  + [(right_lo, pa.int64()), (right_hi, pa.int64())]
+                  + [(c, pa.int64()) for c in r_pay]
+                  + [("overlap", pa.int64())])
+    out_schema = pa.schema(out_fields)
+    all_pay = ["__lo", "__hi", *l_pay, *r_pay]
+
+    def tag(side_flag: int, lo_col, hi_col, own_pay, other_pay):
+        def f(batch: pa.Table) -> pa.Table:
+            k = pc.cast(batch[key], pa.int64())
+            cols = {
+                "__bucket": hash_bucket(k, n_buckets),
+                key: k,
+                "__side": pa.nulls(batch.num_rows,
+                                   pa.int8()).fill_null(side_flag),
+                "__lo": _epoch_us(batch[lo_col]),
+                "__hi": _epoch_us(batch[hi_col]),
+            }
+            for c in own_pay:
+                cols[c] = pc.cast(batch[c], pa.int64())
+            for c in other_pay:
+                cols[c] = pa.nulls(batch.num_rows, pa.int64())
+            return pa.table(cols)
+        return f
+
+    tagged = left_ds.map_batches(
+        tag(0, left_lo, left_hi, l_pay, r_pay), batch_format="pyarrow"
+    ).union(right_ds.map_batches(
+        tag(1, right_lo, right_hi, r_pay, l_pay), batch_format="pyarrow"))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        lt = group.filter(pc.equal(side, 0))
+        rt = group.filter(pc.equal(side, 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        lorder = pc.sort_indices(lt, sort_keys=[
+            (key, "ascending"), ("__lo", "ascending")])
+        lt = lt.take(lorder)
+        kl = lt[key].combine_chunks().to_numpy(zero_copy_only=False)
+        llo = lt["__lo"].combine_chunks().to_numpy(zero_copy_only=False)
+        lhi = lt["__hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        if validate:
+            same = kl[1:] == kl[:-1]
+            if bool((same & (llo[1:] < lhi[:-1])).any()):
+                raise ValueError(
+                    "interval_overlap_join(validate=True): left intervals "
+                    "overlap within a key — the contiguous-run bound does "
+                    "not hold; de-overlap the left side first")
+        kr = rt[key].combine_chunks().to_numpy(zero_copy_only=False)
+        rlo = rt["__lo"].combine_chunks().to_numpy(zero_copy_only=False)
+        rhi = rt["__hi"].combine_chunks().to_numpy(zero_copy_only=False)
+        start = _lex_insert(kl, lhi, kr, rlo, "right")  # first lhi > rlo
+        stop = _lex_insert(kl, llo, kr, rhi, "left")    # first llo >= rhi
+        counts = np.maximum(stop - start, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        r_idx = np.repeat(np.arange(len(kr), dtype=np.int64), counts)
+        cs = np.cumsum(counts)
+        offs = (np.arange(total, dtype=np.int64)
+                - np.repeat(cs - counts, counts))
+        l_idx = np.repeat(start, counts) + offs
+        li = pa.array(l_idx)
+        ri = pa.array(r_idx)
+        cols = {
+            key: pa.array(kl[l_idx]),
+            left_lo: pa.array(llo[l_idx]),
+            left_hi: pa.array(lhi[l_idx]),
+        }
+        for c in l_pay:
+            cols[c] = lt[c].combine_chunks().take(li)
+        cols[right_lo] = pa.array(rlo[r_idx])
+        cols[right_hi] = pa.array(rhi[r_idx])
+        for c in r_pay:
+            cols[c] = rt[c].combine_chunks().take(ri)
+        cols["overlap"] = pa.array(
+            np.minimum(lhi[l_idx], rhi[r_idx])
+            - np.maximum(llo[l_idx], rlo[r_idx]))
+        return pa.table(cols).cast(out_schema)
+
+    return tagged.groupby("__bucket").map_groups(
+        resolve, batch_format="pyarrow")

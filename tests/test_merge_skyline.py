@@ -276,3 +276,56 @@ def test_pq_codes_lloyd_reduces_distortion(ray_session):
 
     d0, d4 = distortion(0), distortion(4)
     assert d4 < d0  # Lloyd refinement reduces reconstruction error
+
+
+def test_interval_overlap_join_matches_brute_force(ray_session):
+    import ray.data
+
+    from kgrecrun.ops.temporal import interval_overlap_join
+
+    rng = np.random.RandomState(21)
+    # left: non-overlapping per key by construction
+    lk, llo, lhi, lid = [], [], [], []
+    for k in range(6):
+        t = 0
+        for i in range(rng.randint(0, 8)):
+            t += rng.randint(1, 20)
+            lo = t
+            t += rng.randint(1, 15)
+            lk.append(k); llo.append(lo); lhi.append(t)
+            lid.append(len(lid))
+    rk = rng.randint(0, 7, 60)  # key 6 has no left rows
+    rlo = rng.randint(0, 80, 60)
+    rhi = rlo + rng.randint(1, 25, 60)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()), "lo": pa.array(llo, pa.int64()),
+        "hi": pa.array(lhi, pa.int64()), "lid": pa.array(lid, pa.int64()),
+    })).repartition(3)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(rk, pa.int64()), "rlo": pa.array(rlo, pa.int64()),
+        "rhi": pa.array(rhi, pa.int64()),
+        "rid": pa.array(np.arange(60, dtype=np.int64)),
+    })).repartition(4)
+    out = interval_overlap_join(
+        left, right, key="k", left_lo="lo", left_hi="hi",
+        right_lo="rlo", right_hi="rhi", left_cols=["lid"],
+        right_cols=["rid"], validate=True).to_pandas()
+    got = sorted(zip(out["lid"], out["rid"], out["overlap"]))
+    want = sorted(
+        (li, ri, min(lhi[li], int(rhi[ri])) - max(llo[li], int(rlo[ri])))
+        for li in range(len(lk)) for ri in range(60)
+        if lk[li] == rk[ri] and llo[li] < rhi[ri] and rlo[ri] < lhi[li])
+    assert got == want
+    # validate=True rejects an overlapping left side
+    import pytest
+    bad = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "lo": pa.array([0, 3], pa.int64()),
+        "hi": pa.array([5, 8], pa.int64()),
+        "lid": pa.array([0, 1], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="overlap"):
+        interval_overlap_join(
+            bad, right, key="k", left_lo="lo", left_hi="hi",
+            right_lo="rlo", right_hi="rhi", left_cols=["lid"],
+            right_cols=["rid"], validate=True).materialize()
