@@ -15,6 +15,14 @@ state that grows with the corpus):
 * ngram_jaccard  — bottom-k shingle sketch, exact jaccard on sketches
 * embedding      — random-hyperplane LSH over an embedding column, cosine verify
 
+Beyond the five clustering variants: :func:`segment_dedup_docs`
+(sub-document line-level dedup with reassembly),
+:func:`incremental_segment_dedup` (incoming-batch duplicate-segment
+signal against an already-ingested base), :func:`provenance_dedup`
+(near-title-key collapse to the most-trusted source's copy), and
+:func:`source_segment_overlap` (cross-source boilerplate matrix); the
+EXACT no-false-negative pair join lives in ops/simjoin.py.
+
 Dispatch cardinality is capped everywhere: band keys hash into
 ``n_buckets`` groups and one ``map_groups`` call sweeps every band
 segment in the bucket with vectorized shifted comparisons — per-key
