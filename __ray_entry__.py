@@ -1707,6 +1707,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return forecast_revenue_change(sf_dir)
 
+    def customer_name_edit1(sf_dir: str):
+        """EXACT edit-distance-≤1 self-join over customer names (FastSS
+        deletion neighborhoods): candidates from one bucketed
+        deletion-variant key shuffle, exact O(len) verify — the
+        typo-detection / entity-resolution primitive, no all-pairs scan
+        (ops/simjoin.py edit1_join)."""
+        import ray.data
+
+        from kgrecrun.ops.simjoin import edit1_join
+
+        cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                     columns=["c_name"])
+        return edit1_join(cust, col="c_name")
+
     def docs_table_profile(sf_dir: str):
         """Data profiling audit: per-column (n_rows, n_null,
         n_distinct) over the documents table in one read — exact
@@ -2212,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_similarity_join": docs_similarity_join,
         "forecast_revenue": forecast_revenue,
         "hybrid_rank_fusion": hybrid_rank_fusion,
+        "customer_name_edit1": customer_name_edit1,
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
         "events_value_tiers": events_value_tiers,
@@ -3361,6 +3376,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bm25_rank, cos_rank,
                    bm25_rank + cos_rank AS fused
             FROM f ORDER BY fused, doc_id LIMIT 10
+        """,
+        "customer_name_edit1": """
+            WITH n AS (SELECT DISTINCT c_name FROM customer)
+            SELECT a.c_name AS a, b.c_name AS b
+            FROM n a JOIN n b
+              ON a.c_name < b.c_name
+             AND levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY 1, 2
         """,
         "forecast_revenue": """
             SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100)

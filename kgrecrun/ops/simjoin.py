@@ -264,3 +264,118 @@ def allpairs_jaccard_join(docs_ds, *, threshold_num: int = 1,
         }).cast(out_schema)
 
     return c2.map_batches(verify, batch_format="pyarrow")
+
+
+def _dist_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein ≤ 1 for the verify step (O(len), early exit)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    # a is longer by one: one deletion must align the rest
+    i = 0
+    while i < lb and a[i] == b[i]:
+        i += 1
+    return a[i + 1:] == b[i:]
+
+
+def edit1_join(ds, *, col: str, n_buckets: int = VERIFY_BUCKETS):
+    """EXACT edit-distance-≤1 self-join over a string column (FastSS
+    deletion neighborhoods, public literature — the typo-detection /
+    entity-resolution primitive): two distinct strings are within one
+    edit iff their {self} ∪ {one-char-deleted variants} key sets
+    intersect, so candidates come from ONE bucketed key shuffle and are
+    verified with an exact O(len) check — no false negatives, no
+    all-pairs comparison.
+
+    Scale shape: distinct values first (native groupby — strings ship
+    once), then len+1 md5 key rows per value; candidate pairs via the
+    in-bucket segment sweep (all C(s,2) per key group — group sizes
+    are alphabet-bounded per deletion position on natural ids/tokens;
+    a corpus where thousands of strings share a deletion variant makes
+    the ANSWER itself quadratic), a native pair distinct, and a
+    vectorized-batch verify over the surviving few. Output: (a, b)
+    with a < b lexicographically.
+    """
+    from ..kg.unionfind import hash_bucket
+
+    distinct = (ds.map_batches(
+        lambda b: b.select([col]).group_by(col).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(col).count()
+        .map_batches(lambda b: (
+            b.rename_columns([col, "c"]).select([col])
+            if b.num_columns >= 1 and b.num_rows else
+            pa.schema([(col, pa.string())]).empty_table()),
+            batch_format="pyarrow"))
+
+    def keys(batch: pa.Table) -> pa.Table:
+        names, hs = [], []
+        for s in batch[col].to_pylist():
+            variants = [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+            for v in variants:
+                names.append(s)
+                hs.append(int.from_bytes(
+                    hashlib.md5(v.encode("utf-8")).digest()[:8],
+                    "little") & 0x7FFFFFFFFFFFFFFF)
+        return pa.table({
+            "k": pa.array(hs, pa.int64()),
+            col: pa.array(names, pa.string()),
+        })
+
+    keyed = distinct.map_batches(keys, batch_format="pyarrow")
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", hash_bucket(batch["k"].combine_chunks(), n_buckets))
+
+    def pairs_sweep(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("k", "ascending"), (col, "ascending")])
+        g = group.take(order)
+        k = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(k)
+        new = np.ones(m, dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(m, dtype=np.int64), 0))
+        preds = np.arange(m, dtype=np.int64) - seg_start
+        offs = _ragged_arange(preds)
+        if len(offs) == 0:
+            return pair_schema.empty_table()
+        hi = np.repeat(np.arange(m, dtype=np.int64), preds)
+        lo = hi - offs
+        names = g[col].combine_chunks()
+        a = names.take(pa.array(lo))
+        b = names.take(pa.array(hi))
+        swap = pc.greater(a, b)
+        out = pa.table({
+            "a": pc.if_else(swap, b, a),
+            "b": pc.if_else(swap, a, b),
+        }).filter(pc.not_equal(a, b))
+        return out.group_by(["a", "b"]).aggregate([])
+
+    cands = (keyed.map_batches(tag, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(pairs_sweep, batch_format="pyarrow")
+             .groupby(["a", "b"]).count()
+             .map_batches(lambda b: (
+                 b.rename_columns(["a", "b", "c"]).select(["a", "b"])
+                 if b.num_columns >= 2 else pair_schema.empty_table()),
+                 batch_format="pyarrow"))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        keep = [
+            _dist_le1(x, y) for x, y in
+            zip(batch["a"].to_pylist(), batch["b"].to_pylist())
+        ]
+        return batch.filter(pa.array(keep, pa.bool_())).cast(pair_schema)
+
+    return cands.map_batches(verify, batch_format="pyarrow")

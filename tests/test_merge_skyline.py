@@ -329,3 +329,41 @@ def test_interval_overlap_join_matches_brute_force(ray_session):
             bad, right, key="k", left_lo="lo", left_hi="hi",
             right_lo="rlo", right_hi="rhi", left_cols=["lid"],
             right_cols=["rid"], validate=True).materialize()
+
+
+def test_edit1_join_exact(ray_session):
+    import itertools
+
+    import ray.data
+
+    from kgrecrun.ops.simjoin import _dist_le1, edit1_join
+
+    words = ["alpha", "alpho", "alpha", "alph", "aalpha", "beta",
+             "betta", "bet", "gamma", "gamm", "gamma2", "delta",
+             "dleta", "zzzz"]
+    ds = ray.data.from_arrow(pa.table({
+        "w": pa.array(words, pa.string()),
+    })).repartition(3)
+    got = sorted(zip(*[
+        edit1_join(ds, col="w").to_pandas()[c] for c in ("a", "b")]))
+    uniq = sorted(set(words))
+
+    def lev(a, b):
+        # full DP for the brute force (not the op's shortcut)
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    want = sorted((x, y) for x, y in itertools.combinations(uniq, 2)
+                  if lev(x, y) <= 1)
+    assert got == want
+    # the O(len) verify shortcut agrees with full DP on random pairs
+    rng = np.random.RandomState(3)
+    for _ in range(300):
+        x = "".join(rng.choice(list("abc"), rng.randint(0, 6)))
+        y = "".join(rng.choice(list("abc"), rng.randint(0, 6)))
+        assert _dist_le1(x, y) == (lev(x, y) <= 1), (x, y)
