@@ -1307,6 +1307,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return kcore(copurchase_edges(sf_dir), k=65)
 
+    def part_communities(sf_dir: str):
+        """Deterministic synchronous label propagation (2 rounds) over
+        the co-purchase graph: every node adopts its neighbors' most
+        frequent label, ties → smallest — the reproducible LPA variant,
+        zero-shuffle broadcast rounds over cached edge blocks with a
+        node-order driver mode-fold (ops/graph.py label_propagation)."""
+        from kgrecrun.ops.graph import copurchase_edges, label_propagation
+
+        return label_propagation(copurchase_edges(sf_dir), rounds=2)
+
     def cust_order_histogram(sf_dir: str):
         """TPC-H Q13-shaped customer distribution: per-custkey order
         counts (non-urgent orders only) fold map-side into one native
@@ -2227,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": forecast_revenue,
         "hybrid_rank_fusion": hybrid_rank_fusion,
         "customer_name_edit1": customer_name_edit1,
+        "part_communities": part_communities,
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
         "events_value_tiers": events_value_tiers,
@@ -3376,6 +3387,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bm25_rank, cos_rank,
                    bm25_rank + cos_rank AS fused
             FROM f ORDER BY fused, doc_id LIMIT 10
+        """,
+        "part_communities": """
+            WITH pp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o,
+                       CAST(l_partkey AS BIGINT) AS p FROM lineitem
+            ), e0 AS MATERIALIZED (
+                SELECT DISTINCT a.p AS u, b.p AS v
+                FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+            ), ed AS MATERIALIZED (
+                SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+            ), l0 AS MATERIALIZED (
+                SELECT DISTINCT u AS node, u AS lab FROM ed
+            ), l1 AS MATERIALIZED (
+                SELECT node, lab FROM (
+                    SELECT e.u AS node, l.lab AS lab,
+                           row_number() OVER (
+                               PARTITION BY e.u
+                               ORDER BY COUNT(*) DESC, l.lab ASC) AS rn
+                    FROM ed e JOIN l0 l ON l.node = e.v
+                    GROUP BY e.u, l.lab
+                ) WHERE rn = 1
+            ), l2 AS MATERIALIZED (
+                SELECT node, lab FROM (
+                    SELECT e.u AS node, l.lab AS lab,
+                           row_number() OVER (
+                               PARTITION BY e.u
+                               ORDER BY COUNT(*) DESC, l.lab ASC) AS rn
+                    FROM ed e JOIN l1 l ON l.node = e.v
+                    GROUP BY e.u, l.lab
+                ) WHERE rn = 1
+            )
+            SELECT node, lab AS label FROM l2 ORDER BY node
         """,
         "customer_name_edit1": """
             WITH n AS (SELECT DISTINCT c_name FROM customer)

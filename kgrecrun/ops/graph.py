@@ -1244,3 +1244,91 @@ def kcore(edges_ds, *, k: int, max_rounds: int = 12,
         "deg": pa.array(deg_counts[keep] if deg_counts is not None
                         else np.array([], np.int64), pa.int64()),
     }))
+
+
+def label_propagation(edges_ds, *, rounds: int = 3,
+                      broadcast_nodes: int = 50_000_000):
+    """Synchronous label-propagation community detection over a
+    distinct undirected edge list, made DETERMINISTIC: labels start as
+    node ids; each round every node adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label (classic
+    async LPA is order-dependent — the synchronous min-tie variant is
+    reproducible and SQL-unrollable). Output after exactly ``rounds``
+    rounds: (node, label) — same-label nodes are one community.
+
+    Scale shape: the pagerank/kcore broadcast regime — the label vector
+    broadcasts once per round, raw ``ray.remote`` tasks over the
+    once-cached Arrow edge blocks emit per-block (node, neighbor-label,
+    count) partials (combined per block, so a hot label ships one row
+    per block), and a node-order driver fold takes the per-node mode
+    with the min-label tie-break. Driver state is node-order
+    (``broadcast_nodes`` bound, hard error past it — the exchange
+    alternative is the bfs_distances pattern).
+    """
+    import ray
+    import ray.data
+
+    edges = edges_ds.materialize()
+    block_refs = list(edges.to_arrow_refs())
+
+    # node set + initial labels
+    parts = []
+    for t in ray.get(block_refs):
+        u = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        parts.append(np.unique(np.concatenate([u, v])))
+    nodes = np.unique(np.concatenate(parts)) if parts else np.array(
+        [], np.int64)
+    if nodes.size > broadcast_nodes:
+        raise RuntimeError(
+            f"label_propagation: node set {nodes.size} exceeds "
+            f"broadcast_nodes={broadcast_nodes}")
+    labels = nodes.copy()
+
+    @ray.remote
+    def partial(block: pa.Table, node_np: np.ndarray, lab_np: np.ndarray):
+        u = block["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = block["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        au = np.concatenate([u, v])           # receiving node
+        al = lab_np[np.searchsorted(node_np, np.concatenate([v, u]))]
+        # per-block combine: counts per (node, neighbor label)
+        order = np.lexsort((al, au))
+        au, al = au[order], al[order]
+        new = np.ones(len(au), dtype=bool)
+        new[1:] = (au[1:] != au[:-1]) | (al[1:] != al[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(au)))
+        return au[starts], al[starts], cnt.astype(np.int64)
+
+    for _ in range(rounds):
+        lab_ref = ray.put(labels)
+        node_ref = ray.put(nodes)
+        outs = ray.get([partial.remote(br, node_ref, lab_ref)
+                        for br in block_refs])
+        an = np.concatenate([o[0] for o in outs])
+        al = np.concatenate([o[1] for o in outs])
+        ac = np.concatenate([o[2] for o in outs])
+        # fold partial counts, then per node: max count, tie → min label
+        order = np.lexsort((al, an))
+        an, al, ac = an[order], al[order], ac[order]
+        new = np.ones(len(an), dtype=bool)
+        new[1:] = (an[1:] != an[:-1]) | (al[1:] != al[:-1])
+        gid = np.cumsum(new) - 1
+        csum = np.zeros(gid[-1] + 1 if len(gid) else 0, dtype=np.int64)
+        np.add.at(csum, gid, ac)
+        gn = an[new]
+        gl = al[new]
+        # winner per node: sort groups by (node asc, count desc, label asc)
+        worder = np.lexsort((gl, -csum, gn))
+        gn2, gl2 = gn[worder], gl[worder]
+        first = np.ones(len(gn2), dtype=bool)
+        first[1:] = gn2[1:] != gn2[:-1]
+        win_nodes = gn2[first]
+        win_labels = gl2[first]
+        labels = labels.copy()
+        labels[np.searchsorted(nodes, win_nodes)] = win_labels
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "label": pa.array(labels, pa.int64()),
+    }))

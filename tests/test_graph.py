@@ -489,3 +489,48 @@ def test_kcore_nonconvergence_raises(ray_session):
         kcore(ds, k=2, max_rounds=3)
     # ample rounds: the whole path dissolves
     assert kcore(ds, k=2, max_rounds=12).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_planted_communities():
+    import ray.data
+
+    from kgrecrun.ops.graph import label_propagation
+
+    # two cliques {0..4} and {10..14} joined by one bridge edge 4-10
+    edges = []
+    for grp in (range(5), range(10, 15)):
+        g = list(grp)
+        edges += [(a, b) for i, a in enumerate(g) for b in g[i + 1:]]
+    edges.append((4, 10))
+    t = pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (label_propagation(ds, rounds=3).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+
+    # driver-side reference: synchronous min-tie LPA
+    import collections
+
+    nbrs = collections.defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt = collections.Counter(lab[m] for m in ns)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            # ties -> smallest label
+            top = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == top)
+        lab = new
+    assert dict(zip(out["node"], out["label"])) == lab
+    # the two cliques end up in distinct communities
+    labs = dict(zip(out["node"], out["label"]))
+    assert len({labs[n] for n in range(5)}) == 1
+    assert len({labs[n] for n in range(10, 15)}) == 1
+    assert labs[0] != labs[10]
