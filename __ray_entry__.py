@@ -1731,6 +1731,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["c_name"])
         return edit1_join(cust, col="c_name")
 
+    def customer_snapshot_diff(sf_dir: str):
+        """Keyed table diff (pipeline-CI regression check): the
+        customer table vs a deterministic new snapshot (every 97th key
+        removed, every 13th balance bumped, every 31st re-added under a
+        shifted key) — payloads reduce to md5-8 row signatures map-side
+        and ONE bucketed full-outer cogroup classifies added / removed
+        / changed (ops/diff.py table_diff)."""
+        import ray.data
+
+        from kgrecrun.ops.diff import table_diff
+
+        cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+        old = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+
+        def perturb(b: pa.Table) -> pa.Table:
+            ck = b["c_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            kept = b.filter(pa.array(ck % 97 != 0))
+            kck = kept["c_custkey"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            bump = pa.array(np.where(kck % 13 == 0, 1.0, 0.0))
+            kept = kept.set_column(
+                kept.column_names.index("c_acctbal"), "c_acctbal",
+                pc.add(kept["c_acctbal"].combine_chunks(), bump))
+            added = b.filter(pa.array(ck % 31 == 0))
+            added = added.set_column(
+                added.column_names.index("c_custkey"), "c_custkey",
+                pc.add(added["c_custkey"].combine_chunks(),
+                       pa.scalar(1_000_000, pa.int64())))
+            return pa.concat_tables([kept, added])
+
+        new = ray.data.read_parquet(f"{sf_dir}/customer.parquet")\
+            .map_batches(perturb, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        return table_diff(old, new, key="c_custkey", cols=cols)
+
     def docs_table_profile(sf_dir: str):
         """Data profiling audit: per-column (n_rows, n_null,
         n_distinct) over the documents table in one read — exact
@@ -2238,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rank_fusion": hybrid_rank_fusion,
         "customer_name_edit1": customer_name_edit1,
         "part_communities": part_communities,
+        "customer_snapshot_diff": customer_snapshot_diff,
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
         "events_value_tiers": events_value_tiers,
@@ -3387,6 +3424,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bm25_rank, cos_rank,
                    bm25_rank + cos_rank AS fused
             FROM f ORDER BY fused, doc_id LIMIT 10
+        """,
+        "customer_snapshot_diff": """
+            WITH new AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       c_acctbal + CASE WHEN c_custkey % 13 = 0
+                                        THEN 1.0 ELSE 0.0 END AS c_acctbal,
+                       c_mktsegment
+                FROM customer WHERE c_custkey % 97 <> 0
+                UNION ALL
+                SELECT c_custkey + 1000000, c_name, c_nationkey,
+                       c_acctbal, c_mktsegment
+                FROM customer WHERE c_custkey % 31 = 0
+            )
+            SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+                   CASE WHEN o.c_custkey IS NULL THEN 'added'
+                        WHEN n.c_custkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM customer o FULL OUTER JOIN new n
+              ON n.c_custkey = o.c_custkey
+            WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+               OR o.c_name IS DISTINCT FROM n.c_name
+               OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+               OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+               OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+            ORDER BY 1
         """,
         "part_communities": """
             WITH pp AS MATERIALIZED (

@@ -367,3 +367,31 @@ def test_edit1_join_exact(ray_session):
         x = "".join(rng.choice(list("abc"), rng.randint(0, 6)))
         y = "".join(rng.choice(list("abc"), rng.randint(0, 6)))
         assert _dist_le1(x, y) == (lev(x, y) <= 1), (x, y)
+
+
+def test_table_diff_semantics(ray_session):
+    import pytest
+    import ray.data
+
+    from kgrecrun.ops.diff import table_diff
+
+    old = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array(["a", "b", "c", None], pa.string()),
+    }))
+    new = ray.data.from_arrow(pa.table({
+        # 1 unchanged, 2 changed, 3 removed, 5 added, 4: None -> "d"
+        "k": pa.array([1, 2, 5, 4], pa.int64()),
+        "v": pa.array(["a", "B", "e", "d"], pa.string()),
+    })).repartition(2)
+    out = (table_diff(old, new, key="k", cols=["v"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert list(zip(out["k"], out["status"])) == [
+        (2, "changed"), (3, "removed"), (4, "changed"), (5, "added")]
+    # duplicate keys on a side fail loudly
+    dup = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "v": pa.array(["x", "y"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="key-unique"):
+        table_diff(dup, new, key="k", cols=["v"]).materialize()
