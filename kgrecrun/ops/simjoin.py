@@ -41,6 +41,10 @@ tokens measurable before running step 4.
 Output: (a, b, inter, uni) with a < b, both int64 counts — the
 consumer forms jaccard = inter/uni; integer counts keep the result
 bit-identical across layouts and SQL-checkable.
+
+The module's second exact string-similarity join, :func:`edit1_join`,
+covers the edit-distance-≤1 regime via FastSS deletion neighborhoods
+(see its docstring).
 """
 
 from __future__ import annotations

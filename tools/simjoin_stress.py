@@ -104,5 +104,58 @@ def main() -> None:
     ray.shutdown()
 
 
+def edit1_main() -> None:
+    """--edit1 mode: n md5-hex strings (structureless — zero natural
+    distance-1 pairs) + one single-char-substituted twin per 50 ids →
+    the exact answer is n/50 pairs; order-free checksum certified
+    across parallelism. Usage: ... --edit1 [n] [cpus]."""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 200_000
+    cpus = int(args[1]) if len(args) > 1 else 32
+
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             log_to_driver=False)
+    from kgrecrun.ops.simjoin import edit1_join
+
+    def gen(batch):
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        rows = []
+        for d in ids:
+            s = hashlib.md5(f"s{int(d)}".encode()).hexdigest()
+            rows.append(s)
+            if int(d) % 50 == 0:
+                rows.append(s[:7] + "z" + s[8:])  # hex has no 'z'
+        return pa.table({"w": pa.array(rows, pa.string())})
+
+    ds = (ray.data.range(n, override_num_blocks=64)
+          .map_batches(gen, batch_format="pyarrow").materialize())
+    t0 = time.time()
+    out = edit1_join(ds, col="w").materialize()
+    elapsed = time.time() - t0
+
+    ck = np.uint64(0)
+    pairs = 0
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        pairs += batch.num_rows
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            h = hashlib.md5(f"{a}|{b}".encode()).digest()
+            ck = np.uint64(ck + np.uint64(int.from_bytes(h[:8], "big")))
+    expected = (n + 49) // 50
+    print(json.dumps({
+        "mode": "edit1", "n_strings": n + expected, "num_cpus": cpus,
+        "wall_sec": round(elapsed, 2),
+        "strings_per_sec": round((n + expected) / elapsed, 1),
+        "pairs": pairs, "expected_pairs": expected,
+        "exact": pairs == expected, "checksum": int(ck),
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
-    main()
+    if "--edit1" in sys.argv:
+        edit1_main()
+    else:
+        main()
