@@ -1317,6 +1317,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return label_propagation(copurchase_edges(sf_dir), rounds=2)
 
+    def supplier_abc_analysis(sf_dir: str):
+        """ABC / Pareto analysis: suppliers ranked by revenue within
+        their nation with running cumulative cents and integer-exact
+        A(≤80%)/B(≤95%)/C classes — native per-supplier fold, broadcast
+        nation attach, one bucketed ordered-cumsum sweep
+        (ops/window.py group_abc_analysis)."""
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from kgrecrun.ops.joins import broadcast_lookup
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.window import group_abc_analysis
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = pa.table({
+                "s_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                "rev": cents(b["l_extendedprice"]),
+            })
+            return (t.group_by("s_suppkey").aggregate([("rev", "sum")])
+                    .rename_columns(["s_suppkey", "rev"]))
+
+        rev = (li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("s_suppkey").sum("rev")
+               .map_batches(lambda b: b.rename_columns(
+                   ["s_suppkey", "rev"]), batch_format="pyarrow"))
+        sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+        dim = sup.join(nat, keys=["s_nationkey"],
+                       right_keys=["n_nationkey"]).select(
+            ["s_suppkey", "n_name"])
+        keyed = broadcast_lookup(rev, dim, key="s_suppkey")
+        return group_abc_analysis(keyed, key="n_name",
+                                  member="s_suppkey", value="rev")
+
     def cust_order_histogram(sf_dir: str):
         """TPC-H Q13-shaped customer distribution: per-custkey order
         counts (non-urgent orders only) fold map-side into one native
@@ -2275,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_name_edit1": customer_name_edit1,
         "part_communities": part_communities,
         "customer_snapshot_diff": customer_snapshot_diff,
+        "supplier_abc_analysis": supplier_abc_analysis,
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
         "events_value_tiers": events_value_tiers,
@@ -3424,6 +3466,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bm25_rank, cos_rank,
                    bm25_rank + cos_rank AS fused
             FROM f ORDER BY fused, doc_id LIMIT 10
+        """,
+        "supplier_abc_analysis": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(SUM(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS rev
+                FROM lineitem GROUP BY 1
+            ), k AS (
+                SELECT n.n_name, r.s_suppkey, r.rev
+                FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+                           JOIN nation n ON n.n_nationkey = s.s_nationkey
+            ), c AS (
+                SELECT n_name, s_suppkey, rev,
+                       SUM(rev) OVER (PARTITION BY n_name
+                                      ORDER BY rev DESC, s_suppkey ASC
+                                      ROWS UNBOUNDED PRECEDING)
+                           AS cum_value,
+                       SUM(rev) OVER (PARTITION BY n_name) AS tot
+                FROM k
+            )
+            SELECT n_name, s_suppkey, rev AS rev,
+                   CAST(cum_value AS BIGINT) AS cum_value,
+                   CASE WHEN cum_value * 100 <= 80 * tot THEN 'A'
+                        WHEN cum_value * 100 <= 95 * tot THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c ORDER BY 1, 3 DESC, 2
         """,
         "customer_snapshot_diff": """
             WITH new AS (

@@ -987,3 +987,58 @@ def event_trigram_paths(sf_dir: str, *, events_ds=None):
     return agg.map_batches(
         lambda b: b.rename_columns(["t1", "t2", "t3", "n"]),
         batch_format="pyarrow")
+
+
+def group_abc_analysis(ds, *, key: str, member: str, value: str,
+                       a_pct: int = 80, b_pct: int = 95):
+    """ABC / Pareto analysis per group: members ranked by value DESC
+    within each ``key``; each gets its running cumulative value and an
+    ABC class — 'A' while cumulative·100 ≤ a_pct·total, then 'B' while
+    ≤ b_pct·total, else 'C'. All comparisons are integer (value must be
+    int64, e.g. cents) so class boundaries are bit-exact. Ties order by
+    (value DESC, member ASC) — deterministic.
+
+    Input rows must already be one (key, member, value) aggregate per
+    member (callers fold with a native groupby-sum first). One bucketed
+    shuffle; the per-bucket segment sweep ranks + cumsums every group
+    vectorized. Output: (key, member, value, cum_value, abc_class).
+    """
+    out_schema = pa.schema([
+        (key, pa.string()), (member, pa.int64()), (value, pa.int64()),
+        ("cum_value", pa.int64()), ("abc_class", pa.string()),
+    ])
+
+    def sweep(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(group, sort_keys=[
+            (key, "ascending"), (value, "descending"),
+            (member, "ascending")])
+        g = group.take(order)
+        ka = g[key].combine_chunks()
+        v = g[value].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(v)
+        neq = pc.not_equal(ka.slice(1), ka.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+        new = np.concatenate(([True], neq.astype(bool)))
+        cum = np.cumsum(v)
+        seg_start = np.maximum.accumulate(
+            np.where(new, np.arange(n, dtype=np.int64), 0))
+        base = np.where(seg_start > 0, cum[seg_start - 1], 0)
+        base[new & (seg_start == 0)] = 0
+        seg_cum = cum - base
+        ends = np.append(np.flatnonzero(new)[1:], n)
+        tot = seg_cum[np.repeat(ends - 1, np.diff(
+            np.append(np.flatnonzero(new), n)))]
+        cls = np.where(seg_cum * 100 <= a_pct * tot, "A",
+                       np.where(seg_cum * 100 <= b_pct * tot, "B", "C"))
+        return pa.table({
+            key: ka,
+            member: g[member],
+            value: pa.array(v),
+            "cum_value": pa.array(seg_cum),
+            "abc_class": pa.array(cls.tolist(), pa.string()),
+        }).cast(out_schema)
+
+    return (_bucketed(ds, key).groupby("__bucket")
+            .map_groups(sweep, batch_format="pyarrow"))
