@@ -1358,6 +1358,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return group_abc_analysis(keyed, key="n_name",
                                   member="s_suppkey", value="rev")
 
+    def customer_order_gaps(sf_dir: str):
+        """Repeat-purchase-interval profile: per customer with ≥2
+        orders, integer (count, sum, min, max) of the day gaps between
+        consecutive orders in (date, orderkey) order — one bucketed
+        lexsort sweep, segment-reduced, no float mean
+        (ops/window.py group_gap_stats)."""
+        import ray.data
+
+        from kgrecrun.ops.window import group_gap_stats
+
+        od = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_orderkey"])
+        return group_gap_stats(od, key="o_custkey", ts="o_orderdate",
+                               tie="o_orderkey")
+
     def cust_order_histogram(sf_dir: str):
         """TPC-H Q13-shaped customer distribution: per-custkey order
         counts (non-urgent orders only) fold map-side into one native
@@ -2317,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_communities": part_communities,
         "customer_snapshot_diff": customer_snapshot_diff,
         "supplier_abc_analysis": supplier_abc_analysis,
+        "customer_order_gaps": customer_order_gaps,
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
         "events_value_tiers": events_value_tiers,
@@ -3466,6 +3483,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bm25_rank, cos_rank,
                    bm25_rank + cos_rank AS fused
             FROM f ORDER BY fused, doc_id LIMIT 10
+        """,
+        "customer_order_gaps": """
+            WITH s AS (
+                SELECT o_custkey,
+                       (epoch_us(o_orderdate)
+                        - lag(epoch_us(o_orderdate)) OVER w)
+                       // 86400000000 AS gap
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            )
+            SELECT o_custkey, COUNT(*) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap
+            FROM s WHERE gap IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "supplier_abc_analysis": """
             WITH rev AS (

@@ -1042,3 +1042,63 @@ def group_abc_analysis(ds, *, key: str, member: str, value: str,
 
     return (_bucketed(ds, key).groupby("__bucket")
             .map_groups(sweep, batch_format="pyarrow"))
+
+
+def group_gap_stats(ds, *, key: str, ts: str, tie: str,
+                    unit_us: int = 86_400_000_000):
+    """Per-key gap statistics over an ordered event/order stream: for
+    every key with ≥ 2 rows, the (count, sum, min, max) of the deltas
+    between consecutive timestamps in (ts, tie) order, floor-divided
+    into ``unit_us`` units (default days) — the repeat-purchase-interval
+    profile, all integer-exact (no float mean; consumers divide
+    sum/count themselves).
+
+    One bucketed shuffle; the per-bucket sweep computes every key's
+    adjacent diffs with one lexsort + same-key mask, then folds to one
+    row per key with a vectorized segment reduce.
+    Output: (key, n_gaps, sum_gap, min_gap, max_gap) int64.
+    """
+    out_schema = pa.schema([
+        (key, pa.int64()), ("n_gaps", pa.int64()), ("sum_gap", pa.int64()),
+        ("min_gap", pa.int64()), ("max_gap", pa.int64()),
+    ])
+
+    def sweep(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return out_schema.empty_table()
+        order = pc.sort_indices(group, sort_keys=[
+            (key, "ascending"), (ts, "ascending"), (tie, "ascending")])
+        g = group.take(order)
+        k = g[key].combine_chunks().to_numpy(zero_copy_only=False)
+        t = (g[ts].combine_chunks().cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        same = k[1:] == k[:-1]
+        gaps = (t[1:] - t[:-1]) // unit_us
+        gk = k[1:][same]
+        gv = gaps[same]
+        if len(gk) == 0:
+            return out_schema.empty_table()
+        order2 = np.argsort(gk, kind="stable")
+        gk, gv = gk[order2], gv[order2]
+        new = np.ones(len(gk), dtype=bool)
+        new[1:] = gk[1:] != gk[:-1]
+        gid = np.cumsum(new) - 1
+        m = gid[-1] + 1
+        n = np.zeros(m, np.int64)
+        s = np.zeros(m, np.int64)
+        mn = np.full(m, np.iinfo(np.int64).max)
+        mx = np.full(m, np.iinfo(np.int64).min)
+        np.add.at(n, gid, 1)
+        np.add.at(s, gid, gv)
+        np.minimum.at(mn, gid, gv)
+        np.maximum.at(mx, gid, gv)
+        return pa.table({
+            key: pa.array(gk[new]),
+            "n_gaps": pa.array(n),
+            "sum_gap": pa.array(s),
+            "min_gap": pa.array(mn),
+            "max_gap": pa.array(mx),
+        }).cast(out_schema)
+
+    return (_bucketed(ds, key).groupby("__bucket")
+            .map_groups(sweep, batch_format="pyarrow"))

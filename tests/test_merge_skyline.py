@@ -395,3 +395,43 @@ def test_table_diff_semantics(ray_session):
     }))
     with pytest.raises(Exception, match="key-unique"):
         table_diff(dup, new, key="k", cols=["v"]).materialize()
+
+
+def test_group_abc_analysis(ray_session):
+    import ray.data
+
+    from kgrecrun.ops.window import group_abc_analysis
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(["x"] * 4 + ["y"] * 2, pa.string()),
+        "m": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "v": pa.array([50, 30, 15, 5, 10, 10], pa.int64()),
+    })).repartition(2)
+    out = (group_abc_analysis(ds, key="g", member="m", value="v")
+           .to_pandas().sort_values(["g", "m"]).reset_index(drop=True))
+    x = out[out["g"] == "x"].set_index("m")
+    # cum: m1=50 (A, 50<=80), m2=80 (A), m3=95 (B), m4=100 (C)
+    assert x.loc[1, "abc_class"] == "A" and x.loc[2, "abc_class"] == "A"
+    assert x.loc[3, "abc_class"] == "B" and x.loc[4, "abc_class"] == "C"
+    assert x["cum_value"].tolist() == [50, 80, 95, 100]
+    y = out[out["g"] == "y"].set_index("m")
+    # tie at 10: member 5 first (cum 10 = 50% -> A), member 6 cum 20 -> C
+    assert y.loc[5, "abc_class"] == "A" and y.loc[6, "abc_class"] == "C"
+
+
+def test_group_gap_stats(ray_session):
+    import ray.data
+
+    from kgrecrun.ops.window import group_gap_stats
+
+    day = 86_400_000_000
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "t": pa.array([0, 3 * day, 10 * day, 5 * day, 0], pa.int64()),
+        "id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })).repartition(2)
+    out = (group_gap_stats(ds, key="k", ts="t", tie="id")
+           .to_pandas().set_index("k"))
+    # key 1: gaps 3, 7; keys 2 and 3 have a single row -> absent
+    assert sorted(out.index) == [1]
+    assert out.loc[1].tolist() == [2, 10, 3, 7]
