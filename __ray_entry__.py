@@ -1358,6 +1358,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return group_abc_analysis(keyed, key="n_name",
                                   member="s_suppkey", value="rev")
 
+    def purchase_view_mannwhitney(sf_dir: str):
+        """EXACT Mann-Whitney U between purchase and view event values:
+        tied-average-rank sums as pure integers (2·R, 2·U) via one
+        value-histogram fold + a single-block walk — the nonparametric
+        two-sample test as a distributed operator
+        (ops/stats.py mann_whitney_u)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.stats import mann_whitney_u
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+        return mann_whitney_u(
+            ev, group_col="event_type",
+            value_cents=lambda b: cents(b["value"]),
+            group_a="purchase", group_b="view")
+
     def customer_order_gaps(sf_dir: str):
         """Repeat-purchase-interval profile: per customer with ≥2
         orders, integer (count, sum, min, max) of the day gaps between
@@ -2334,6 +2352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_snapshot_diff": customer_snapshot_diff,
         "supplier_abc_analysis": supplier_abc_analysis,
         "customer_order_gaps": customer_order_gaps,
+        "purchase_view_mannwhitney": purchase_view_mannwhitney,
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
         "events_value_tiers": events_value_tiers,
@@ -3483,6 +3502,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bm25_rank, cos_rank,
                    bm25_rank + cos_rank AS fused
             FROM f ORDER BY fused, doc_id LIMIT 10
+        """,
+        "purchase_view_mannwhitney": """
+            WITH v AS (
+                SELECT event_type AS g,
+                       CAST(round(value * 100) AS BIGINT) AS val
+                FROM events WHERE event_type IN ('purchase', 'view')
+            ), hist AS (
+                SELECT val,
+                       SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                           AS ca,
+                       SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS cb
+                FROM v GROUP BY 1
+            ), walk AS (
+                SELECT val, ca, cb,
+                       COALESCE(SUM(ca + cb) OVER (
+                           ORDER BY val
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS s
+                FROM hist
+            ), agg AS (
+                SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                       CAST(SUM(cb) AS BIGINT) AS n_b,
+                       CAST(SUM(ca * (2 * s + ca + cb + 1)) AS BIGINT)
+                           AS r2_a
+                FROM walk
+            )
+            SELECT n_a, n_b, r2_a,
+                   r2_a - n_a * (n_a + 1) AS u2_a
+            FROM agg
         """,
         "customer_order_gaps": """
             WITH s AS (

@@ -781,3 +781,65 @@ def _threshold_walk(t: pa.Table, q_num: int, q_den: int) -> pa.Table:
     hi = v[np.searchsorted(cum, r_hi)]
     return pa.table({"lo": pa.array([int(lo)], pa.int64()),
                      "hi": pa.array([int(hi)], pa.int64())})
+
+
+def mann_whitney_u(ds, *, group_col: str, value_cents, group_a,
+                   group_b):
+    """EXACT Mann-Whitney U (rank-sum) statistic between two groups —
+    the nonparametric are-these-distributions-different test, computed
+    in pure integers: with tied values taking the average rank, every
+    quantity is a multiple of ½, so the op reports 2·R_a and 2·U_a
+    (plus n_a, n_b) and never touches floats. Consumers form
+    U/(n_a·n_b) or a z-score downstream.
+
+    Scale shape (the winsorize_global pattern): per-block (value,
+    count_a, count_b) histogram partials fold into a native value-keyed
+    sum; ONE single-block walk over the value histogram accumulates
+    the tied-rank sum — for a run of c = c_a + c_b equal values
+    starting after cumulative s, group a's rows contribute
+    c_a · (2s + c + 1) to 2·R_a. Output: one row
+    (n_a, n_b, r2_a, u2_a) int64.
+    """
+    import ray.data
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].combine_chunks()
+        v = value_cents(batch)
+        t = pa.table({
+            "v": v,
+            "ca": pc.cast(pc.equal(g, group_a), pa.int64()),
+            "cb": pc.cast(pc.equal(g, group_b), pa.int64()),
+        })
+        t = t.filter(pc.or_(pc.equal(t["ca"], 1), pc.equal(t["cb"], 1)))
+        agg = t.group_by("v").aggregate([("ca", "sum"), ("cb", "sum")])
+        return agg.rename_columns(["v", "ca", "cb"])
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("v").sum(["ca", "cb"])
+            .map_batches(lambda b: b.rename_columns(["v", "ca", "cb"]),
+                         batch_format="pyarrow"))
+
+    out_schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("r2_a", pa.int64()), ("u2_a", pa.int64())])
+
+    def walk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(t, sort_keys=[("v", "ascending")])
+        s = t.take(order)
+        ca = s["ca"].combine_chunks().to_numpy(zero_copy_only=False)
+        cb = s["cb"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = ca + cb
+        start = np.concatenate(([0], np.cumsum(c)[:-1]))
+        r2a = int((ca * (2 * start + c + 1)).sum())
+        na, nb = int(ca.sum()), int(cb.sum())
+        u2a = r2a - na * (na + 1)
+        return pa.table({
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "r2_a": pa.array([r2a], pa.int64()),
+            "u2_a": pa.array([u2a], pa.int64()),
+        })
+
+    return hist.repartition(1).map_batches(walk, batch_format="pyarrow")
