@@ -1376,6 +1376,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_cents=lambda b: cents(b["value"]),
             group_a="purchase", group_b="view")
 
+    def purchase_view_ks(sf_dir: str):
+        """EXACT two-sample Kolmogorov–Smirnov D between purchase and
+        view values, as the integer numerator max|cumA·nB − cumB·nA| —
+        shared histogram fold with the Mann-Whitney operator, one
+        single-block walk (ops/stats.py ks_statistic)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.stats import ks_statistic
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+        return ks_statistic(
+            ev, group_col="event_type",
+            value_cents=lambda b: cents(b["value"]),
+            group_a="purchase", group_b="view")
+
     def customer_order_gaps(sf_dir: str):
         """Repeat-purchase-interval profile: per customer with ≥2
         orders, integer (count, sum, min, max) of the day gaps between
@@ -2353,6 +2370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_abc_analysis": supplier_abc_analysis,
         "customer_order_gaps": customer_order_gaps,
         "purchase_view_mannwhitney": purchase_view_mannwhitney,
+        "purchase_view_ks": purchase_view_ks,
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
         "events_value_tiers": events_value_tiers,
@@ -3502,6 +3520,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bm25_rank, cos_rank,
                    bm25_rank + cos_rank AS fused
             FROM f ORDER BY fused, doc_id LIMIT 10
+        """,
+        "purchase_view_ks": """
+            WITH v AS (
+                SELECT event_type AS g,
+                       CAST(round(value * 100) AS BIGINT) AS val
+                FROM events WHERE event_type IN ('purchase', 'view')
+            ), hist AS (
+                SELECT val,
+                       SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                           AS ca,
+                       SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS cb
+                FROM v GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                       CAST(SUM(cb) AS BIGINT) AS n_b FROM hist
+            ), walk AS (
+                SELECT SUM(ca) OVER (ORDER BY val) AS cuma,
+                       SUM(cb) OVER (ORDER BY val) AS cumb
+                FROM hist
+            )
+            SELECT n_a, n_b,
+                   CAST(MAX(abs(cuma * n_b - cumb * n_a)) AS BIGINT)
+                       AS d_num
+            FROM walk, tot GROUP BY 1, 2
         """,
         "purchase_view_mannwhitney": """
             WITH v AS (

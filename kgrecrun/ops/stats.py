@@ -843,3 +843,52 @@ def mann_whitney_u(ds, *, group_col: str, value_cents, group_a,
         })
 
     return hist.repartition(1).map_batches(walk, batch_format="pyarrow")
+
+
+def ks_statistic(ds, *, group_col: str, value_cents, group_a, group_b):
+    """EXACT two-sample Kolmogorov–Smirnov statistic: D = max over x of
+    |F_a(x) − F_b(x)| — reported as the integer numerator
+    ``d_num = max |cum_a·n_b − cum_b·n_a|`` with (n_a, n_b), so
+    D = d_num / (n_a·n_b) with no float comparison anywhere inside the
+    operator. Same scale shape as :func:`mann_whitney_u` (shared
+    histogram fold, one single-block walk). Output: one row
+    (n_a, n_b, d_num) int64.
+    """
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].combine_chunks()
+        t = pa.table({
+            "v": value_cents(batch),
+            "ca": pc.cast(pc.equal(g, group_a), pa.int64()),
+            "cb": pc.cast(pc.equal(g, group_b), pa.int64()),
+        })
+        t = t.filter(pc.or_(pc.equal(t["ca"], 1), pc.equal(t["cb"], 1)))
+        agg = t.group_by("v").aggregate([("ca", "sum"), ("cb", "sum")])
+        return agg.rename_columns(["v", "ca", "cb"])
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("v").sum(["ca", "cb"])
+            .map_batches(lambda b: b.rename_columns(["v", "ca", "cb"]),
+                         batch_format="pyarrow"))
+
+    out_schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("d_num", pa.int64())])
+
+    def walk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(t, sort_keys=[("v", "ascending")])
+        s = t.take(order)
+        ca = s["ca"].combine_chunks().to_numpy(zero_copy_only=False)
+        cb = s["cb"].combine_chunks().to_numpy(zero_copy_only=False)
+        na, nb = int(ca.sum()), int(cb.sum())
+        cuma = np.cumsum(ca)
+        cumb = np.cumsum(cb)
+        d_num = int(np.abs(cuma * nb - cumb * na).max()) if len(ca) else 0
+        return pa.table({
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "d_num": pa.array([d_num], pa.int64()),
+        })
+
+    return hist.repartition(1).map_batches(walk, batch_format="pyarrow")

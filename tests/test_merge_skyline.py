@@ -435,3 +435,42 @@ def test_group_gap_stats(ray_session):
     # key 1: gaps 3, 7; keys 2 and 3 have a single row -> absent
     assert sorted(out.index) == [1]
     assert out.loc[1].tolist() == [2, 10, 3, 7]
+
+
+def test_mannwhitney_and_ks_exact(ray_session):
+    import ray.data
+
+    from kgrecrun.ops.stats import ks_statistic, mann_whitney_u
+
+    rng = np.random.RandomState(17)
+    a = rng.randint(0, 25, 80)
+    b = rng.randint(5, 30, 55)
+    t = pa.table({
+        "g": pa.array(["a"] * 80 + ["b"] * 55 + ["other"] * 5),
+        "v": pa.array(np.concatenate([a, b, np.zeros(5, np.int64)]),
+                      pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    u = mann_whitney_u(ds, group_col="g",
+                       value_cents=lambda x: x["v"],
+                       group_a="a", group_b="b").to_pandas().iloc[0]
+    ks = ks_statistic(ds, group_col="g",
+                      value_cents=lambda x: x["v"],
+                      group_a="a", group_b="b").to_pandas().iloc[0]
+    # brute force with average ranks
+    vals = sorted(set(np.concatenate([a, b]).tolist()))
+    cum = 0
+    r2a = 0
+    cuma = cumb = 0
+    dnum = 0
+    for v in vals:
+        c_a = int((a == v).sum())
+        c_b = int((b == v).sum())
+        r2a += c_a * (2 * cum + c_a + c_b + 1)
+        cum += c_a + c_b
+        cuma += c_a
+        cumb += c_b
+        dnum = max(dnum, abs(cuma * len(b) - cumb * len(a)))
+    assert (u["n_a"], u["n_b"]) == (80, 55)
+    assert u["r2_a"] == r2a and u["u2_a"] == r2a - 80 * 81
+    assert ks["d_num"] == dnum
