@@ -1393,6 +1393,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             value_cents=lambda b: cents(b["value"]),
             group_a="purchase", group_b="view")
 
+    def revenue_changepoint(sf_dir: str):
+        """Integer-exact CUSUM change-point over the daily event-value
+        series: the day maximizing |n·prefix − k·total| (scaled CUSUM
+        deviation, ties → earliest) — map-side (day, cents) partials,
+        native fold, one calendar-bounded single-block walk
+        (ops/stats.py changepoint_cusum)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.stats import changepoint_cusum
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "value"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            day = pc.divide(
+                pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()))
+            t = pa.table({"day": day, "v": cents(b["value"])})
+            return (t.group_by("day").aggregate([("v", "sum")])
+                    .rename_columns(["day", "v"]))
+
+        daily = ev.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        return changepoint_cusum(daily, day_col="day", value_col="v")
+
     def customer_order_gaps(sf_dir: str):
         """Repeat-purchase-interval profile: per customer with ≥2
         orders, integer (count, sum, min, max) of the day gaps between
@@ -2371,6 +2397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_gaps": customer_order_gaps,
         "purchase_view_mannwhitney": purchase_view_mannwhitney,
         "purchase_view_ks": purchase_view_ks,
+        "revenue_changepoint": revenue_changepoint,
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
         "events_value_tiers": events_value_tiers,
@@ -3520,6 +3547,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bm25_rank, cos_rank,
                    bm25_rank + cos_rank AS fused
             FROM f ORDER BY fused, doc_id LIMIT 10
+        """,
+        "revenue_changepoint": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS v
+                FROM events GROUP BY 1
+            ), t AS (
+                SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total
+                FROM d
+            ), w AS (
+                SELECT day, SUM(v) OVER (ORDER BY day) AS pre,
+                       row_number() OVER (ORDER BY day) AS k
+                FROM d
+            )
+            SELECT CAST(n AS BIGINT) AS n_days, total,
+                   day AS cp_day,
+                   CAST(abs(n * pre - k * total) AS BIGINT) AS s_num
+            FROM w, t
+            ORDER BY abs(n * pre - k * total) DESC, day ASC LIMIT 1
         """,
         "purchase_view_ks": """
             WITH v AS (

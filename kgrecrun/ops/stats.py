@@ -892,3 +892,47 @@ def ks_statistic(ds, *, group_col: str, value_cents, group_a, group_b):
         })
 
     return hist.repartition(1).map_batches(walk, batch_format="pyarrow")
+
+
+def changepoint_cusum(ds, *, day_col: str, value_col: str):
+    """Integer-exact single change-point detection over a daily series:
+    the day k maximizing |n·prefix_k − k·total| — the CUSUM deviation
+    |Σ_{i≤k} x_i − k·mean| scaled by n to stay integer (ties → earliest
+    day). Input rows are (day, value) PARTIALS (callers fold map-side);
+    the op finishes the fold natively, then one single-block
+    chronological walk over the day-order series (calendar-bounded)
+    picks the argmax. Output: one row
+    (n_days, total, cp_day, s_num) — the deviation at the change point
+    is s_num / n_days in value units.
+    """
+    hist = (ds.groupby(day_col).sum(value_col)
+            .map_batches(lambda b: b.rename_columns(["day", "v"]),
+                         batch_format="pyarrow"))
+
+    out_schema = pa.schema([
+        ("n_days", pa.int64()), ("total", pa.int64()),
+        ("cp_day", pa.int64()), ("s_num", pa.int64()),
+    ])
+
+    def walk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(t, sort_keys=[("day", "ascending")])
+        s = t.take(order)
+        day = s["day"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = s["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(v)
+        total = int(v.sum())
+        prefix = np.cumsum(v)
+        k = np.arange(1, n + 1, dtype=np.int64)
+        dev = np.abs(n * prefix - k * total)
+        i = int(np.argmax(dev))  # first maximum → earliest day
+        return pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "total": pa.array([total], pa.int64()),
+            "cp_day": pa.array([int(day[i])], pa.int64()),
+            "s_num": pa.array([int(dev[i])], pa.int64()),
+        })
+
+    return hist.repartition(1).map_batches(walk, batch_format="pyarrow")

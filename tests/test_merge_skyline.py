@@ -474,3 +474,23 @@ def test_mannwhitney_and_ks_exact(ray_session):
     assert (u["n_a"], u["n_b"]) == (80, 55)
     assert u["r2_a"] == r2a and u["u2_a"] == r2a - 80 * 81
     assert ks["d_num"] == dnum
+
+
+def test_changepoint_cusum_planted_shift(ray_session):
+    import ray.data
+
+    from kgrecrun.ops.stats import changepoint_cusum
+
+    # 30 days at 100/day, then 30 days at 200/day: CUSUM peaks at the
+    # last low day (day 29)
+    days = np.arange(60, dtype=np.int64)
+    vals = np.where(days < 30, 100, 200).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "day": pa.array(days), "v": pa.array(vals),
+    })).repartition(4)
+    out = changepoint_cusum(ds, day_col="day",
+                            value_col="v").to_pandas().iloc[0]
+    assert out["n_days"] == 60 and out["total"] == 30 * 100 + 30 * 200
+    assert out["cp_day"] == 29
+    # deviation at day 29: |60*3000 - 30*9000| = 90000
+    assert out["s_num"] == 90000
