@@ -1419,6 +1419,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                zero_copy_batch=True)
         return changepoint_cusum(daily, day_col="day", value_col="v")
 
+    def lineitem_fingerprint(sf_dir: str):
+        """Order-free dataset integrity fingerprint: XOR of per-row
+        md5-8 hashes + row count — the multiset-equality check a
+        migration or replication job runs on both sides; per-block
+        partials fold under a native XOR aggregate, bit-identical
+        across layouts (ops/stats.py dataset_fingerprint)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.stats import dataset_fingerprint
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                     "l_linestatus", "l_extendedprice"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+                "l_linenumber": pc.cast(b["l_linenumber"], pa.int64()),
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "price_cents": cents(b["l_extendedprice"]),
+            })
+
+        return dataset_fingerprint(
+            li.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            cols=["l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_linestatus", "price_cents"])
+
     def customer_order_gaps(sf_dir: str):
         """Repeat-purchase-interval profile: per customer with ≥2
         orders, integer (count, sum, min, max) of the day gaps between
@@ -2398,6 +2429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_view_mannwhitney": purchase_view_mannwhitney,
         "purchase_view_ks": purchase_view_ks,
         "revenue_changepoint": revenue_changepoint,
+        "lineitem_fingerprint": lineitem_fingerprint,
         "event_trigram_paths": event_trigram_paths,
         "events_value_winsorized": events_value_winsorized,
         "events_value_tiers": events_value_tiers,
@@ -3547,6 +3579,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bm25_rank, cos_rank,
                    bm25_rank + cos_rank AS fused
             FROM f ORDER BY fused, doc_id LIMIT 10
+        """,
+        "lineitem_fingerprint": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor(
+                       md5_number_upper(
+                           CAST(l_orderkey AS VARCHAR) || '|'
+                           || CAST(l_linenumber AS VARCHAR) || '|'
+                           || l_returnflag || '|' || l_linestatus || '|'
+                           || CAST(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT) AS VARCHAR))
+                       & 9223372036854775807) AS BIGINT) AS fp
+            FROM lineitem
         """,
         "revenue_changepoint": """
             WITH d AS (

@@ -936,3 +936,62 @@ def changepoint_cusum(ds, *, day_col: str, value_col: str):
         })
 
     return hist.repartition(1).map_batches(walk, batch_format="pyarrow")
+
+
+def dataset_fingerprint(ds, *, cols: list[str]):
+    """Order-free dataset integrity fingerprint: (n_rows, XOR of the
+    md5-8 hash of every row's '|'-joined string form) — XOR is
+    commutative/associative and closed under int64, so per-block
+    partials fold natively with no overflow and the fingerprint is
+    bit-identical across block layouts and parallelism (the checksum
+    idiom of the repo's stress tools as a first-class operator; equal
+    fingerprints + equal counts ⇒ equal multisets up to md5 collisions,
+    except pairs of identical duplicate rows cancel under XOR — pass a
+    unique key column in ``cols`` when exact-duplicate rows matter).
+    Columns should be integer/string-typed: float→string formatting is
+    engine-specific, integers are not.
+    """
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        strs = [pc.cast(batch[c], pa.string()).combine_chunks()
+                for c in cols]
+        x = np.int64(0)
+        for i in range(batch.num_rows):
+            row = "|".join("" if s[i].as_py() is None else s[i].as_py()
+                           for s in strs)
+            h = int.from_bytes(
+                hashlib.md5(row.encode("utf-8")).digest()[:8],
+                "little") & 0x7FFFFFFFFFFFFFFF
+            x ^= np.int64(h)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_rows": pa.array([batch.num_rows], pa.int64()),
+            "fp": pa.array([int(x)], pa.int64()),
+        })
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("k").aggregate(_XorAgg("fp"), _SumAgg("n_rows")))
+    return folded.map_batches(
+        lambda b: pa.table({
+            "n_rows": pc.cast(b.column(2), pa.int64()),
+            "fp": pc.cast(b.column(1), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def _XorAgg(col):
+    from ray.data.aggregate import AggregateFn
+
+    return AggregateFn(
+        init=lambda k: 0,
+        accumulate_row=lambda a, row: a ^ int(row[col]),
+        merge=lambda a, b: a ^ b,
+        name=f"xor({col})",
+    )
+
+
+def _SumAgg(col):
+    from ray.data.aggregate import Sum
+
+    return Sum(col)
