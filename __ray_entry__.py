@@ -300,6 +300,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
 
+    def lang_confusion(sf_dir: str):
+        """Model-eval confusion matrix: the n-gram language-ID
+        heuristic's predictions crossed with the labeled lang column —
+        per-block (label, pred, n) partials into one tiny native sum,
+        the standard classifier-eval surface (ops/text.py
+        lang_id_text)."""
+        import ray.data
+
+        from kgrecrun.ops.text import lang_id_text
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["text", "lang"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            preds = [lang_id_text(t or "") for t in
+                     b["text"].to_pylist()]
+            t = pa.table({
+                "lang": b["lang"],
+                "lang_pred": pa.array(preds, pa.string()),
+                "n": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+            })
+            return (t.group_by(["lang", "lang_pred"])
+                    .aggregate([("n", "sum")])
+                    .rename_columns(["lang", "lang_pred", "n"]))
+
+        out = (ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(["lang", "lang_pred"]).sum("n"))
+        return out.map_batches(
+            lambda b: b.rename_columns(["lang", "lang_pred", "n"]),
+            batch_format="pyarrow")
+
     def doc_pii_scrub(sf_dir: str):
         """Regex PII redaction (emails / IPv4s / phone-like runs) with
         per-pattern match counts; RE2 patterns shared with the oracle."""
@@ -2335,6 +2367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_fingerprints": doc_fingerprints,
         "doc_lang_pred": doc_lang_pred,
+        "lang_confusion": lang_confusion,
         "doc_pii_scrub": doc_pii_scrub,
         # --- sampling / splits / packing / index build (SQL-checkable) ---
         "doc_sample": doc_sample,
@@ -2943,6 +2976,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term HAVING COUNT(DISTINCT doc_id) <= 390
         """,
         "doc_lang_pred": _lang_pred_sql(),
+        "lang_confusion": f"""
+            WITH p AS ({_lang_pred_sql()})
+            SELECT d.lang, p.lang_pred, COUNT(*) AS n
+            FROM documents d JOIN p USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "minhash_dedup": _minhash_sql(),
         "ngram_jaccard_dedup": _ngram_jaccard_sql(),
         "simhash_dedup": _simhash_sql(),

@@ -121,6 +121,7 @@ def bench_main() -> None:
         "forecast_revenue", "hybrid_rank_fusion", "customer_name_edit1",
         "part_communities", "customer_snapshot_diff", "supplier_abc_analysis",
         "customer_order_gaps", "purchase_view_mannwhitney", "purchase_view_ks", "revenue_changepoint", "lineitem_fingerprint",
+        "lang_confusion",
         "event_trigram_paths", "events_value_winsorized", "events_value_tiers",
         "embedding_pq_codes", "orders_next_event", "sessions_overlap_purchases",
     ]
