@@ -2897,6 +2897,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, node_idx, node_text
             FROM read_parquet('/root/repo/tests/goldens/kg_text_nodes_sf001.parquet')
         """,
+        # Full-pipeline golden: the generator's PLANTED canonical triples
+        # (written before the engine runs — independent intent, like the
+        # reference goldens above). At sf0.01 the end-to-end pipeline
+        # reproduces them exactly (P=R=1.0, multiplicities included;
+        # tools/make_kg_triples_gold.py), so extract -> NER -> OpenIE ->
+        # link -> canonicalize -> dedup gets a hash-exact driver signal.
+        "kg_triples": """
+            SELECT subj, pred, obj, n_sources
+            FROM read_parquet('/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
+        """,
         "doc_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_IDHASH} % 5 < 1
