@@ -560,6 +560,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
         return anti_join(cust, _events_as_custkey(sf_dir), "c_custkey")
 
+    def _returned_orderkeys(sf_dir: str):
+        import ray.data
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+        )
+        return li.map_batches(
+            lambda b: b.filter(pc.equal(b["l_returnflag"], "R"))
+            .select(["l_orderkey"]).rename_columns(["o_orderkey"]),
+            batch_format="pyarrow",
+        )
+
+    def orders_with_returns(sf_dir: str):
+        """Large-large EXISTS via the BLOOM-prefilter path: at scale the
+        returned-lineitem key set is too big to broadcast exactly, so a
+        1 MiB bloom summary of it broadcasts once, most orders are
+        eliminated map-side before any exchange, and the exact cogroup
+        semi-join verifies the positives — output bit-identical to
+        plain semi_join, exchange sized by the match rate."""
+        import ray.data
+
+        from kgrecrun.ops.joins import bloom_semi_join
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        return bloom_semi_join(orders, _returned_orderkeys(sf_dir), "o_orderkey")
+
+    def orders_without_returns(sf_dir: str):
+        """Large-large NOT EXISTS via the bloom path: bloom-negative
+        orders are DEFINITELY return-free (no false negatives) and
+        stream to the output with zero exchange; only the positive
+        slice pays the exact anti-join."""
+        import ray.data
+
+        from kgrecrun.ops.joins import bloom_anti_join
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        return bloom_anti_join(orders, _returned_orderkeys(sf_dir), "o_orderkey")
+
     def events_in_sessions(sf_dir: str):
         """Containment RANGE JOIN: each event attaches the session
         window covering its timestamp (intervals non-overlapping by
@@ -2420,6 +2462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": events_value_zscore,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
+        "orders_with_returns": orders_with_returns,
+        "orders_without_returns": orders_without_returns,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,
@@ -4493,6 +4537,16 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_events": """
             SELECT * FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "orders_with_returns": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        """,
+        "orders_without_returns": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         """,
         "lineitem_price_quantiles": """
             WITH c AS (

@@ -119,6 +119,141 @@ def anti_join(left_ds, right_ds, key: str, *, broadcast_threshold: int = 0):
     return _cogroup_exists(left_ds, right_ds, key, keep_if_exists=False)
 
 
+def _bloom_positions(arr, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) uint64 bloom bit positions per value — double hashing
+    ``(h1 + i·h2) mod m`` over two independent vectorized hashes.
+    Integer keys: two splitmix64 finalizer passes with distinct seed
+    xors (all numpy uint64, no per-row Python). String keys: polars'
+    vectorized xxhash at two seeds. Consistency is only required
+    WITHIN a run (build and probe use this same function); the join
+    result never depends on the bloom contents because positives are
+    exactly verified."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    if pa.types.is_integer(arr.type):
+        x = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h1 = _mix(x ^ np.uint64(0x9E3779B97F4A7C15))
+        h2 = _mix(x ^ np.uint64(0xC2B2AE3D27D4EB4F))
+    else:
+        import polars as pl
+
+        s = pl.Series(arr.cast(pa.string()))
+        h1 = s.hash(seed=1).to_numpy().astype(np.uint64)
+        h2 = s.hash(seed=2).to_numpy().astype(np.uint64)
+    h2 = h2 | np.uint64(1)  # odd stride so all k probes differ
+    ks = np.arange(k, dtype=np.uint64)[None, :]
+    return (h1[:, None] + ks * h2[:, None]) & np.uint64(m_bits - 1)
+
+
+def build_bloom(right_ds, key: str, *, m_bits: int = 1 << 23, k: int = 4,
+                batch_size: int = 1 << 20) -> np.ndarray:
+    """Distributed bloom-filter build over ``right_ds[key]`` → one
+    ``m_bits/64``-word uint64 bitmap on the driver (1 MiB at the
+    default m=2^23 — broadcastable however many keys it summarizes).
+
+    Scale shape: each map task folds up to ``batch_size`` keys into ONE
+    fixed-size partial bitmap row, so partial count = ceil(rows / 2^20)
+    (10^9 right keys → ~1k MiB-sized partials), then a two-level
+    ``repartition`` tree OR-folds them — no driver loop over blocks,
+    no shuffle of the right side itself. m_bits must be a power of two;
+    size it ≥ ~8 bits/distinct key for a ~2.5% FP rate at k=4 (FPs
+    only cost verify work, never correctness)."""
+    words = m_bits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = np.zeros(words, np.uint64)
+        if batch.num_rows:
+            pos = _bloom_positions(batch[key], m_bits, k).ravel()
+            np.bitwise_or.at(w, pos >> 6, np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"w": pa.array([w.tobytes()], pa.binary())})
+
+    def orfold(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(words, np.uint64)
+        for buf in batch["w"].to_pylist():
+            acc |= np.frombuffer(buf, np.uint64)
+        return pa.table({"w": pa.array([acc.tobytes()], pa.binary())})
+
+    folded = (
+        right_ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=batch_size, zero_copy_batch=True)
+        .repartition(8)
+        .map_batches(orfold, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(orfold, batch_format="pyarrow", batch_size=None)
+    )
+    rows = folded.take_all()  # exactly one fixed-size row by construction
+    if not rows:
+        return np.zeros(words, np.uint64)
+    return np.frombuffer(rows[0]["w"], np.uint64).copy()
+
+
+def _bloom_mask(batch: pa.Table, key: str, bloom: np.ndarray, k: int) -> np.ndarray:
+    m_bits = len(bloom) * 64
+    pos = _bloom_positions(batch[key], m_bits, k)
+    hit = (bloom[pos >> 6] >> (pos & np.uint64(63))) & np.uint64(1)
+    return hit.all(axis=1)
+
+
+def bloom_semi_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
+                    k: int = 4):
+    """EXACT semi-join with a map-side bloom prefilter — the
+    large-large EXISTS pattern: when the right side's distinct keys are
+    too many to broadcast exactly (``broadcast_threshold`` path) but
+    left rows mostly DON'T match, a 1 MiB bloom summary of the right
+    keys broadcasts once and eliminates most left rows before any
+    exchange; only bloom-positives (true matches + ~2.5% FPs) enter the
+    exact cogroup semi-join that removes the false positives. Output is
+    bit-identical to ``semi_join`` — the bloom affects only how many
+    rows reach the verify exchange, e.g. a 1% match rate cuts the
+    left-side shuffle ~97%."""
+    import ray
+
+    bloom_ref = ray.put(build_bloom(right_ds, key, m_bits=m_bits, k=k))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch
+        return batch.filter(pa.array(_bloom_mask(batch, key, ray.get(bloom_ref), k)))
+
+    survivors = left_ds.map_batches(filt, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return _cogroup_exists(survivors, right_ds, key, keep_if_exists=True)
+
+
+def bloom_anti_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
+                    k: int = 4):
+    """EXACT anti-join with a map-side bloom prefilter: bloom-NEGATIVE
+    rows are definitively absent from the right side (no false
+    negatives) and stream straight to the output with zero exchange;
+    only the bloom-positive slice needs the exact cogroup anti-join to
+    reject the ~2.5% false positives. NOTE: the two filters are two
+    consumers of ``left_ds`` — Ray re-executes the upstream read per
+    consumer (cheap, column-pruned) rather than materializing it."""
+    import ray
+
+    bloom_ref = ray.put(build_bloom(right_ds, key, m_bits=m_bits, k=k))
+
+    def split(keep_positive: bool):
+        def filt(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return batch
+            mask = _bloom_mask(batch, key, ray.get(bloom_ref), k)
+            return batch.filter(pa.array(mask if keep_positive else ~mask))
+
+        return left_ds.map_batches(filt, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    certain = split(False)
+    checked = _cogroup_exists(split(True), right_ds, key, keep_if_exists=False)
+    return certain.union(checked)
+
+
 def fuzzy_join(ds, probe_tbl: pa.Table, *, text_col: str, id_col: str,
                probe_text_col: str, probe_id_col: str,
                threshold: tuple[int, int] = (1, 3)):

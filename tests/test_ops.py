@@ -619,6 +619,60 @@ def test_semi_anti_join_paths_agree_and_partition():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bloom_join_exact_and_prefilter():
+    """bloom_semi/anti_join are bit-identical to the plain paths on both
+    int and string keys (string path exercises the polars hash), the
+    bloom prefilter has NO false negatives, and semi+anti partition."""
+    import ray.data
+
+    from kgrecrun.ops.joins import (
+        _bloom_mask, anti_join, bloom_anti_join, bloom_semi_join,
+        build_bloom, semi_join,
+    )
+
+    rng = np.random.RandomState(7)
+
+    def rows(ds):
+        return sorted(map(tuple, ds.to_pandas().itertuples(index=False)))
+
+    for as_str in (False, True):
+        lk = rng.randint(0, 4000, 1200)
+        rk = rng.randint(3000, 7000, 500)
+        conv = (lambda a: pa.array([f"k{v}" for v in a])) if as_str else (
+            lambda a: pa.array(a, pa.int64()))
+        left = pa.table({"k": conv(lk),
+                         "payload": pa.array(rng.randint(0, 10**9, 1200), pa.int64())})
+        right = pa.table({"k": conv(rk)})
+        lds = ray.data.from_arrow(left).repartition(4)
+        rds = ray.data.from_arrow(right).repartition(3)
+
+        m_bits = 1 << 14
+        semi_b = rows(bloom_semi_join(lds, rds, "k", m_bits=m_bits))
+        anti_b = rows(bloom_anti_join(lds, rds, "k", m_bits=m_bits))
+        assert semi_b == rows(semi_join(lds, rds, "k"))
+        assert anti_b == rows(anti_join(lds, rds, "k"))
+        assert sorted(semi_b + anti_b) == sorted(
+            map(tuple, left.to_pandas().itertuples(index=False)))
+
+        # no false negatives: every true match passes the bloom mask
+        bloom = build_bloom(rds, "k", m_bits=m_bits)
+        mask = _bloom_mask(left, "k", bloom, 4)
+        true_match = np.isin(lk, rk) if not as_str else np.array(
+            [f"k{v}" in {f"k{w}" for w in rk} for v in lk])
+        assert mask[true_match].all()
+        # and the prefilter actually prunes (most non-matches rejected)
+        assert mask.sum() < len(lk) * 0.6
+
+    # tiny saturated bloom still exact (all-positive degenerate case)
+    lds = ray.data.from_arrow(pa.table({"k": pa.array(range(100), pa.int64())}))
+    rds = ray.data.from_arrow(pa.table({"k": pa.array(range(50, 150), pa.int64())}))
+    assert rows(bloom_semi_join(lds, rds, "k", m_bits=64)) == rows(
+        semi_join(lds, rds, "k"))
+    assert rows(bloom_anti_join(lds, rds, "k", m_bits=64)) == rows(
+        anti_join(lds, rds, "k"))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_rollup_levels_consistent():
     import ray.data
 
