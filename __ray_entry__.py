@@ -602,6 +602,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bloom_anti_join(orders, _returned_orderkeys(sf_dir), "o_orderkey")
 
+    def events_customer_join(sf_dir: str):
+        """Skew-resilient INNER join: event traffic is Zipf-skewed per
+        user, so hot users route through a broadcast map-side join (the
+        hot key never shuffles) while the tail takes the bucketed
+        cogroup — output identical to a plain join by construction."""
+        import ray.data
+
+        from kgrecrun.ops.skew import skew_join
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+        )
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(
+            lambda b: b.rename_columns(["user_id", "c_nationkey"]),
+            batch_format="pyarrow",
+        )
+        return skew_join(ev, cust, key="user_id", hot_mult=1.2)
+
     def events_in_sessions(sf_dir: str):
         """Containment RANGE JOIN: each event attaches the session
         window covering its timestamp (intervals non-overlapping by
@@ -2464,6 +2484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": customers_without_events,
         "orders_with_returns": orders_with_returns,
         "orders_without_returns": orders_without_returns,
+        "events_customer_join": events_customer_join,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,
@@ -4547,6 +4568,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey FROM orders
             WHERE NOT EXISTS (SELECT 1 FROM lineitem
                               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        """,
+        "events_customer_join": """
+            SELECT e.event_id, e.user_id, c.c_nationkey
+            FROM events e JOIN customer c ON c.c_custkey = e.user_id
         """,
         "lineitem_price_quantiles": """
             WITH c AS (

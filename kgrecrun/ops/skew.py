@@ -74,3 +74,102 @@ def salted_count_sum(ds, key: str, *, sum_col: str | None = None, salts: int = 1
         return batch.rename_columns(names)
 
     return p2.map_batches(finish, batch_format="pyarrow")
+
+
+def skew_join(left_ds, right_ds, *, key: str, hot_mult: float = 8.0,
+              hot_cap: int = 4096, n_buckets: int = 256,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """Skew-resilient INNER equi-join — the hot-key hybrid: a straight
+    hash join sends every row of a head key to ONE reducer, so a
+    "United States"-scale entity serializes the whole exchange. This
+    operator routes the head and the tail differently, with output
+    identical to a plain join regardless of which keys land hot:
+
+    1. Exact left key counts via a map-side combiner (the shuffle
+       carries one (key, n) row per distinct-key-per-block, never data
+       rows).
+    2. HOT = keys with n ≥ hot_mult × mean(n), capped at the hot_cap
+       largest (a Zipf head is tiny by definition; the cap bounds the
+       driver state by construction — routing, never correctness,
+       depends on the cut).
+    3. Right rows for hot keys broadcast ONCE (``ray.put``) and join
+       map-side inside each left batch — the hot key never shuffles.
+       DIMENSION CONTRACT: right multiplicity per hot key must be
+       broadcast-small (catalog/dimension shape); at 100 TB a hot key
+       with a huge right side needs upstream salting instead.
+    4. Cold rows take the ordinary bucketed cogroup join (ONE shuffle,
+       dispatch capped at n_buckets).
+    """
+    import ray
+
+    from .cogroup import _arrow_schema, bucket_join
+
+    ls = left_schema or _arrow_schema(left_ds.schema())
+    rs = right_schema or _arrow_schema(right_ds.schema())
+    out_cols = list(ls.names) + [n for n in rs.names if n != key]
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = b.select([key]).group_by(key).aggregate([([], "count_all")])
+        return t.rename_columns([key, "n_local"])
+
+    counts = (left_ds.map_batches(pre, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+              .groupby(key).sum("n_local")
+              .map_batches(lambda b: b.rename_columns([key, "n"]),
+                           batch_format="pyarrow"))
+    stats = counts.aggregate(ray.data.aggregate.Sum("n"),
+                             ray.data.aggregate.Count())
+    total = stats.get("sum(n)") or 0
+    n_keys = stats.get("count()") or 0
+    if not n_keys:
+        return bucket_join(left_ds, right_ds, key=key, join_type="inner",
+                           n_buckets=n_buckets, left_schema=ls,
+                           right_schema=rs)
+    thresh = hot_mult * (total / n_keys)
+    hot_rows = (counts.filter(expr=f"n >= {thresh}")
+                .sort("n", descending=True).limit(hot_cap)
+                .take_all())
+    hot_keys = pa.array([r[key] for r in hot_rows], ls.field(key).type)
+
+    if len(hot_keys) == 0:
+        return bucket_join(left_ds, right_ds, key=key, join_type="inner",
+                           n_buckets=n_buckets, left_schema=ls,
+                           right_schema=rs)
+    hot_ref = ray.put(hot_keys)
+
+    def side(ds, keep_hot: bool):
+        def filt(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return batch
+            mask = pc.is_in(batch[key], value_set=ray.get(hot_ref))
+            return batch.filter(mask if keep_hot else pc.invert(mask))
+
+        return ds.map_batches(filt, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # hot dimension slice -> one driver-side Arrow table (contract above)
+    hot_dim_batches = list(side(right_ds, True)
+                           .iter_batches(batch_format="pyarrow"))
+    hot_dim = (pa.concat_tables(hot_dim_batches) if hot_dim_batches
+               else rs.empty_table())
+    if hot_dim.num_rows:
+        k_idx = hot_dim.column_names.index(key)
+        hot_dim = hot_dim.set_column(
+            k_idx, key, pc.cast(hot_dim[key], ls.field(key).type))
+    dim_ref = ray.put(hot_dim)
+
+    def hot_join(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return pa.table({c: [] for c in out_cols})
+        out = batch.join(ray.get(dim_ref), keys=[key], join_type="inner")
+        return out.select(out_cols)
+
+    hot_out = side(left_ds, True).map_batches(
+        hot_join, batch_format="pyarrow", zero_copy_batch=True)
+    cold_out = bucket_join(side(left_ds, False), side(right_ds, False),
+                           key=key, join_type="inner", n_buckets=n_buckets,
+                           left_schema=ls, right_schema=rs)
+    reorder = lambda b: b.select(out_cols)  # noqa: E731
+    return hot_out.union(
+        cold_out.map_batches(reorder, batch_format="pyarrow"))

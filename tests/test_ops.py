@@ -673,6 +673,34 @@ def test_bloom_join_exact_and_prefilter():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_skew_join_matches_plain_join():
+    """skew_join == bucket_join inner on Zipf-skewed keys, with right
+    multiplicity, whether or not any key crosses the hot threshold."""
+    import ray.data
+
+    from kgrecrun.ops.cogroup import bucket_join
+    from kgrecrun.ops.skew import skew_join
+
+    rng = np.random.RandomState(3)
+    k = rng.zipf(1.3, 8000) % 500
+    left = pa.table({"k": pa.array(k, pa.int64()),
+                     "p": pa.array(np.arange(8000), pa.int64())})
+    rk = np.concatenate([np.arange(0, 400), np.arange(0, 40)])  # dup keys
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "attr": pa.array(rk * 10 + 1, pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(6)
+    rds = ray.data.from_arrow(right).repartition(3)
+
+    def rows(ds):
+        return sorted(map(tuple,
+                          ds.to_pandas()[["k", "p", "attr"]].itertuples(index=False)))
+
+    plain = rows(bucket_join(lds, rds, key="k", join_type="inner"))
+    assert rows(skew_join(lds, rds, key="k", hot_mult=4.0)) == plain  # hot+cold
+    assert rows(skew_join(lds, rds, key="k", hot_mult=1e9)) == plain  # all cold
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_rollup_levels_consistent():
     import ray.data
 
