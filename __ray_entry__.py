@@ -215,6 +215,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def kg_entity_degrees(sf_dir: str):
+        """Graph-shape analytics over the materialized KG: in/out degree
+        per canonical entity over DISTINCT triples — map-side partial
+        counts (subj and obj folded in one pass), one narrow shuffle.
+        Oracle: degree SQL over the planted-triples golden (valid
+        because kg_triples reproduces it exactly at sf0.01)."""
+        triples = _kg(sf_dir)["triples"]
+
+        def partial(b: pa.Table) -> pa.Table:
+            s = b.select(["subj"]).group_by("subj").aggregate([([], "count_all")])
+            o = b.select(["obj"]).group_by("obj").aggregate([([], "count_all")])
+            return pa.concat_tables([
+                pa.table({"entity": s["subj"],
+                          "out_local": pc.cast(s["count_all"], pa.int64()),
+                          "in_local": pa.nulls(s.num_rows, pa.int64()).fill_null(0)}),
+                pa.table({"entity": o["obj"],
+                          "out_local": pa.nulls(o.num_rows, pa.int64()).fill_null(0),
+                          "in_local": pc.cast(o["count_all"], pa.int64())}),
+            ])
+
+        agg = (triples.map_batches(partial, batch_format="pyarrow")
+               .groupby("entity").sum(["out_local", "in_local"]))
+        return agg.map_batches(
+            lambda b: b.rename_columns(["entity", "out_deg", "in_deg"]),
+            batch_format="pyarrow",
+        )
+
     def kg_text_nodes(sf_dir: str):
         from kgrecrun.extract.stage import explode_text_nodes
 
@@ -621,6 +648,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
         return skew_join(ev, cust, key="user_id", hot_mult=1.2)
+
+    def events_user_distinct_hll(sf_dir: str):
+        """Approximate distinct users per event_type via HYPERLOGLOG
+        (m=4096 registers, md5 hash) — the sketch family's scale path
+        past linear counting's saturation; the harmonic denominator is
+        an exact integer (HUGEINT in the oracle), so the estimate is
+        DuckDB-value-exact."""
+        import ray.data
+
+        from kgrecrun.ops.stats import hll_distinct
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        res = hll_distinct(ds, key="event_type", value_col="user_id")
+        return res.map_batches(lambda b: _round6(b, ["est_distinct"]), batch_format="pyarrow")
 
     def events_in_sessions(sf_dir: str):
         """Containment RANGE JOIN: each event attaches the session
@@ -2422,6 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_multipage": kg_multipage,
         "kg_crawl_rounds": kg_crawl_rounds,
         "kg_text_nodes": kg_text_nodes,
+        "kg_entity_degrees": kg_entity_degrees,
         "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,
@@ -2485,6 +2529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": orders_with_returns,
         "orders_without_returns": orders_without_returns,
         "events_customer_join": events_customer_join,
+        "events_user_distinct_hll": events_user_distinct_hll,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,
@@ -2971,6 +3016,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": """
             SELECT subj, pred, obj, n_sources
             FROM read_parquet('/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
+        """,
+        "kg_entity_degrees": """
+            WITH t AS (SELECT subj, obj FROM
+                read_parquet('/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')),
+            s AS (SELECT subj AS entity, COUNT(*) AS out_deg FROM t GROUP BY subj),
+            o AS (SELECT obj AS entity, COUNT(*) AS in_deg FROM t GROUP BY obj)
+            SELECT COALESCE(s.entity, o.entity) AS entity,
+                   COALESCE(out_deg, 0) AS out_deg,
+                   COALESCE(in_deg, 0) AS in_deg
+            FROM s FULL OUTER JOIN o ON s.entity = o.entity
         """,
         "doc_sample": f"""
             SELECT doc_id, lang FROM documents
@@ -4490,6 +4545,44 @@ def oracle_sql() -> dict[str, str]:
                    round(-4096.0 * ln(1 - least(COUNT(*), 4095) / 4096.0), 6)
                        AS est_distinct
             FROM s GROUP BY event_type
+        """,
+        "events_user_distinct_hll": """
+            WITH h AS (
+                SELECT event_type,
+                       md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+                FROM events
+            ), r AS (
+                SELECT event_type,
+                       CAST(hv % 4096 AS BIGINT) AS reg,
+                       -- rank of the first set bit in the 52-bit window:
+                       -- bin() has no leading zeros, so its length IS
+                       -- bit_length(w); w=0 -> all-zeros rank 53
+                       CASE WHEN hv // 4096 = 0 THEN 53
+                            ELSE 53 - length(bin(hv // 4096)) END AS rho
+                FROM h
+            ), mx AS (
+                SELECT event_type, reg, MAX(rho) AS rho
+                FROM r GROUP BY event_type, reg
+            ), agg AS (
+                SELECT event_type, COUNT(*) AS occupied,
+                       -- EXACT integer harmonic denominator: occupied
+                       -- registers add 2^(64-rho), empties add 2^64
+                       SUM(CAST(1 AS HUGEINT) << (64 - rho))
+                         + (4096 - COUNT(*)) * (CAST(1 AS HUGEINT) << 64)
+                         AS s_total
+                FROM mx GROUP BY event_type
+            ), est AS (
+                SELECT event_type, occupied,
+                       0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                         * (CAST(CAST(1 AS HUGEINT) << 64 AS DOUBLE)
+                            / CAST(s_total AS DOUBLE)) AS raw
+                FROM agg
+            )
+            SELECT event_type, occupied,
+                   round(CASE WHEN raw <= 10240.0 AND occupied < 4096
+                              THEN 4096.0 * ln(4096.0 / (4096 - occupied))
+                              ELSE raw END, 6) AS est_distinct
+            FROM est
         """,
         "events_rollup": """
             WITH e AS (

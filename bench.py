@@ -124,6 +124,8 @@ def bench_main() -> None:
         "lang_confusion",
         "event_trigram_paths", "events_value_winsorized", "events_value_tiers",
         "embedding_pq_codes", "orders_next_event", "sessions_overlap_purchases",
+        "orders_with_returns", "orders_without_returns",
+        "events_customer_join", "events_user_distinct_hll",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

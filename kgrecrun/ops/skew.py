@@ -78,6 +78,8 @@ def salted_count_sum(ds, key: str, *, sum_col: str | None = None, salts: int = 1
 
 def skew_join(left_ds, right_ds, *, key: str, hot_mult: float = 8.0,
               hot_cap: int = 4096, n_buckets: int = 256,
+              hot_keys: pa.Array | list | None = None,
+              detect_rows: int | None = None,
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None):
     """Skew-resilient INNER equi-join — the hot-key hybrid: a straight
@@ -100,6 +102,14 @@ def skew_join(left_ds, right_ds, *, key: str, hot_mult: float = 8.0,
        with a huge right side needs upstream salting instead.
     4. Cold rows take the ordinary bucketed cogroup join (ONE shuffle,
        dispatch capped at n_buckets).
+
+    Detection cost controls (routing-only — a missed hot key simply
+    routes cold, output unchanged): ``hot_keys`` skips detection
+    entirely (the caller knows the head — a dictionary of hot
+    entities, yesterday's detection output); ``detect_rows`` counts
+    over only the first N left rows (a head key is visible in any
+    sample by definition), bounding the detection scan to a constant
+    instead of a full extra pass over the left side.
     """
     import ray
 
@@ -109,28 +119,37 @@ def skew_join(left_ds, right_ds, *, key: str, hot_mult: float = 8.0,
     rs = right_schema or _arrow_schema(right_ds.schema())
     out_cols = list(ls.names) + [n for n in rs.names if n != key]
 
-    def pre(b: pa.Table) -> pa.Table:
-        t = b.select([key]).group_by(key).aggregate([([], "count_all")])
-        return t.rename_columns([key, "n_local"])
+    if hot_keys is None:
+        def pre(b: pa.Table) -> pa.Table:
+            t = b.select([key]).group_by(key).aggregate([([], "count_all")])
+            return t.rename_columns([key, "n_local"])
 
-    counts = (left_ds.map_batches(pre, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-              .groupby(key).sum("n_local")
-              .map_batches(lambda b: b.rename_columns([key, "n"]),
-                           batch_format="pyarrow"))
-    stats = counts.aggregate(ray.data.aggregate.Sum("n"),
-                             ray.data.aggregate.Count())
-    total = stats.get("sum(n)") or 0
-    n_keys = stats.get("count()") or 0
-    if not n_keys:
-        return bucket_join(left_ds, right_ds, key=key, join_type="inner",
-                           n_buckets=n_buckets, left_schema=ls,
-                           right_schema=rs)
-    thresh = hot_mult * (total / n_keys)
-    hot_rows = (counts.filter(expr=f"n >= {thresh}")
-                .sort("n", descending=True).limit(hot_cap)
-                .take_all())
-    hot_keys = pa.array([r[key] for r in hot_rows], ls.field(key).type)
+        detect_src = (left_ds.limit(detect_rows) if detect_rows
+                      else left_ds)
+        # materialize: the counts table is NARROW (one row per distinct
+        # left key, object-store-resident) and feeds BOTH the mean
+        # computation and the hot filter below — without this the
+        # detection scan would run twice.
+        counts = (detect_src.map_batches(pre, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+                  .groupby(key).sum("n_local")
+                  .map_batches(lambda b: b.rename_columns([key, "n"]),
+                               batch_format="pyarrow")
+                  .materialize())
+        stats = counts.aggregate(ray.data.aggregate.Sum("n"),
+                                 ray.data.aggregate.Count())
+        total = stats.get("sum(n)") or 0
+        n_keys = stats.get("count()") or 0
+        if not n_keys:
+            return bucket_join(left_ds, right_ds, key=key, join_type="inner",
+                               n_buckets=n_buckets, left_schema=ls,
+                               right_schema=rs)
+        thresh = hot_mult * (total / n_keys)
+        hot_rows = (counts.filter(expr=f"n >= {thresh}")
+                    .sort("n", descending=True).limit(hot_cap)
+                    .take_all())
+        hot_keys = [r[key] for r in hot_rows]
+    hot_keys = pa.array(list(hot_keys), ls.field(key).type)
 
     if len(hot_keys) == 0:
         return bucket_join(left_ds, right_ds, key=key, join_type="inner",

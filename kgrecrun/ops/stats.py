@@ -995,3 +995,105 @@ def _SumAgg(col):
     from ray.data.aggregate import Sum
 
     return Sum(col)
+
+
+def hll_distinct(
+    ds,
+    *,
+    key: str,
+    value_col: str,
+    p: int = 12,
+    key_type: pa.DataType = pa.string(),
+    n_buckets: int = N_BUCKETS,
+):
+    """Approximate COUNT(DISTINCT value) per group via HYPERLOGLOG —
+    the scale path past linear counting's ~34k/group saturation
+    (:func:`approx_distinct`): per-group state is m = 2^p registers
+    (4 KiB at p=12) REGARDLESS of cardinality, good to ~2^50 distinct
+    values at a typical 1.04/√m ≈ 1.6% standard error.
+
+    Bit-reproducible in SQL, making the sketch value-exact against a
+    DuckDB oracle: the md5-low-64 hash (``md5_number_upper``) splits
+    into register = h % m and w = h >> p; the rank ρ = (64−p) −
+    bit_length(w) + 1 mirrors ``length(bin(w))``; register maxima
+    reduce associatively (one bucketed shuffle carries ≤ m rows per
+    group per block); and the harmonic denominator is an EXACT integer
+    S = Σ_reg 2^(64−ρ) (empty registers contribute 2^64) summed in
+    arbitrary precision (HUGEINT in SQL, Python ints here), so the
+    estimate is ONE identically-rounded float division of identical
+    inputs on both sides — no order-dependent float reduction.
+    Small-range correction (raw ≤ 2.5m, zeros > 0) falls back to
+    linear counting, same as the SQL mirror.
+
+    Per-key finalize cost: the register table is ≤ m rows per key, and
+    per-key Python appears only in the big-int S fold — the documented
+    small-KEY-domain assumption shared with :func:`approx_distinct`
+    (group domains like event_type/lang; bucket-cogrouped so dispatch
+    stays at n_buckets either way).
+
+    Output: (key, occupied int64, est_distinct float64 — caller rounds
+    6dp to match SQL ``round``).
+    """
+    from ..kg.unionfind import hash_bucket
+    from .sample import _hash64
+
+    m = 1 << p
+    rho_max = 64 - p + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _hash64(batch[value_col].to_pylist())
+        reg = (h % np.uint64(m)).astype(np.int64)
+        w = h >> np.uint64(p)
+        # w < 2^(64-p) ≤ 2^52 at p≥12 → float64-exact, frexp exponent
+        # IS bit_length(w)
+        _, ex = np.frexp(w.astype(np.float64))
+        rho = np.where(w == 0, rho_max, rho_max - ex).astype(np.int64)
+        t = pa.table({key: batch[key], "reg": pa.array(reg, pa.int64()),
+                      "rho": pa.array(rho, pa.int64())})
+        t = t.group_by([key, "reg"]).aggregate([("rho", "max")])
+        t = t.rename_columns([key, "reg", "rho"])
+        return t.append_column(
+            "__bucket", hash_bucket(t[key].combine_chunks(), n_buckets))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema(
+        [(key, key_type), ("occupied", pa.int64()), ("est_distinct", pa.float64())]
+    )
+    alpha_mm = 0.7213 / (1.0 + 1.079 / float(m)) * float(m) * float(m)
+    two64 = 1 << 64
+
+    def finalize(group: pa.Table) -> pa.Table:
+        mx = (group.select([key, "reg", "rho"])
+              .group_by([key, "reg"]).aggregate([("rho", "max")]))
+        idx = pc.sort_indices(mx, sort_keys=[(key, "ascending")])
+        t = mx.take(idx)
+        rho = t["rho_max"].combine_chunks().to_numpy(zero_copy_only=False)
+        kv = t[key].combine_chunks()
+        n = len(rho)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = ~pc.equal(kv.slice(1), kv.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        occ = np.diff(np.append(starts, n)).astype(np.int64)
+        # exact per-term 2^(64-ρ) fits uint64 (ρ ≥ 1); the SUM needs
+        # arbitrary precision → object dtype (Python ints), reduceat
+        terms = (np.uint64(1) << (np.uint64(64) - rho.astype(np.uint64)))
+        seg = np.add.reduceat(terms.astype(object), starts)
+        est = np.empty(len(starts), np.float64)
+        for i, (s_occ, z) in enumerate(zip(seg, occ)):
+            s_total = int(s_occ) + (m - int(z)) * two64
+            raw = alpha_mm * (float(two64) / float(s_total))
+            zeros = m - int(z)
+            if raw <= 2.5 * m and zeros > 0:
+                raw = float(m) * float(np.log(float(m) / float(zeros)))
+            est[i] = raw
+        return pa.table({
+            key: pc.cast(kv.take(pa.array(starts, pa.int64())), key_type),
+            "occupied": pa.array(occ, pa.int64()),
+            "est_distinct": pa.array(est, pa.float64()),
+        }, schema=out_schema)
+
+    return partials.groupby("__bucket").map_groups(
+        finalize, batch_format="pyarrow")

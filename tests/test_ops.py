@@ -673,6 +673,39 @@ def test_bloom_join_exact_and_prefilter():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_accuracy_and_shard_invariance():
+    """HLL estimates within ~3σ (≈5%) of the exact distinct count at
+    cardinality far beyond linear counting's saturation, identical
+    across blockings (register maxima are associative), and the
+    small-range branch agrees with linear counting."""
+    import ray.data
+
+    from kgrecrun.ops.stats import hll_distinct
+
+    # two groups: 120k-distinct (raw HLL branch) and 300-distinct
+    # (small-range linear-counting branch); duplicated values
+    n_big, n_small = 120_000, 300
+    vals = np.concatenate([np.arange(n_big), np.arange(n_big // 2),
+                           np.arange(n_small) + 10**9])
+    grp = np.array(["big"] * (n_big + n_big // 2) + ["small"] * n_small)
+    t = pa.table({"g": pa.array(grp), "v": pa.array(vals, pa.int64())})
+
+    def run(blocks):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = hll_distinct(ds, key="g", value_col="v").to_pandas()
+        return {r["g"]: (r["occupied"], r["est_distinct"])
+                for _, r in out.iterrows()}
+
+    a, b = run(3), run(11)
+    assert a == b  # shard-invariant sketch
+    assert abs(a["big"][1] - n_big) / n_big < 0.05
+    assert abs(a["small"][1] - n_small) / n_small < 0.05
+    # small group used the linear-counting correction exactly
+    m, z = 4096, a["small"][0]
+    assert a["small"][1] == pytest.approx(m * np.log(m / (m - z)), rel=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_skew_join_matches_plain_join():
     """skew_join == bucket_join inner on Zipf-skewed keys, with right
     multiplicity, whether or not any key crosses the hot threshold."""
