@@ -649,6 +649,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return skew_join(ev, cust, key="user_id", hot_mult=1.2)
 
+    def nation_market_share(sf_dir: str):
+        """TPC-H Q8-shaped market share: per-order-year revenue fraction
+        supplied by NATION_1 within AMERICA-region customers' PROMO-part
+        orders — broadcast dims, map-side pruning before any exchange,
+        two bucketed cogroups, exact int64 cent sums, one
+        identically-rounded division (ops/relational.py)."""
+        from kgrecrun.ops.relational import nation_market_share as nms
+
+        return nms(sf_dir)
+
+    def waiting_suppliers(sf_dir: str):
+        """TPC-H Q21-shaped multi-EXISTS report: orders with ≥2 distinct
+        suppliers where exactly ONE shipped ≥60 days late, counted per
+        late supplier — the whole predicate evaluates vectorized inside
+        one orderkey-bucketed cogroup (ops/relational.py)."""
+        from kgrecrun.ops.relational import sole_late_supplier_counts
+
+        return sole_late_supplier_counts(sf_dir)
+
     def events_user_distinct_hll(sf_dir: str):
         """Approximate distinct users per event_type via HYPERLOGLOG
         (m=4096 registers, md5 hash) — the sketch family's scale path
@@ -2530,6 +2549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_returns": orders_without_returns,
         "events_customer_join": events_customer_join,
         "events_user_distinct_hll": events_user_distinct_hll,
+        "nation_market_share": nation_market_share,
+        "waiting_suppliers": waiting_suppliers,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,
@@ -4545,6 +4566,48 @@ def oracle_sql() -> dict[str, str]:
                    round(-4096.0 * ln(1 - least(COUNT(*), 4095) / 4096.0), 6)
                        AS est_distinct
             FROM s GROUP BY event_type
+        """,
+        "nation_market_share": """
+            WITH scope AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+                            AS BIGINT) AS cents,
+                       CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation
+                                                WHERE n_name = 'NATION_1')
+                            THEN 1 ELSE 0 END AS is_t
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region   ON cn.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN part     ON l_partkey = p_partkey
+                WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+            )
+            SELECT o_year,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(cents * is_t) AS BIGINT) AS nation_cents,
+                   round(CAST(SUM(cents * is_t) AS DOUBLE)
+                         / CAST(SUM(cents) AS DOUBLE), 6) AS mkt_share
+            FROM scope GROUP BY 1 ORDER BY 1
+        """,
+        "waiting_suppliers": """
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_shipdate >= o_orderdate
+                                     + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ), o AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+                       MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+                FROM ls GROUP BY 1
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM o JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY 1 ORDER BY numwait DESC, s_name
         """,
         "events_user_distinct_hll": """
             WITH h AS (

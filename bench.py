@@ -126,6 +126,7 @@ def bench_main() -> None:
         "embedding_pq_codes", "orders_next_event", "sessions_overlap_purchases",
         "orders_with_returns", "orders_without_returns",
         "events_customer_join", "events_user_distinct_hll",
+        "nation_market_share", "waiting_suppliers", "kg_entity_degrees",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -1561,3 +1561,249 @@ def forecast_revenue_change(sf_dir: str, *, year_lo: str = "1995-01-01",
         lambda b: b.rename_columns(["k", "revenue_cents"])
         .select(["revenue_cents"]),
         batch_format="pyarrow")
+
+
+def nation_market_share(sf_dir: str, *, region: str = "AMERICA",
+                        nation: str = "NATION_1", p_type: str = "PROMO"):
+    """TPC-H Q8-shaped market share: among orders placed by customers
+    of one region for parts of one type, the per-order-year revenue
+    fraction supplied by one nation.
+
+    Scale shape: the part-type key set and the supplier→nationkey map
+    broadcast (catalog-order); lineitem drops non-type rows map-side
+    BEFORE any exchange; region membership reaches orders through one
+    custkey cogroup (Q7 pattern) and meets lineitem in a second
+    orderkey cogroup where per-year (total, nation) cent partials fold
+    map-side — the final shuffle is a ≤ #years-row groupby. The share
+    is ONE identically-rounded float division of two exact int64 cent
+    sums, so the output is DuckDB-value-exact.
+
+    Output: (o_year, total_cents, nation_cents, mkt_share) sorted by
+    year.
+    """
+    import ray.data
+
+    from .cogroup import bucket_join
+    from .joins import broadcast_lookup
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"][0].as_py()
+    region_nations = np.sort(pc.cast(
+        nat.filter(pc.equal(pc.cast(nat["n_regionkey"], pa.int64()),
+                            rkey))["n_nationkey"], pa.int64()
+    ).to_numpy(zero_copy_only=False))
+    target_key = pc.cast(
+        nat.filter(pc.equal(nat["n_name"], nation))["n_nationkey"],
+        pa.int64())[0].as_py()
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    type_keys = np.sort(pc.cast(
+        part.filter(pc.equal(part["p_type"], p_type))["p_partkey"],
+        pa.int64()).to_numpy(zero_copy_only=False))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = pa.table({
+        "l_suppkey": pc.cast(supp["s_suppkey"], pa.int64()),
+        "s_nationkey": pc.cast(supp["s_nationkey"], pa.int64()),
+    })
+
+    def cust_proj(batch: pa.Table) -> pa.Table:
+        nk = pc.cast(batch["c_nationkey"], pa.int64()).combine_chunks()
+        keep = np.isin(nk.to_numpy(zero_copy_only=False), region_nations)
+        return pa.table({"o_custkey": batch["c_custkey"]}).filter(
+            pa.array(keep))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    def orders_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_custkey"],
+    ).map_batches(orders_proj, batch_format="pyarrow", zero_copy_batch=True)
+    o_scope = bucket_join(
+        orders, cust, key="o_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_year", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+        right_distinct=True,
+    ).map_batches(lambda b: b.select(["o_orderkey", "o_year"]),
+                  batch_format="pyarrow", zero_copy_batch=True)
+
+    def line_proj(batch: pa.Table) -> pa.Table:
+        pk = pc.cast(batch["l_partkey"], pa.int64()).combine_chunks()
+        keep = np.isin(pk.to_numpy(zero_copy_only=False), type_keys)
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev_cents": _cents(pc.multiply(
+                pc.cast(t["l_extendedprice"], pa.float64()),
+                pc.subtract(pa.scalar(1.0),
+                            pc.cast(t["l_discount"], pa.float64())))),
+        })
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(line_proj, batch_format="pyarrow", zero_copy_batch=True)
+    line = broadcast_lookup(line, supp, key="l_suppkey")
+
+    joined = bucket_join(
+        line, o_scope, key="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("rev_cents", pa.int64()),
+                               ("s_nationkey", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_year", pa.int64())]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        is_t = pc.cast(pc.equal(batch["s_nationkey"], target_key),
+                       pa.int64())
+        t = pa.table({
+            "o_year": batch["o_year"],
+            "total_local": batch["rev_cents"],
+            "nation_local": pc.multiply(batch["rev_cents"], is_t),
+        })
+        return (t.group_by("o_year")
+                .aggregate([("total_local", "sum"), ("nation_local", "sum")])
+                .rename_columns(["o_year", "total_local", "nation_local"]))
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("o_year").sum(["total_local", "nation_local"]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.rename_columns(["o_year", "total_cents", "nation_cents"])
+        share = pc.round(
+            pc.divide(pc.cast(b["nation_cents"], pa.float64()),
+                      pc.cast(b["total_cents"], pa.float64())),
+            ndigits=6, round_mode="half_towards_infinity")
+        return b.append_column("mkt_share", share)
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+def sole_late_supplier_counts(sf_dir: str, *, grace_days: int = 60):
+    """TPC-H Q21-shaped waiting-supplier report: on orders with ≥ 2
+    distinct suppliers where EXACTLY ONE supplier shipped late
+    (l_shipdate ≥ o_orderdate + grace), count such orders per that
+    late supplier. (The reference Q21 uses receipt/commit dates the
+    synthetic schema lacks; the order-date grace mirrors the Q4
+    shape.)
+
+    Scale shape: lineitem ships only (orderkey, suppkey, shipdate);
+    orders ship (orderkey, orderdate). ONE orderkey-bucketed cogroup
+    evaluates the whole multi-EXISTS predicate vectorized inside each
+    bucket (two lexsorts + segment reduceats — per-order Python never
+    happens); the verdict stream is one row per qualifying order, and
+    a native suppkey groupby-count plus a broadcast name lookup
+    finish. Output: (s_name, numwait) sorted by numwait DESC, s_name.
+    """
+    import ray.data
+
+    from ..kg.unionfind import hash_bucket
+    from .joins import broadcast_lookup
+
+    us_day = 86_400_000_000
+    grace_us = grace_days * us_day
+
+    def line_proj(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "okey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "skey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "ship_us": pc.cast(pc.cast(batch["l_shipdate"],
+                                       pa.timestamp("us")), pa.int64()),
+            "odate_us": pa.array(np.full(batch.num_rows, -1, np.int64)),
+        })
+        return t.append_column(
+            "__bucket", hash_bucket(t["okey"].combine_chunks(), 256))
+
+    def orders_proj(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "okey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "skey": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            "ship_us": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            "odate_us": pc.cast(pc.cast(batch["o_orderdate"],
+                                        pa.timestamp("us")), pa.int64()),
+        })
+        return t.append_column(
+            "__bucket", hash_bucket(t["okey"].combine_chunks(), 256))
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(line_proj, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(orders_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sweep(group: pa.Table) -> pa.Table:
+        okey = group["okey"].combine_chunks().to_numpy(zero_copy_only=False)
+        skey = group["skey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ship = group["ship_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        odate = group["odate_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_line = skey >= 0
+        # orders first within each okey (odate row), then its lines
+        order1 = np.lexsort((is_line.astype(np.int8), okey))
+        okey, skey, ship, odate, is_line = (
+            okey[order1], skey[order1], ship[order1], odate[order1],
+            is_line[order1])
+        n = len(okey)
+        # forward-fill the order date onto line rows by POSITION (one
+        # order row per okey precedes its lines; max-accumulating the
+        # date itself would be wrong when a later order is older)
+        pos = np.arange(n, dtype=np.int64)
+        src = np.maximum.accumulate(np.where(~is_line, pos, np.int64(-1)))
+        safe = np.maximum(src, 0)
+        filled = odate[safe]
+        has_order = (src >= 0) & (okey[safe] == okey)
+        late = is_line & has_order & (ship >= filled + grace_us)
+        lo, ls, llate = okey[is_line], skey[is_line], late[is_line]
+        if len(lo) == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
+        # per (okey, skey): late_any; per okey over supplier segments:
+        # n_supp, n_late, the late suppkey
+        order2 = np.lexsort((ls, lo))
+        lo, ls, llate = lo[order2], ls[order2], llate[order2]
+        pair_first = np.ones(len(lo), bool)
+        pair_first[1:] = (lo[1:] != lo[:-1]) | (ls[1:] != ls[:-1])
+        pstart = np.flatnonzero(pair_first)
+        p_okey, p_skey = lo[pstart], ls[pstart]
+        p_late = np.maximum.reduceat(llate.astype(np.int64), pstart)
+        o_first = np.ones(len(p_okey), bool)
+        o_first[1:] = p_okey[1:] != p_okey[:-1]
+        ostart = np.flatnonzero(o_first)
+        n_supp = np.diff(np.append(ostart, len(p_okey)))
+        n_late = np.add.reduceat(p_late, ostart)
+        late_sk = np.add.reduceat(p_skey * p_late, ostart)  # valid iff n_late==1
+        ok = (n_supp >= 2) & (n_late == 1)
+        return pa.table({"s_suppkey": pa.array(late_sk[ok], pa.int64())})
+
+    verdicts = (line.union(orders)
+                .groupby("__bucket")
+                .map_groups(sweep, batch_format="pyarrow"))
+    counts = verdicts.groupby("s_suppkey").count().map_batches(
+        lambda b: b.rename_columns(["s_suppkey", "numwait"]),
+        batch_format="pyarrow")
+    names = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    names = pa.table({"s_suppkey": pc.cast(names["s_suppkey"], pa.int64()),
+                      "s_name": names["s_name"]})
+    out = broadcast_lookup(counts, names, key="s_suppkey").map_batches(
+        lambda b: b.select(["s_name", "numwait"]), batch_format="pyarrow")
+    return out.sort(["numwait", "s_name"], descending=[True, False])

@@ -61,6 +61,12 @@ SUBSET = [
     "events_running_max",
     "docs_source_overlap",
     "events_gap_histogram",
+    # round-3 session-5 additions: bloom joins, skew-hybrid join, HLL,
+    # Q8/Q21 shapes
+    "orders_with_returns",
+    "events_customer_join",
+    "events_user_distinct_hll",
+    "waiting_suppliers",
 ]
 
 
