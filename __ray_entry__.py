@@ -668,6 +668,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sole_late_supplier_counts(sf_dir)
 
+    def user_purchase_patterns(sf_dir: str):
+        """CEP over per-user event history: count non-overlapping
+        'v+p' (views-then-purchase) regex matches on each user's
+        time-ordered event-code string — one bucketed shuffle, one
+        vectorized RE2 kernel over all sequences (ops/window.py
+        event_sequence_pattern)."""
+        import ray.data
+
+        from kgrecrun.ops.window import event_sequence_pattern
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        ).map_batches(
+            lambda b: pa.table({
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+                "event_id": b["event_id"],
+                "code": pc.utf8_slice_codeunits(b["event_type"], 0, 1),
+            }),
+            batch_format="pyarrow",
+        )
+        return event_sequence_pattern(
+            ev, key="user_id", ts_col="ts_us", tiebreak_col="event_id",
+            code_col="code", pattern="v+p",
+        )
+
     def events_user_distinct_hll(sf_dir: str):
         """Approximate distinct users per event_type via HYPERLOGLOG
         (m=4096 registers, md5 hash) — the sketch family's scale path
@@ -2551,6 +2578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_distinct_hll": events_user_distinct_hll,
         "nation_market_share": nation_market_share,
         "waiting_suppliers": waiting_suppliers,
+        "user_purchase_patterns": user_purchase_patterns,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,
@@ -4608,6 +4636,19 @@ def oracle_sql() -> dict[str, str]:
             FROM o JOIN supplier ON late_supp = s_suppkey
             WHERE n_supp >= 2 AND n_late = 1
             GROUP BY 1 ORDER BY numwait DESC, s_name
+        """,
+        "user_purchase_patterns": """
+            WITH s AS (
+                SELECT user_id,
+                       string_agg(substr(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(length(seq) AS BIGINT) AS seq_len,
+                   CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT)
+                       AS n_matches
+            FROM s
         """,
         "events_user_distinct_hll": """
             WITH h AS (

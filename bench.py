@@ -127,6 +127,7 @@ def bench_main() -> None:
         "orders_with_returns", "orders_without_returns",
         "events_customer_join", "events_user_distinct_hll",
         "nation_market_share", "waiting_suppliers", "kg_entity_degrees",
+        "user_purchase_patterns",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -1102,3 +1102,53 @@ def group_gap_stats(ds, *, key: str, ts: str, tie: str,
 
     return (_bucketed(ds, key).groupby("__bucket")
             .map_groups(sweep, batch_format="pyarrow"))
+
+
+def event_sequence_pattern(ds, *, key: str, ts_col: str, tiebreak_col: str,
+                           code_col: str, pattern: str,
+                           key_type: pa.DataType = pa.int64()):
+    """Complex-event pattern matching (MATCH_RECOGNIZE shape): each
+    key's events are totally ordered by (ts, tiebreak), their
+    single-char codes concatenated into a sequence string, and a
+    compiled RE2 pattern counted non-overlapping over it — e.g.
+    ``v+p`` = "one or more views immediately followed by a purchase".
+
+    Fully vectorized: ONE bucketed shuffle co-locates a key's events;
+    inside the bucket one lexsort + an Arrow ListArray/binary_join
+    builds every key's sequence at once, and ``count_substring_regex``
+    (RE2 — the same engine DuckDB's regexp functions use, so greedy
+    non-overlapping counts agree) scans all sequences in one kernel
+    call. Per-key Python never happens.
+
+    Scale contract: a key's concatenated code string must fit a worker
+    (one byte per event — 10^8 events/key before this matters).
+
+    Output: (key, seq_len int64, n_matches int64).
+    """
+
+    def sweep(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(key, "ascending"), (ts_col, "ascending"),
+                       (tiebreak_col, "ascending")],
+        )
+        g = group.take(order)
+        ka = g[key].combine_chunks()
+        codes = pc.cast(g[code_col].combine_chunks(), pa.string())
+        n = len(ka)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = ~pc.equal(ka.slice(1), ka.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        offsets = pa.array(np.append(starts, n).astype(np.int32))
+        seqs = pc.binary_join(pa.ListArray.from_arrays(offsets, codes), "")
+        matches = pc.count_substring_regex(seqs, pattern)
+        return pa.table({
+            key: pc.cast(ka.take(pa.array(starts, pa.int64())), key_type),
+            "seq_len": pc.cast(pc.utf8_length(seqs), pa.int64()),
+            "n_matches": pc.cast(matches, pa.int64()),
+        })
+
+    return _bucketed(ds, key).groupby("__bucket").map_groups(
+        sweep, batch_format="pyarrow")

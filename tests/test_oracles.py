@@ -67,6 +67,7 @@ SUBSET = [
     "events_customer_join",
     "events_user_distinct_hll",
     "waiting_suppliers",
+    "user_purchase_patterns",
 ]
 
 
