@@ -1723,13 +1723,19 @@ def sole_late_supplier_counts(sf_dir: str, *, grace_days: int = 60):
     grace_us = grace_days * us_day
 
     def line_proj(batch: pa.Table) -> pa.Table:
-        t = pa.table({
+        # map-side combiner: late_any per supplier is MAX(shipdate) vs
+        # the grace cutoff, and max folds per batch — the exchange
+        # carries distinct (order, supplier) pairs, never raw lineitems
+        raw = pa.table({
             "okey": pc.cast(batch["l_orderkey"], pa.int64()),
             "skey": pc.cast(batch["l_suppkey"], pa.int64()),
             "ship_us": pc.cast(pc.cast(batch["l_shipdate"],
                                        pa.timestamp("us")), pa.int64()),
-            "odate_us": pa.array(np.full(batch.num_rows, -1, np.int64)),
         })
+        red = (raw.group_by(["okey", "skey"]).aggregate([("ship_us", "max")])
+               .rename_columns(["okey", "skey", "ship_us"]))
+        t = red.append_column(
+            "odate_us", pa.array(np.full(red.num_rows, -1, np.int64)))
         return t.append_column(
             "__bucket", hash_bucket(t["okey"].combine_chunks(), 256))
 
@@ -1776,7 +1782,8 @@ def sole_late_supplier_counts(sf_dir: str, *, grace_days: int = 60):
         lo, ls, llate = okey[is_line], skey[is_line], late[is_line]
         if len(lo) == 0:
             return pa.table({"s_suppkey": pa.array([], pa.int64())})
-        # per (okey, skey): late_any; per okey over supplier segments:
+        # per (okey, skey): late_any (re-reduce of the map-side max);
+        # per okey over supplier segments:
         # n_supp, n_late, the late suppkey
         order2 = np.lexsort((ls, lo))
         lo, ls, llate = lo[order2], ls[order2], llate[order2]
