@@ -673,6 +673,39 @@ def test_bloom_join_exact_and_prefilter():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_new_join_ops_empty_sides():
+    """Empty-right edge cases: bloom semi → empty, bloom anti → whole
+    left, skew join → empty; CEP with a never-matching pattern → all
+    zero counts."""
+    import ray.data
+
+    from kgrecrun.ops.joins import bloom_anti_join, bloom_semi_join
+    from kgrecrun.ops.skew import skew_join
+    from kgrecrun.ops.window import event_sequence_pattern
+
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "payload": pa.array([10, 20, 30], pa.int64())})
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "attr": pa.array([], pa.int64())})
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(empty)
+    assert bloom_semi_join(lds, rds, "k").count() == 0
+    assert sorted(r["k"] for r in bloom_anti_join(lds, rds, "k").take_all()) == [1, 2, 3]
+    assert skew_join(lds, rds, key="k",
+                     left_schema=left.schema, right_schema=empty.schema).count() == 0
+
+    ev = pa.table({"u": pa.array([1, 1, 2], pa.int64()),
+                   "t": pa.array([1, 2, 3], pa.int64()),
+                   "i": pa.array([1, 2, 3], pa.int64()),
+                   "c": pa.array(["v", "v", "c"])})
+    out = event_sequence_pattern(
+        ray.data.from_arrow(ev), key="u", ts_col="t", tiebreak_col="i",
+        code_col="c", pattern="zz+").to_pandas()
+    assert sorted(out["n_matches"]) == [0, 0]
+    assert sorted(out["seq_len"]) == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hll_distinct_accuracy_and_shard_invariance():
     """HLL estimates within ~3σ (≈5%) of the exact distinct count at
     cardinality far beyond linear counting's saturation, identical
