@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
 # Pre-driver certification: everything the graft driver will do, locally.
-# Usage: bash tools/preflight.sh   (~6 min)
+# Usage: bash tools/preflight.sh   (~30 min at 153 queries / 212 tests)
 set -e
 cd "$(dirname "$0")/.."
 echo "=== 1/4 oracle sweep (sf0.01, all queries vs DuckDB) ==="
