@@ -695,6 +695,129 @@ def queries() -> dict[str, Callable[[str], Any]]:
             code_col="code", pattern="v+p",
         )
 
+    def session_running_spend(sf_dir: str):
+        """Running aggregate with PARTITION RESET: cumulative spend per
+        event within its (user, session) window — one bucketed shuffle,
+        one global cumsum with per-segment base subtraction
+        (ops/window.py session_running_spend)."""
+        from kgrecrun.ops.window import session_running_spend as srs
+
+        return srs(sf_dir)
+
+    def user_type_breadth(sf_dir: str):
+        """Frequency-of-frequencies (engagement-breadth histogram): how
+        many users touched exactly k distinct event types. Map-side
+        distinct (user, type) pairs, ONE user-bucketed shuffle, per-user
+        breadth + per-k partials inside the bucket, tiny k-groupby."""
+        import ray.data
+
+        from kgrecrun.kg.unionfind import hash_bucket
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+
+        def pairs(b: pa.Table) -> pa.Table:
+            t = b.group_by(["user_id", "event_type"]).aggregate([])
+            return t.append_column(
+                "__bucket", hash_bucket(t["user_id"].combine_chunks(), 256))
+
+        def fold(group: pa.Table) -> pa.Table:
+            d = (group.select(["user_id", "event_type"])
+                 .group_by(["user_id", "event_type"]).aggregate([]))
+            per_user = d.group_by("user_id").aggregate([([], "count_all")])
+            k = per_user.column(1)
+            h = (pa.table({"n_types": pc.cast(k, pa.int64())})
+                 .group_by("n_types").aggregate([([], "count_all")]))
+            return h.rename_columns(["n_types", "n_local"])
+
+        agg = (ev.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("__bucket").map_groups(fold, batch_format="pyarrow")
+               .groupby("n_types").sum("n_local"))
+        return agg.map_batches(
+            lambda b: b.rename_columns(["n_types", "n_users"]),
+            batch_format="pyarrow")
+
+    def nation_revenue_share(sf_dir: str):
+        """Ratio-to-parent rollup: each nation's share of its REGION's
+        order revenue. The orders×customer custkey cogroup fuses the
+        per-custkey revenue sum into the join's single exchange
+        (bucket_join left_agg_sum); nation partials fold map-side; the
+        25-row result joins the driver-side dims and computes region
+        sums + one identically-rounded division per row."""
+        import ray.data
+
+        from kgrecrun.ops.cogroup import bucket_join
+        from kgrecrun.ops.relational import cents as as_cents
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).map_batches(
+            lambda b: pa.table({
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                "cents": as_cents(b["o_totalprice"]),
+            }), batch_format="pyarrow")
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(
+            lambda b: pa.table({
+                "o_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            }), batch_format="pyarrow")
+        j = bucket_join(
+            orders, cust, key="o_custkey",
+            left_schema=pa.schema([("o_custkey", pa.int64()),
+                                   ("cents", pa.int64())]),
+            right_schema=pa.schema([("o_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())]),
+            left_agg_sum=["cents"],
+        )
+
+        def nat_partial(b: pa.Table) -> pa.Table:
+            return (b.select(["c_nationkey", "cents"])
+                    .group_by("c_nationkey").aggregate([("cents", "sum")])
+                    .rename_columns(["c_nationkey", "cents_local"]))
+
+        agg = (j.map_batches(nat_partial, batch_format="pyarrow")
+               .groupby("c_nationkey").sum("cents_local"))
+
+        import pyarrow.parquet as _pq
+
+        nat = _pq.read_table(f"{sf_dir}/nation.parquet")
+        reg = _pq.read_table(f"{sf_dir}/region.parquet")
+
+        def finish(b: pa.Table) -> pa.Table:
+            t = b.rename_columns(["c_nationkey", "nation_cents"])
+            t = t.join(pa.table({
+                "c_nationkey": pc.cast(nat["n_nationkey"], pa.int64()),
+                "n_name": nat["n_name"],
+                "r_regionkey": pc.cast(nat["n_regionkey"], pa.int64()),
+            }), keys=["c_nationkey"])
+            t = t.join(pa.table({
+                "r_regionkey": pc.cast(reg["r_regionkey"], pa.int64()),
+                "r_name": reg["r_name"],
+            }), keys=["r_regionkey"])
+            rsum = (t.select(["r_regionkey", "nation_cents"])
+                    .group_by("r_regionkey")
+                    .aggregate([("nation_cents", "sum")])
+                    .rename_columns(["r_regionkey", "region_cents"]))
+            t = t.join(rsum, keys=["r_regionkey"])
+            share = pc.round(
+                pc.divide(pc.cast(t["nation_cents"], pa.float64()),
+                          pc.cast(t["region_cents"], pa.float64())),
+                ndigits=6, round_mode="half_towards_infinity")
+            return pa.table({
+                "n_name": t["n_name"], "r_name": t["r_name"],
+                "nation_cents": t["nation_cents"],
+                "region_cents": t["region_cents"],
+                "share": share,
+            })
+
+        # 25-nation result: one block, one vectorized finish
+        return agg.repartition(1).map_batches(
+            finish, batch_format="pyarrow", batch_size=None)
+
     def events_user_distinct_hll(sf_dir: str):
         """Approximate distinct users per event_type via HYPERLOGLOG
         (m=4096 registers, md5 hash) — the sketch family's scale path
@@ -2579,6 +2702,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": nation_market_share,
         "waiting_suppliers": waiting_suppliers,
         "user_purchase_patterns": user_purchase_patterns,
+        "session_running_spend": session_running_spend,
+        "user_type_breadth": user_type_breadth,
+        "nation_revenue_share": nation_revenue_share,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,
@@ -4636,6 +4762,56 @@ def oracle_sql() -> dict[str, str]:
             FROM o JOIN supplier ON late_supp = s_suppkey
             WHERE n_supp >= 2 AND n_late = 1
             GROUP BY 1 ORDER BY numwait DESC, s_name
+        """,
+        "session_running_spend": """
+            WITH ordered AS (
+                SELECT user_id, event_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS session_no
+                FROM ordered
+            )
+            SELECT user_id, session_no, event_id,
+                   CAST(SUM(cents) OVER (PARTITION BY user_id, session_no
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_cents
+            FROM numbered
+        """,
+        "user_type_breadth": """
+            WITH k AS (
+                SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+                FROM events GROUP BY user_id
+            )
+            SELECT CAST(n_types AS BIGINT) AS n_types,
+                   COUNT(*) AS n_users
+            FROM k GROUP BY 1
+        """,
+        "nation_revenue_share": """
+            WITH nr AS (
+                SELECT c_nationkey AS nk,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1
+            )
+            SELECT n_name, r_name, cents AS nation_cents,
+                   CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT)
+                       AS region_cents,
+                   round(CAST(cents AS DOUBLE)
+                         / CAST(SUM(cents) OVER (PARTITION BY r_name)
+                                AS DOUBLE), 6) AS share
+            FROM nr
+            JOIN nation ON nk = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
         """,
         "user_purchase_patterns": """
             WITH s AS (

@@ -128,6 +128,7 @@ def bench_main() -> None:
         "events_customer_join", "events_user_distinct_hll",
         "nation_market_share", "waiting_suppliers", "kg_entity_degrees",
         "user_purchase_patterns",
+        "session_running_spend", "user_type_breadth", "nation_revenue_share",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -1152,3 +1152,62 @@ def event_sequence_pattern(ds, *, key: str, ts_col: str, tiebreak_col: str,
 
     return _bucketed(ds, key).groupby("__bucket").map_groups(
         sweep, batch_format="pyarrow")
+
+
+def session_running_spend(sf_dir: str, gap_minutes: int = 30, *,
+                          events_ds=None):
+    """Windowed running aggregate WITH PARTITION RESET (the SQL
+    ``SUM(x) OVER (PARTITION BY user, session ORDER BY ts, id)``
+    shape): every event row gets the cumulative spend within its
+    session, sessions derived by the same gap rule and numbering as
+    :func:`sessionize_events`. Output: (user_id, session_no, event_id,
+    cum_cents).
+
+    One bucketed shuffle; inside the bucket one sort + ONE global
+    cumsum with per-session base subtraction (np.repeat of segment
+    bases) — running sums for every user and session in the bucket
+    come out of a single vectorized pass, no per-session loop.
+    """
+    import ray.data
+
+    ds = events_ds if events_ds is not None else ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sweep(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")],
+        )
+        g = group.take(order)
+        from .relational import cents as to_cents
+
+        uid = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ev = g["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        cents = to_cents(g["value"].combine_chunks()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_session = new_user.copy()
+        new_session[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_session)
+        lengths = np.diff(np.append(starts, n))
+        sess_idx = np.arange(len(starts))
+        user_first_sess = np.maximum.accumulate(
+            np.where(new_user[starts], sess_idx, 0))
+        session_no = np.repeat(sess_idx - user_first_sess + 1, lengths)
+        total = np.cumsum(cents)
+        base = np.concatenate(([0], total))[starts]  # sum before segment
+        cum = total - np.repeat(base, lengths)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "session_no": pa.array(session_no, pa.int64()),
+            "event_id": pa.array(ev, pa.int64()),
+            "cum_cents": pa.array(cum, pa.int64()),
+        })
+
+    return _bucketed(ds, "user_id").groupby("__bucket").map_groups(
+        sweep, batch_format="pyarrow")
