@@ -818,6 +818,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return agg.repartition(1).map_batches(
             finish, batch_format="pyarrow", batch_size=None)
 
+    def term_cm_counts(sf_dir: str):
+        """COUNT-MIN sketch frequency estimation for heavy terms —
+        integer-exact end to end (register sums + MIN over rows), so
+        the sketch itself is DuckDB-value-exact. Map-side per-block
+        term counts feed both the 4×1024 register grid and the exact
+        probe totals from ONE materialized pass."""
+        import ray.data
+
+        from kgrecrun.ops.stats import cm_sketch_counts
+        from kgrecrun.textnorm import ascii_words
+
+        def local(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            tf: "Counter[str]" = Counter()
+            for t in batch["text"].to_pylist():
+                tf.update(ascii_words((t or "").lower()))
+            terms = sorted(tf)
+            return pa.table({
+                "term": pa.array(terms, pa.string()),
+                "tf_local": pa.array([tf[w] for w in terms], pa.int64()),
+            })
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"])
+        partials = docs.map_batches(local, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        return cm_sketch_counts(partials, value_col="term",
+                                weight_col="tf_local",
+                                probe_min_weight=100)
+
+    def hopping_users_hll(sf_dir: str):
+        """Windowed streaming cardinality: distinct users per 2-hour
+        HOPPING window (hop 1 h) via HyperLogLog — map-side window
+        replication (each row lands in exactly 2 windows), then the
+        value-exact HLL reduction keyed by window start. The register
+        shuffle carries ≤ m rows per window per block; raw user ids
+        never co-locate."""
+        import ray.data
+
+        from kgrecrun.ops.stats import hll_distinct
+
+        hop_us = 3_600_000_000
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            f = pa.array(ts - ts % hop_us, pa.int64())
+            t0 = pa.table({"window_start_us": f, "user_id": batch["user_id"]})
+            t1 = pa.table({
+                "window_start_us": pc.subtract(f, hop_us),
+                "user_id": batch["user_id"],
+            })
+            return pa.concat_tables([t0, t1])
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+        res = hll_distinct(
+            ev.map_batches(replicate, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            key="window_start_us", value_col="user_id",
+            key_type=pa.int64())
+        return res.map_batches(lambda b: _round6(b, ["est_distinct"]),
+                               batch_format="pyarrow")
+
+    def events_value_mad(sf_dir: str):
+        """Robust location/scale per event_type: exact MEDIAN and
+        MEDIAN ABSOLUTE DEVIATION in cents — two histogram shuffles,
+        every float an exact dyadic (ops/stats.py group_mad)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents as as_cents
+        from kgrecrun.ops.stats import group_mad
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        return group_mad(ds, key="event_type",
+                         value_cents=lambda b: as_cents(b["value"]))
+
+    def media_phash_dedup(sf_dir: str):
+        """Image near-duplicate detection: actor-pool decode (real
+        BMP/PNG codecs) → 64-bit average-hash → pigeonhole hamming
+        banding → CC labels. Planted duplicate groups (container swap
+        / brightness shift / 2× upscale) cluster to their base id; the
+        pytest gate checks planted P=R=1. Rows-only (binary payloads
+        are not derivable from SQL views)."""
+        import ray.data
+
+        from kgrecrun.ops.media import phash_dedup, synth_image_corpus
+
+        n = max(100, _n_docs(sf_dir) // 5)
+
+        def gen(batch: pa.Table) -> pa.Table:
+            return synth_image_corpus(batch["id"].to_pylist())
+
+        media = ray.data.range(n).map_batches(
+            gen, batch_format="pyarrow", batch_size=64)
+        return phash_dedup(media)
+
     def events_user_distinct_hll(sf_dir: str):
         """Approximate distinct users per event_type via HYPERLOGLOG
         (m=4096 registers, md5 hash) — the sketch family's scale path
@@ -2705,6 +2804,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_running_spend": session_running_spend,
         "user_type_breadth": user_type_breadth,
         "nation_revenue_share": nation_revenue_share,
+        "term_cm_counts": term_cm_counts,
+        "hopping_users_hll": hopping_users_hll,
+        "events_value_mad": events_value_mad,
+        "media_phash_dedup": media_phash_dedup,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,
@@ -4812,6 +4915,86 @@ def oracle_sql() -> dict[str, str]:
             FROM nr
             JOIN nation ON nk = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
+        """,
+        "term_cm_counts": f"""
+            WITH tf AS (
+                SELECT term, COUNT(*) AS n_exact
+                FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+                GROUP BY term
+            ), i AS (SELECT unnest([0, 1, 2, 3]) AS i),
+            upd AS (
+                SELECT i.i AS i,
+                       CAST(md5_number_upper(CAST(i.i AS VARCHAR) || '|' || term)
+                            % 1024 AS BIGINT) AS reg,
+                       n_exact
+                FROM tf CROSS JOIN i
+            ), sk AS (
+                SELECT i, reg, CAST(SUM(n_exact) AS BIGINT) AS cnt
+                FROM upd GROUP BY 1, 2
+            ), ph AS (
+                SELECT p.term, p.n_exact, i.i AS i,
+                       CAST(md5_number_upper(CAST(i.i AS VARCHAR) || '|' || p.term)
+                            % 1024 AS BIGINT) AS reg
+                FROM (SELECT term, n_exact FROM tf WHERE n_exact >= 100) p
+                CROSS JOIN i
+            )
+            SELECT ph.term, ph.n_exact, CAST(MIN(sk.cnt) AS BIGINT) AS est_count
+            FROM ph JOIN sk ON sk.i = ph.i AND sk.reg = ph.reg
+            GROUP BY 1, 2
+        """,
+        "hopping_users_hll": """
+            WITH e AS (
+                SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS f, user_id
+                FROM events
+            ), w AS (
+                SELECT f AS window_start_us, user_id FROM e
+                UNION ALL
+                SELECT f - 3600000000, user_id FROM e
+            ), h AS (
+                SELECT window_start_us,
+                       md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+                FROM w
+            ), r AS (
+                SELECT window_start_us,
+                       CAST(hv % 4096 AS BIGINT) AS reg,
+                       CASE WHEN hv // 4096 = 0 THEN 53
+                            ELSE 53 - length(bin(hv // 4096)) END AS rho
+                FROM h
+            ), mx AS (
+                SELECT window_start_us, reg, MAX(rho) AS rho
+                FROM r GROUP BY window_start_us, reg
+            ), agg AS (
+                SELECT window_start_us, COUNT(*) AS occupied,
+                       SUM(CAST(1 AS HUGEINT) << (64 - rho))
+                         + (4096 - COUNT(*)) * (CAST(1 AS HUGEINT) << 64)
+                         AS s_total
+                FROM mx GROUP BY window_start_us
+            ), est AS (
+                SELECT window_start_us, occupied,
+                       0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+                         * (CAST(CAST(1 AS HUGEINT) << 64 AS DOUBLE)
+                            / CAST(s_total AS DOUBLE)) AS raw
+                FROM agg
+            )
+            SELECT window_start_us, occupied,
+                   round(CASE WHEN raw <= 10240.0 AND occupied < 4096
+                              THEN 4096.0 * ln(4096.0 / (4096 - occupied))
+                              ELSE raw END, 6) AS est_distinct
+            FROM est
+        """,
+        "events_value_mad": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), m AS (
+                SELECT event_type, median(cents) AS med FROM e GROUP BY 1
+            )
+            SELECT e.event_type,
+                   ANY_VALUE(m.med) AS median_cents,
+                   median(abs(e.cents - m.med)) AS mad_cents
+            FROM e JOIN m USING (event_type)
+            GROUP BY 1
         """,
         "user_purchase_patterns": """
             WITH s AS (

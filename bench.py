@@ -129,6 +129,8 @@ def bench_main() -> None:
         "nation_market_share", "waiting_suppliers", "kg_entity_degrees",
         "user_purchase_patterns",
         "session_running_spend", "user_type_breadth", "nation_revenue_share",
+        "term_cm_counts", "hopping_users_hll", "events_value_mad",
+        "media_phash_dedup",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

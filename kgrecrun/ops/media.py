@@ -23,6 +23,7 @@ import wave
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -462,3 +463,137 @@ class FrameSampleAudio:
                 "error": pa.array(errors, pa.string()),
             }
         )
+
+
+# ---------------------------------------------------- perceptual hash
+
+def ahash64(gray: np.ndarray, grid: int = 8) -> int:
+    """Average-hash: mean-pool to ``grid``×``grid``, set bit i when
+    cell i exceeds the grid mean. On integer pixels every pooled mean
+    and the grid mean are exact dyadic floats, so the hash is EXACTLY
+    invariant to (a) container swaps (BMP↔PNG of identical pixels),
+    (b) global brightness shifts that stay in range (cells and the
+    mean shift together), and (c) integer upscaling (np.repeat tiles
+    pool to identical means) — the three planted-duplicate classes the
+    tests verify. Near-identical images differ in few bits → hamming
+    banding finds them."""
+    cells = mean_pool(gray, grid, grid).ravel()
+    mean = float(cells.mean())
+    h = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            h |= 1 << i
+    return h
+
+
+class PhashMedia:
+    """Actor-pool perceptual-hash stage: decode (BMP/PNG/legacy) →
+    64-bit average-hash. Audio and undecodable rows land in ``error``
+    with the row preserved (the shared media error-column policy)."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes, errors = [], [], []
+        for i in range(batch.num_rows):
+            ids.append(batch["media_id"][i].as_py())
+            try:
+                kind, arr = _decode_payload(batch["payload"][i].as_py())
+                if kind != "image":
+                    raise NotImplementedError("phash applies to images only")
+                hashes.append(ahash64(arr, self.grid))
+                errors.append(None)
+            except Exception as e:  # noqa: BLE001 — per-row error column
+                hashes.append(0)
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "phash": pa.array(hashes, pa.uint64()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
+def phash_dedup(media_ds, *, max_hamming: int = 3, window: int = 64,
+                concurrency=(1, 4), batch_size: int = 32):
+    """Image NEAR-DUPLICATE detection by perceptual hash — the
+    multimodal twin of ``simhash_dedup``: an actor-pool decode+hash
+    stage (binary payloads never shuffle; the 8-byte phash does), then
+    the shared 4×16-bit pigeonhole banding (any pair within hamming 3
+    shares a band), bucketed window-sweep verification with vectorized
+    XOR+popcount, and the CC label apply. Output: (media_id, root_id)
+    for every decodable image row.
+    """
+    from .dedup import _cluster_and_apply, _popcount64, _sweep_edges
+
+    hashed = media_ds.map_batches(
+        PhashMedia, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+    def ok_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_null(batch["error"]))
+        return pa.table({"media_id": t["media_id"], "phash": t["phash"]})
+
+    imgs = hashed.map_batches(ok_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch["media_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        keys, out_ids, out_ph = [], [], []
+        for b in range(4):
+            band = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            keys.append(band + (b << 16))
+            out_ids.append(ids)
+            out_ph.append(ph)
+        return pa.table({
+            "band_key": pa.array(np.concatenate(keys), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "phash": pa.array(np.concatenate(out_ph), pa.uint64()),
+        })
+
+    def hamming_mask(g: pa.Table, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        hs = g["phash"].combine_chunks().to_numpy(zero_copy_only=False)
+        return _popcount64(hs[lo] ^ hs[hi]) <= max_hamming
+
+    banded = imgs.map_batches(to_bands, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    edges = _sweep_edges(banded, window=window, id_type=pa.int64(),
+                         pair_mask_fn=hamming_mask)
+    return _cluster_and_apply(imgs, edges, "media_id")
+
+
+def synth_image_corpus(media_ids, seed: int = 7) -> pa.Table:
+    """Deterministic image corpus with PLANTED near-duplicate groups
+    for phash-dedup tests/queries: ids come in groups of 5 sharing
+    ``base = id - id % 5``. id%5==0 is the base 32×32 gray as BMP;
+    1 = the SAME pixels as PNG (container swap); 2 = brightness +3 BMP
+    (pixel range 10..245 keeps the shift clip-free); 3 = exact 2×
+    upscale as PNG; 4 = an INDEPENDENT random image (negative
+    control). Ground-truth cluster root for id%5∈{0..3} is the base
+    id; id%5==4 is a singleton."""
+    rows = []
+    for mid in media_ids:
+        mid = int(mid)
+        base = mid - mid % 5
+        rng = np.random.RandomState((seed * 2_000_003 + base) % (2**31))
+        gray = rng.randint(10, 246, size=(32, 32)).astype(np.uint8)
+        which = mid % 5
+        if which == 0:
+            payload = encode_bmp(gray)
+        elif which == 1:
+            payload = encode_png(gray, filter_type=(mid // 5) % 5)
+        elif which == 2:
+            payload = encode_bmp(gray + 3)
+        elif which == 3:
+            payload = encode_png(np.repeat(np.repeat(gray, 2, 0), 2, 1),
+                                 filter_type=(mid // 5 + 1) % 5)
+        else:
+            rng2 = np.random.RandomState((seed * 3_000_017 + mid) % (2**31))
+            payload = encode_bmp(rng2.randint(10, 246, size=(32, 32)).astype(np.uint8))
+        h, w = (64, 64) if which == 3 else (32, 32)
+        rows.append(dict(
+            media_id=mid, kind="image", payload=payload, width=w, height=h,
+            sample_rate=0, url=f"https://media.example/img/{mid}"))
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

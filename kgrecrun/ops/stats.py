@@ -1097,3 +1097,161 @@ def hll_distinct(
 
     return partials.groupby("__bucket").map_groups(
         finalize, batch_format="pyarrow")
+
+
+def cm_sketch_counts(
+    weighted_ds,
+    *,
+    value_col: str,
+    weight_col: str,
+    d: int = 4,
+    w: int = 1024,
+    probe_min_weight: int = 100,
+):
+    """COUNT-MIN sketch frequency estimation — the sketch family's
+    answer to "how often does each heavy value occur" when the value
+    domain is unbounded: sketch state is a fixed d×w integer register
+    grid (d=4 rows × w=1024 counters = 32 KiB) REGARDLESS of
+    cardinality, mergeable by elementwise addition, with the classic
+    one-sided guarantee exact ≤ est ≤ exact + 2n/w at 1−(1/2)^d
+    confidence.
+
+    ``weighted_ds`` carries (value_col, weight_col) partial-count rows
+    (the caller combines map-side, e.g. per-block term counts), so the
+    sketch update shuffle is bounded by Σ_blocks |distinct values in
+    block| and the native cell groupby reduces it to ≤ d·w rows.
+
+    Value-exact against a DuckDB oracle: every register is an INTEGER
+    sum over md5-determined cells (row-salted
+    ``md5(i || '|' || value) % w`` — :func:`~.sample._hash64` mirrors
+    ``md5_number_upper``), merge order is irrelevant, and the estimate
+    is an integer MIN over d registers — no float appears anywhere.
+
+    Probes are the values whose EXACT total weight ≥ ``probe_min_weight``
+    (computed from the same partials — both consumers share one
+    materialized pass). Output: (value, n_exact, est_count), est ≥
+    exact always. The bounded d·w-row sketch is collected driver-side
+    and closed over by the probe estimator — a 32 KiB broadcast, the
+    documented small-side pattern.
+    """
+    import ray
+
+    from .sample import _hash64
+
+    partials = weighted_ds.materialize()  # feeds sketch AND exact totals
+
+    def updates(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_pylist()
+        cnt = batch[weight_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cells, cnts = [], []
+        for i in range(d):
+            h = _hash64([f"{i}|{v}" for v in vals])
+            cells.append((h % np.uint64(w)).astype(np.int64) + i * w)
+            cnts.append(cnt)
+        return pa.table({
+            "cell": pa.array(np.concatenate(cells), pa.int64()),
+            "cnt": pa.array(np.concatenate(cnts), pa.int64()),
+        })
+
+    sketch_ds = (partials.map_batches(updates, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                 .groupby("cell").sum("cnt"))
+    # ≤ d·w rows by construction — bounded driver collect
+    sk = pa.concat_tables(
+        [t for t in ray.get(sketch_ds.to_arrow_refs())
+         if t.num_columns > 0 and t.num_rows > 0]  # drop schemaless empties
+    )
+    regs = np.zeros(d * w, dtype=np.int64)
+    regs[sk["cell"].combine_chunks().to_numpy(zero_copy_only=False)] = (
+        sk["sum(cnt)"].combine_chunks().to_numpy(zero_copy_only=False))
+
+    exact = (partials.groupby(value_col).sum(weight_col)
+             .map_batches(lambda b: b.rename_columns([value_col, "n_exact"]),
+                          batch_format="pyarrow"))
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.greater_equal(batch["n_exact"], probe_min_weight))
+        vals = t[value_col].to_pylist()
+        est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in range(d):
+            h = _hash64([f"{i}|{v}" for v in vals])
+            cell = (h % np.uint64(w)).astype(np.int64) + i * w
+            est = np.minimum(est, regs[cell])
+        return pa.table({
+            value_col: t[value_col],
+            "n_exact": t["n_exact"],
+            "est_count": pa.array(est, pa.int64()),
+        })
+
+    return exact.map_batches(estimate, batch_format="pyarrow")
+
+
+def group_mad(
+    ds,
+    *,
+    key: str,
+    value_cents,
+    key_type: pa.DataType = pa.string(),
+    n_buckets: int = N_BUCKETS,
+):
+    """Per-group MEDIAN + MEDIAN ABSOLUTE DEVIATION (the robust
+    location/scale pair) of an integer-cents value, exact and
+    DuckDB-value-exact.
+
+    Two :func:`group_quantiles`-style histogram passes, one bucketed
+    shuffle each: pass 1 yields the interpolated median per key (over
+    int cents the median is k or k+0.5, so 2·median is an EXACT
+    integer); pass 2 histograms the integer deviation
+    |2·v − 2·median| in half-cents and takes ITS median, returned in
+    cents (an exact dyadic float — the only float ops are
+    multiplications by 0.5 of integers < 2^52, bit-identical to SQL
+    ``median(abs(v − med))``).
+
+    KEY-CARDINALITY assumption: the pass-1 median table is collected
+    driver-side and closed over by pass 2 — bounded by the key domain
+    (event_type-like enums), the same documented small-domain contract
+    as :func:`approx_distinct`.
+
+    Output: (key, median_cents float64, mad_cents float64).
+    """
+    import ray
+
+    med_ds = group_quantiles(
+        ds, key=key, value_cents=value_cents, qs=(0.5,),
+        key_type=key_type, n_buckets=n_buckets)
+    med = pa.concat_tables(
+        [t for t in ray.get(med_ds.to_arrow_refs())
+         if t.num_columns > 0 and t.num_rows > 0]  # drop schemaless empties
+    )
+    keys_arr = med[key].combine_chunks()
+    med2 = np.rint(
+        med["qv"].combine_chunks().to_numpy(zero_copy_only=False) * 2.0
+    ).astype(np.int64)  # 2·median: exact integer
+    med_by_key = dict(zip(keys_arr.to_pylist(),
+                          (med2 / 2.0).tolist()))
+
+    def dev_halfcents(batch: pa.Table) -> pa.Array:
+        v = value_cents(batch)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v_np = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.index_in(batch[key], value_set=keys_arr).to_numpy(
+            zero_copy_only=False)
+        m2 = med2[idx]
+        return pa.array(np.abs(2 * v_np - m2), pa.int64())
+
+    mad_ds = group_quantiles(
+        ds, key=key, value_cents=dev_halfcents, qs=(0.5,),
+        key_type=key_type, n_buckets=n_buckets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ks = batch[key].to_pylist()
+        return pa.table({
+            key: batch[key],
+            "median_cents": pa.array([med_by_key[k] for k in ks],
+                                     pa.float64()),
+            "mad_cents": pc.multiply(batch["qv"], 0.5),
+        })
+
+    return mad_ds.map_batches(finish, batch_format="pyarrow")

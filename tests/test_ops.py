@@ -2299,3 +2299,86 @@ def test_png_codec_roundtrip_all_filters():
            + M._png_chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
         M.decode_png(bad)
+
+
+def test_ahash_planted_invariances():
+    from kgrecrun.ops import media as M
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(10, 246, size=(32, 32)).astype(np.uint8)
+    h0 = M.ahash64(gray)
+    # container swap: PNG decode reproduces the exact pixels
+    assert M.ahash64(M.decode_png(M.encode_png(gray))) == h0
+    # clip-free brightness shift: cells and mean shift together
+    assert M.ahash64(gray + 3) == h0
+    # exact 2x upscale: repeated tiles pool to identical means
+    assert M.ahash64(np.repeat(np.repeat(gray, 2, 0), 2, 1)) == h0
+    # an independent image hashes far away
+    other = rng.randint(10, 246, size=(32, 32)).astype(np.uint8)
+    assert bin(h0 ^ M.ahash64(other)).count("1") > 10
+
+
+def test_phash_dedup_planted_groups():
+    import ray.data
+
+    from kgrecrun.ops import media as M
+
+    n = 100  # 20 groups of 5: base + 3 variants + 1 negative control
+    t = M.synth_image_corpus(range(n))
+    out = M.phash_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == n
+    got = dict(zip(out["media_id"], out["root_id"]))
+    for mid in range(n):
+        want = mid - mid % 5 if mid % 5 < 4 else mid
+        assert got[mid] == want, (mid, got[mid], want)
+
+
+def test_cm_sketch_counts_one_sided_exactness():
+    import ray.data
+
+    from kgrecrun.ops.sample import _hash64
+    from kgrecrun.ops.stats import cm_sketch_counts
+
+    rng = np.random.RandomState(5)
+    vals = [f"v{i}" for i in range(400)]
+    weights = rng.randint(1, 50, size=400)
+    weights[:5] = [500, 400, 300, 200, 150]  # heavy probes
+    t = pa.table({"v": pa.array(vals), "n": pa.array(weights, pa.int64())})
+    out = cm_sketch_counts(
+        ray.data.from_arrow(t).repartition(4), value_col="v",
+        weight_col="n", probe_min_weight=100,
+    ).to_pandas().set_index("v")
+    assert set(out.index) == {"v0", "v1", "v2", "v3", "v4"}
+    # brute-force the same registers
+    d, w = 4, 1024
+    regs = np.zeros(d * w, dtype=np.int64)
+    for i in range(d):
+        h = _hash64([f"{i}|{v}" for v in vals])
+        np.add.at(regs, (h % np.uint64(w)).astype(np.int64) + i * w, weights)
+    for v in out.index:
+        exact = int(weights[vals.index(v)])
+        est = min(int(regs[int(_hash64([f"{i}|{v}"])[0] % np.uint64(w)) + i * w])
+                  for i in range(d))
+        assert out.loc[v, "n_exact"] == exact
+        assert out.loc[v, "est_count"] == est >= exact
+
+
+def test_group_mad_matches_numpy():
+    import ray.data
+
+    from kgrecrun.ops.stats import group_mad
+
+    rng = np.random.RandomState(9)
+    keys = rng.choice(["a", "b", "c"], size=500)
+    cents = rng.randint(0, 10_000, size=500)
+    t = pa.table({"k": pa.array(keys), "cents": pa.array(cents, pa.int64())})
+    out = group_mad(
+        ray.data.from_arrow(t).repartition(4), key="k",
+        value_cents=lambda b: b["cents"],
+    ).to_pandas().set_index("k")
+    for k in "abc":
+        v = cents[keys == k].astype(np.float64)
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        assert out.loc[k, "median_cents"] == med
+        assert out.loc[k, "mad_cents"] == mad

@@ -68,6 +68,15 @@ SUBSET = [
     "events_user_distinct_hll",
     "waiting_suppliers",
     "user_purchase_patterns",
+    # round-3 session-6 additions: session running spend, breadth
+    # histogram, ratio-to-parent rollup, Count-Min sketch, windowed
+    # HLL, robust median/MAD
+    "session_running_spend",
+    "user_type_breadth",
+    "nation_revenue_share",
+    "term_cm_counts",
+    "hopping_users_hll",
+    "events_value_mad",
 ]
 
 
