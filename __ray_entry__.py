@@ -917,6 +917,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
             gen, batch_format="pyarrow", batch_size=64)
         return phash_dedup(media)
 
+    def returnflag_priority_counts(sf_dir: str):
+        """TPC-H Q12-shaped conditional join counts: per returnflag,
+        how many 1994-shipped lineitems belong to HIGH- vs low-priority
+        orders. Map-side (orderkey, flag) count combiner bounds the
+        exchange at one row per (order, flag) per block; ONE bucketed
+        cogroup joins the priority dimension; the high/low CASE folds
+        map-side into a 3-row groupby."""
+        import ray.data
+
+        from kgrecrun.ops.cogroup import bucket_join
+
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        )
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            d = pc.cast(b["l_shipdate"], pa.date32())
+            lo = pa.scalar(__import__("datetime").date(1996, 1, 1))
+            hi = pa.scalar(__import__("datetime").date(1997, 1, 1))
+            t = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+            g = (t.select(["l_orderkey", "l_returnflag"])
+                 .group_by(["l_orderkey", "l_returnflag"])
+                 .aggregate([([], "count_all")]))
+            return pa.table({
+                "l_orderkey": pc.cast(g["l_orderkey"], pa.int64()),
+                "l_returnflag": g["l_returnflag"],
+                "n": pc.cast(g.column(2), pa.int64()),
+            })
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        ).map_batches(
+            lambda b: pa.table({
+                "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_orderpriority": b["o_orderpriority"],
+            }), batch_format="pyarrow")
+
+        j = bucket_join(
+            li.map_batches(li_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            orders, key="l_orderkey",
+            left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                   ("l_returnflag", pa.string()),
+                                   ("n", pa.int64())]),
+            right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                    ("o_orderpriority", pa.string())]),
+        )
+
+        def classify(b: pa.Table) -> pa.Table:
+            hi = pc.is_in(b["o_orderpriority"],
+                          value_set=pa.array(["1-URGENT", "2-HIGH"]))
+            n = b["n"]
+            zero = pa.nulls(b.num_rows, pa.int64()).fill_null(0)
+            t = pa.table({
+                "l_returnflag": b["l_returnflag"],
+                "high_local": pc.if_else(hi, n, zero),
+                "low_local": pc.if_else(hi, zero, n),
+            })
+            return (t.group_by("l_returnflag")
+                    .aggregate([("high_local", "sum"), ("low_local", "sum")])
+                    .rename_columns(["l_returnflag", "high_local", "low_local"]))
+
+        agg = (j.map_batches(classify, batch_format="pyarrow")
+               .groupby("l_returnflag").sum(["high_local", "low_local"]))
+        return agg.map_batches(
+            lambda b: b.rename_columns(
+                ["l_returnflag", "high_count", "low_count"]),
+            batch_format="pyarrow")
+
+    def daily_top_spender(sf_dir: str):
+        """Windowed TOP-1: the user with the largest total spend each
+        day (ties → smallest user_id). Per-(day,user) map-side sum
+        partials, one groupby, then the shared arg-extreme reduce
+        (≤1 candidate row per day per block)."""
+        import ray.data
+
+        from kgrecrun.ops.argext import group_arg_extreme
+        from kgrecrun.ops.relational import cents as as_cents
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = pa.table({
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "cents": as_cents(b["value"]),
+            })
+            return (t.group_by(["day", "user_id"])
+                    .aggregate([("cents", "sum")])
+                    .rename_columns(["day", "user_id", "cents_local"]))
+
+        sums = (ev.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["day", "user_id"]).sum("cents_local")
+                .map_batches(
+                    lambda b: b.rename_columns(["day", "user_id",
+                                                "spend_cents"]),
+                    batch_format="pyarrow"))
+        return group_arg_extreme(
+            sums, key="day",
+            order_cols=[("spend_cents", "descending"),
+                        ("user_id", "ascending")])
+
     def events_user_distinct_hll(sf_dir: str):
         """Approximate distinct users per event_type via HYPERLOGLOG
         (m=4096 registers, md5 hash) — the sketch family's scale path
@@ -2808,6 +2913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_users_hll": hopping_users_hll,
         "events_value_mad": events_value_mad,
         "media_phash_dedup": media_phash_dedup,
+        "returnflag_priority_counts": returnflag_priority_counts,
+        "daily_top_spender": daily_top_spender,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,
@@ -4981,6 +5088,28 @@ def oracle_sql() -> dict[str, str]:
                               THEN 4096.0 * ln(4096.0 / (4096 - occupied))
                               ELSE raw END, 6) AS est_distinct
             FROM est
+        """,
+        "returnflag_priority_counts": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "daily_top_spender": """
+            WITH s AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS spend_cents
+                FROM events GROUP BY 1, 2
+            )
+            SELECT day, user_id, spend_cents FROM s
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY day
+                                       ORDER BY spend_cents DESC, user_id) = 1
         """,
         "events_value_mad": """
             WITH e AS (

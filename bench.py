@@ -130,7 +130,8 @@ def bench_main() -> None:
         "user_purchase_patterns",
         "session_running_spend", "user_type_breadth", "nation_revenue_share",
         "term_cm_counts", "hopping_users_hll", "events_value_mad",
-        "media_phash_dedup",
+        "media_phash_dedup", "returnflag_priority_counts",
+        "daily_top_spender",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -77,6 +77,8 @@ SUBSET = [
     "term_cm_counts",
     "hopping_users_hll",
     "events_value_mad",
+    "returnflag_priority_counts",
+    "daily_top_spender",
 ]
 
 
