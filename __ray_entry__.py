@@ -242,6 +242,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def kg_entity_pagerank(sf_dir: str):
+        """Entity salience over the materialized KG: integer
+        fixed-point PageRank (3 Pregel rounds, scaled-int64 floor
+        arithmetic — bit-reproducible across engines) on the DISTINCT
+        subj→obj edge set of the canonicalized triples. Oracle: the
+        chained-CTE fixed-point SQL over the planted-triples golden
+        (valid because kg_triples reproduces it exactly at sf0.01)."""
+        from kgrecrun.ops.cogroup import bucket_join
+        from kgrecrun.ops.graph import pagerank_fixedpoint
+        from kgrecrun.ops.sample import _hash64
+
+        triples = _kg(sf_dir)["triples"]
+        mod62 = np.uint64(1) << np.uint64(62)
+
+        def h62(col) -> pa.Array:
+            return pa.array(
+                (_hash64(col.to_pylist()) % mod62).astype(np.int64),
+                pa.int64())
+
+        def pair(b: pa.Table) -> pa.Table:
+            return (b.select(["subj", "obj"])
+                    .group_by(["subj", "obj"]).aggregate([]))
+
+        # global DISTINCT (same (subj,obj) recurs across predicates):
+        # one narrow shuffle of string pairs. Materialized: it feeds
+        # BOTH the edge list and the entity map — without this the
+        # whole extract→NER→link→canon pipeline executes twice
+        pairs = (triples.map_batches(pair, batch_format="pyarrow")
+                 .groupby(["subj", "obj"]).count().materialize())
+
+        # pagerank nodes are int64: md5-hash entities into 62-bit ids
+        # (SQL-mirrorable; 62 bits keeps the BIGINT cast positive)
+        edges = pairs.map_batches(
+            lambda b: pa.table({"src": h62(b["subj"]), "dst": h62(b["obj"])}),
+            batch_format="pyarrow")
+        # entity catalogs are catalog-order (≤ ~10^8), not corpus-order
+        # — broadcast-ranks Pregel (directed path: dangling obj-only
+        # nodes carry outdeg 0); raises past the bound → exchange path
+        ranks = pagerank_fixedpoint(edges, iters=3, broadcast_ranks=50_000_000)
+
+        # map ranks back to entity names (subj ∪ obj = the node set)
+        ment = (pairs.map_batches(
+            lambda b: pa.concat_tables([
+                pa.table({"entity": b["subj"]}),
+                pa.table({"entity": b["obj"]}),
+            ]).group_by("entity").aggregate([]),
+            batch_format="pyarrow")
+            .groupby("entity").count()
+            .map_batches(
+                lambda b: pa.table({"node": h62(b["entity"]),
+                                    "entity": b["entity"]}),
+                batch_format="pyarrow"))
+        out = bucket_join(
+            ranks, ment, key="node",
+            left_schema=pa.schema([("node", pa.int64()),
+                                   ("rank_fp", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("entity", pa.string())]),
+        )
+        return out.map_batches(
+            lambda b: b.select(["entity", "rank_fp"]),
+            batch_format="pyarrow")
+
     def kg_text_nodes(sf_dir: str):
         from kgrecrun.extract.stage import explode_text_nodes
 
@@ -2839,6 +2902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_crawl_rounds": kg_crawl_rounds,
         "kg_text_nodes": kg_text_nodes,
         "kg_entity_degrees": kg_entity_degrees,
+        "kg_entity_pagerank": kg_entity_pagerank,
         "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,
@@ -3157,14 +3221,19 @@ def _bm25_sql(terms: list[str], k: int = 20, scale: int = 10**6) -> str:
 
 
 def _pagerank_sql(iters: int = 3, scale: int = 10**12, d_num: int = 85,
-                  d_den: int = 100) -> str:
+                  d_den: int = 100, edges_sql: str | None = None) -> str:
     """Chained-CTE mirror of ops/graph.pagerank_fixedpoint: one CTE per
     Pregel round, all-integer floor arithmetic (``//``; every operand
     is nonnegative so trunc == floor in both engines), SUM folds exact
-    in int64/int128 — bit-equal ranks."""
+    in int64/int128 — bit-equal ranks. ``edges_sql`` overrides the
+    default supplier-part edge CTE (must be named ``edges`` and yield
+    (src, dst))."""
     parts = [
-        _GRAPH_EDGES_SQL,
-        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        edges_sql or _GRAPH_EDGES_SQL,
+        # src ∪ dst, mirroring the engine's node set (identical to the
+        # src set on symmetric graphs; differs on directed ones)
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
         "outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
         f"params AS (SELECT CAST({scale} AS BIGINT) // COUNT(*) AS r0 "
         "FROM nodes)",
@@ -3411,6 +3480,29 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(out_deg, 0) AS out_deg,
                    COALESCE(in_deg, 0) AS in_deg
             FROM s FULL OUTER JOIN o ON s.entity = o.entity
+        """,
+        "kg_entity_pagerank": """
+            SELECT m.entity, p.rank_fp FROM (""" + _pagerank_sql(
+            iters=3, edges_sql="""edges AS (
+                SELECT CAST(md5_number_upper(subj)
+                            % (CAST(1 AS HUGEINT) << 62) AS BIGINT) AS src,
+                       CAST(md5_number_upper(obj)
+                            % (CAST(1 AS HUGEINT) << 62) AS BIGINT) AS dst
+                FROM (SELECT DISTINCT subj, obj FROM read_parquet(
+                    '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet'))
+            )""") + """
+            ) p JOIN (
+                SELECT entity,
+                       CAST(md5_number_upper(entity)
+                            % (CAST(1 AS HUGEINT) << 62) AS BIGINT) AS node
+                FROM (
+                    SELECT subj AS entity FROM read_parquet(
+                        '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
+                    UNION
+                    SELECT obj FROM read_parquet(
+                        '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
+                )
+            ) m ON p.node = m.node
         """,
         "doc_sample": f"""
             SELECT doc_id, lang FROM documents

@@ -176,8 +176,8 @@ def pagerank_fixedpoint(
     ``nodes`` (one bucket-cogroup exchange per round) is skipped —
     identical output, 2 exchanges per round instead of 3.
 
-    ``broadcast_ranks=N`` (requires ``symmetric``) asserts the node set
-    is ≤ N (catalog-order, e.g. a parts+suppliers graph — NOT
+    ``broadcast_ranks=N`` asserts the node set is ≤ N (catalog-order,
+    e.g. a parts+suppliers graph or an entity catalog — NOT
     corpus-order): the rank table is then ``ray.put`` once per round
     and joined map-side, so a round costs ONE exchange of per-block
     (node, partial-sum) combiner rows instead of re-shuffling the edge
@@ -226,13 +226,35 @@ def pagerank_fixedpoint(
         )
 
     if broadcast_ranks is not None:
-        if not symmetric:
-            raise ValueError("broadcast_ranks requires symmetric=True")
-        # in a symmetric graph the src set IS the node set, so the
-        # collected outdeg table doubles as both (bounded by the
-        # caller's contract) — no nodes dataset, no edge join at all
+        # the collected outdeg table provides the src set (bounded by
+        # the caller's contract) — no nodes dataset, no edge join at
+        # all. Symmetric graphs: src set IS the node set. Directed
+        # graphs: union in the dst-only (dangling) nodes with outdeg 0
+        # — they receive rank but never divide (contrib indexes od by
+        # edge src only, and every src has od ≥ 1 by construction).
         od_tbl = _collect(outdeg)
-        n_nodes = od_tbl.num_rows
+        src_np = od_tbl["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(src_np)
+        src_np = src_np[order]
+        src_od = od_tbl["od"].combine_chunks().to_numpy(
+            zero_copy_only=False)[order]
+        if symmetric:
+            node_np, od_np = src_np, src_od
+        else:
+            def dst_partial(b: pa.Table) -> pa.Table:
+                u = np.unique(
+                    b["dst"].combine_chunks().to_numpy(zero_copy_only=False))
+                return pa.table({"dst": pa.array(u, pa.int64())})
+
+            dst_tbl = _collect(
+                edges.map_batches(dst_partial, batch_format="pyarrow"))
+            node_np = np.union1d(
+                src_np,
+                dst_tbl["dst"].combine_chunks().to_numpy(
+                    zero_copy_only=False))
+            od_np = np.zeros(len(node_np), dtype=np.int64)
+            od_np[np.searchsorted(node_np, src_np)] = src_od
+        n_nodes = len(node_np)
         if n_nodes == 0:
             return _empty()
         if n_nodes > broadcast_ranks:
@@ -240,15 +262,6 @@ def pagerank_fixedpoint(
                 f"node set ({n_nodes}) exceeds the caller's broadcast "
                 f"bound ({broadcast_ranks}) — use the exchange path"
             )
-        order = np.argsort(
-            od_tbl["src"].combine_chunks().to_numpy(zero_copy_only=False)
-        )
-        node_np = od_tbl["src"].combine_chunks().to_numpy(
-            zero_copy_only=False
-        )[order]
-        od_np = od_tbl["od"].combine_chunks().to_numpy(
-            zero_copy_only=False
-        )[order]
         r_init = scale // n_nodes
         base = ((d_den - d_num) * r_init) // d_den
         return _pagerank_broadcast(

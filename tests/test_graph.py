@@ -534,3 +534,21 @@ def test_label_propagation_planted_communities():
     assert len({labs[n] for n in range(5)}) == 1
     assert len({labs[n] for n in range(10, 15)}) == 1
     assert labs[0] != labs[10]
+
+
+def test_pagerank_broadcast_directed_identical(ray_session):
+    """Directed (asymmetric) broadcast path: dangling obj-only nodes
+    carry outdeg 0 and still receive rank — identical to the exchange
+    path on a directed graph with dangling nodes."""
+    from kgrecrun.ops.graph import pagerank_fixedpoint
+
+    directed = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 5)]  # 5 dangles
+    exchange = pagerank_fixedpoint(
+        _edges_ds(ray_session, directed), iters=3
+    ).take_all()
+    broadcast = pagerank_fixedpoint(
+        _edges_ds(ray_session, directed), iters=3, broadcast_ranks=1000
+    ).take_all()
+    key = lambda r: r["node"]  # noqa: E731
+    assert sorted(exchange, key=key) == sorted(broadcast, key=key)
+    assert {r["node"] for r in broadcast} == {1, 2, 3, 4, 5}
