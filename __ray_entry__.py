@@ -980,6 +980,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             gen, batch_format="pyarrow", batch_size=64)
         return phash_dedup(media)
 
+    def docs_store_lookup(sf_dir: str):
+        """Zone-map point lookup: documents exported ONCE as a
+        range-partitioned sorted Parquet store (Ray range sort → one
+        disjoint-key-range file per block + footer-built zone map),
+        then an md5-selected probe set served by reading ONLY the
+        covering files — I/O O(matching files), not O(table)
+        (runtime/sortedstore.py; pruning asserted in pytest)."""
+        import os
+
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from kgrecrun.ops.sample import _hash64
+        from kgrecrun.runtime.sortedstore import lookup, write_sorted_store
+
+        src = f"{sf_dir}/documents.parquet"
+        n = _pq.ParquetFile(src).metadata.num_rows
+        # store path keyed by (sf name, row count) — a stale store from
+        # a different corpus can't be mistaken for this one
+        out = f"/tmp/kgrecrun_sortedstore/docs_{os.path.basename(os.path.normpath(sf_dir))}_{n}"
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        write_sorted_store(
+            ray.data.read_parquet(src), out, key="doc_id")
+
+        ids = _pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()
+        probes = [i for i in ids
+                  if int(_hash64([i])[0] % np.uint64(211)) == 0]
+        return lookup(out, key="doc_id", keys=probes,
+                      columns=["doc_id", "lang", "n_chars"])
+
     def returnflag_priority_counts(sf_dir: str):
         """TPC-H Q12-shaped conditional join counts: per returnflag,
         how many 1994-shipped lineitems belong to HIGH- vs low-priority
@@ -2979,6 +3009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dedup": media_phash_dedup,
         "returnflag_priority_counts": returnflag_priority_counts,
         "daily_top_spender": daily_top_spender,
+        "docs_store_lookup": docs_store_lookup,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,
@@ -5180,6 +5211,10 @@ def oracle_sql() -> dict[str, str]:
                               THEN 4096.0 * ln(4096.0 / (4096 - occupied))
                               ELSE raw END, 6) AS est_distinct
             FROM est
+        """,
+        "docs_store_lookup": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {_IDHASH} % 211 = 0
         """,
         "returnflag_priority_counts": """
             SELECT l_returnflag,

@@ -131,7 +131,7 @@ def bench_main() -> None:
         "session_running_spend", "user_type_breadth", "nation_revenue_share",
         "term_cm_counts", "hopping_users_hll", "events_value_mad",
         "media_phash_dedup", "returnflag_priority_counts",
-        "daily_top_spender", "kg_entity_pagerank",
+        "daily_top_spender", "kg_entity_pagerank", "docs_store_lookup",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

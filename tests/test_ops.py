@@ -2382,3 +2382,29 @@ def test_group_mad_matches_numpy():
         mad = float(np.median(np.abs(v - med)))
         assert out.loc[k, "median_cents"] == med
         assert out.loc[k, "mad_cents"] == mad
+
+
+def test_sorted_store_prunes_and_matches(tmp_path):
+    import ray.data
+
+    from kgrecrun.runtime.sortedstore import (lookup, pruned_files,
+                                              write_sorted_store)
+
+    t = pa.table({
+        "k": pa.array(list(range(10_000)), pa.int64()),
+        "v": pa.array([i * 7 % 1000 for i in range(10_000)], pa.int64()),
+    })
+    out = str(tmp_path / "store")
+    zm = write_sorted_store(
+        ray.data.from_arrow(t).repartition(16), out, key="k")
+    assert len(zm) >= 8  # multiple range files
+    probes = [3, 4111, 9999]
+    files, total = pruned_files(out, probes)
+    assert 0 < len(files) < total  # the zone map actually prunes
+    got = lookup(out, key="k", keys=probes).to_pandas().sort_values("k")
+    assert list(got["k"]) == probes
+    assert list(got["v"]) == [k * 7 % 1000 for k in probes]
+    # idempotent: a second writer call reuses the complete store
+    zm2 = write_sorted_store(
+        ray.data.from_arrow(t).repartition(16), out, key="k")
+    assert zm2 == zm

@@ -79,6 +79,7 @@ SUBSET = [
     "events_value_mad",
     "returnflag_priority_counts",
     "daily_top_spender",
+    "docs_store_lookup",
 ]
 
 
