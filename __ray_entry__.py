@@ -2170,6 +2170,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "text"])
         return incremental_segment_dedup(docs)
 
+    def docs_neardup_ingest(sf_dir: str):
+        """Streaming-ingest NEAR-dup decision: incoming docs (10%
+        id-hash split) checked against the ingested base (90%) by the
+        exact minhash_dedup predicate — full-band LSH collision +
+        signature agreement ≥ 0.7. Only incoming×base pairs ever
+        verify; the base never re-verifies itself
+        (ops/dedup.py neardup_ingest)."""
+        import ray.data
+
+        from kgrecrun.ops.dedup import neardup_ingest
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        return neardup_ingest(docs)
+
     def embedding_quantization(sf_dir: str):
         """Vector compression: global per-dimension min-max int8-style
         codes — per-block (dim, mn, mx) partials into a dims-order
@@ -3036,6 +3051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_overlap": docs_source_overlap,
         "events_gap_histogram": events_gap_histogram,
         "docs_incremental_ingest": docs_incremental_ingest,
+        "docs_neardup_ingest": docs_neardup_ingest,
         "embedding_quantization": embedding_quantization,
         "part_pareto_frontier": part_pareto_frontier,
         "customer_balance_merge": customer_balance_merge,
@@ -3318,17 +3334,14 @@ def _ngram_jaccard_sql(k: int = 4, threshold: float = 0.7) -> str:
     return _cc_sql(pairs, "documents", "doc_id", "doc_id")
 
 
-def _minhash_sql(threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
-                 shingle_k: int = 5) -> str:
-    """Bit-exact MinHash-LSH dedup in SQL. Shingle hashes are
-    md5_number_upper over the word-5-gram strings (= the Python side's
-    md5[:8] little-endian); each of the 64 signature components is
-    MIN(((a_j*h) % 2^64 + b_j) % 2^64 % (2^61-1)) — including numpy's
-    uint64 wraparound, reproduced with HUGEINT arithmetic. A pair is an
-    edge iff (1) >=ceil(threshold*64) components match (the pipeline's
-    signature jaccard estimate) and (2) at least one of the 16 4-row
-    bands matches entirely (the LSH blocking that decides which pairs
-    are ever compared). Connected components close the clusters."""
+def _minhash_parts(threshold: float = 0.7, num_perm: int = 64,
+                   bands: int = 16, shingle_k: int = 5) -> dict:
+    """Shared CTE pieces for the bit-exact MinHash SQL mirrors: the
+    tokenize→shingle→hash→signature prefix (ending in ``sigall``), the
+    component-match count expression, the full-band-collision
+    disjunction, and the ceil(threshold·num_perm) cut — used by both
+    the batch dedup oracle (:func:`_minhash_sql`) and the streaming
+    ingest-decision oracle (``docs_neardup_ingest``)."""
     from kgrecrun.kg.minhash import MERSENNE_P, MinHasher
 
     hasher = MinHasher(num_perm)  # seed=7, deterministic a/b
@@ -3353,7 +3366,7 @@ def _minhash_sql(threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
         for band in range(bands)
     )
     min_matches = -(-int(threshold * num_perm * 1000000) // 1000000)  # ceil
-    pairs = f"""toks AS (
+    prefix = f"""toks AS (
             SELECT doc_id, {_TOKS} AS t FROM documents
         ), shs AS (
             SELECT doc_id,
@@ -3374,13 +3387,59 @@ def _minhash_sql(threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
             SELECT t.doc_id,
                    {coalesced}
             FROM toks t LEFT JOIN sig USING (doc_id)
-        ), pairs AS (
+        )"""
+    return {"prefix": prefix, "n_match": n_match, "band_hit": band_hit,
+            "min_matches": min_matches}
+
+
+def _minhash_sql(threshold: float = 0.7, num_perm: int = 64, bands: int = 16,
+                 shingle_k: int = 5) -> str:
+    """Bit-exact MinHash-LSH dedup in SQL. Shingle hashes are
+    md5_number_upper over the word-5-gram strings (= the Python side's
+    md5[:8] little-endian); each of the 64 signature components is
+    MIN(((a_j*h) % 2^64 + b_j) % 2^64 % (2^61-1)) — including numpy's
+    uint64 wraparound, reproduced with HUGEINT arithmetic. A pair is an
+    edge iff (1) >=ceil(threshold*64) components match (the pipeline's
+    signature jaccard estimate) and (2) at least one of the 16 4-row
+    bands matches entirely (the LSH blocking that decides which pairs
+    are ever compared). Connected components close the clusters."""
+    p = _minhash_parts(threshold, num_perm, bands, shingle_k)
+    pairs = p["prefix"] + f""", pairs AS (
             SELECT a.doc_id AS u, b.doc_id AS v
             FROM sigall a JOIN sigall b ON a.doc_id < b.doc_id
-            WHERE ({n_match}) >= {min_matches}
-              AND ({band_hit})
+            WHERE ({p['n_match']}) >= {p['min_matches']}
+              AND ({p['band_hit']})
         )"""
     return _cc_sql(pairs, "documents", "doc_id", "doc_id")
+
+
+def _neardup_ingest_sql(threshold: float = 0.7, num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 5,
+                        base_numer: int = 9, base_denom: int = 10) -> str:
+    """Streaming ingest-decision mirror: incoming docs (id-hash
+    complement of the base split) matched against base docs by the SAME
+    band-collision + component-agreement predicate; dup_of = smallest
+    matching base id, −1 when novel."""
+    p = _minhash_parts(threshold, num_perm, bands, shingle_k)
+    return f"""
+        WITH {p['prefix']}, side AS (
+            SELECT doc_id,
+                   ({_IDHASH} % {base_denom} < {base_numer}) AS is_base
+            FROM documents
+        ), hits AS (
+            SELECT a.doc_id AS inc, MIN(b.doc_id) AS dup_of
+            FROM sigall a
+            JOIN side sa ON a.doc_id = sa.doc_id AND NOT sa.is_base
+            JOIN sigall b ON TRUE
+            JOIN side sb ON b.doc_id = sb.doc_id AND sb.is_base
+            WHERE ({p['n_match']}) >= {p['min_matches']}
+              AND ({p['band_hit']})
+            GROUP BY a.doc_id
+        )
+        SELECT s.doc_id, COALESCE(h.dup_of, -1) AS dup_of
+        FROM side s LEFT JOIN hits h ON h.inc = s.doc_id
+        WHERE NOT s.is_base
+    """
 
 
 def _simhash_sql(max_hamming: int = 3) -> str:
@@ -3988,6 +4047,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d WHERE gap IS NOT NULL
             GROUP BY 1 ORDER BY 1
         """,
+        "docs_neardup_ingest": _neardup_ingest_sql(),
         "docs_incremental_ingest": rf"""
             WITH toks AS (
                 SELECT doc_id, {_IDHASH} AS ih,

@@ -1040,3 +1040,100 @@ def provenance_dedup(docs_ds, *, text_col: str = "text",
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def neardup_ingest(docs_ds, *, threshold: float = 0.7, num_perm: int = 64,
+                   bands: int = 16, shingle_k: int = 5, window: int = 256,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   base_numer: int = 9, base_denom: int = 10):
+    """Streaming-ingest NEAR-duplicate decision (the minhash twin of
+    :func:`incremental_segment_dedup`): the md5 id-hash split models
+    the persisted index (``base_numer/base_denom`` of docs = already
+    ingested, complement = the incoming batch), and each incoming doc
+    is checked against the base by exactly the decision
+    :func:`minhash_dedup` makes — full-band LSH collision AND signature
+    agreement ≥ threshold. Output: (doc_id, dup_of) for every incoming
+    doc; dup_of = smallest matching base doc, −1 when novel.
+
+    Scale shape: only incoming×base candidate pairs are verified —
+    base×base pairs are dropped before any signature ships (the
+    already-clustered index never re-verifies itself). In a production
+    ingest the base band rows/signatures come from the persisted store
+    (16 B band rows + 512 B sigs per doc); here both sides are sketched
+    in one pass so the DuckDB oracle can reproduce the decision
+    bit-exactly. ``window`` bounds in-band pair generation; unlike
+    minhash_dedup, cross-side pairs get no chain-transitivity rescue,
+    so it defaults 8× wider (oversized-band truncation is visible via
+    :func:`oversized_band_count`).
+    """
+    from .cogroup import bucket_join
+    from .sample import _hash64
+
+    id_type = docs_ds.schema().types[docs_ds.schema().names.index(id_col)]
+
+    def base_mask(ids) -> np.ndarray:
+        return (_hash64(ids) % np.uint64(base_denom)) < np.uint64(base_numer)
+
+    sigs = docs_ds.map_batches(
+        _ComputeSigs(num_perm, shingle_k, text_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=256,
+    ).materialize()  # feeds bands + two sig attaches
+    banded = sigs.map_batches(
+        _band_rows_from_sigs(num_perm, bands), batch_format="pyarrow"
+    )
+    cands = _sweep_edges(banded, window=window, id_type=id_type)
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        s = base_mask(batch["src"].to_pylist())
+        d = base_mask(batch["dst"].to_pylist())
+        return batch.filter(pa.array(s != d))
+
+    def est_keep(batch: pa.Table) -> np.ndarray:
+        a = np.frombuffer(
+            b"".join(batch["pay_a"].to_pylist()), dtype=np.uint64
+        ).reshape(-1, num_perm)
+        b = np.frombuffer(
+            b"".join(batch["pay_b"].to_pylist()), dtype=np.uint64
+        ).reshape(-1, num_perm)
+        return (a == b).mean(axis=1) >= threshold
+
+    edges = _attach_and_verify_sigs(
+        cands.map_batches(cross_only, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        sigs, id_type=id_type, payload_col="sig", verify_batch_fn=est_keep,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"inc": pa.array([], id_type),
+                             "base": pa.array([], id_type)})
+        sb = pa.array(base_mask(batch["src"].to_pylist()))
+        return pa.table({
+            "inc": pc.if_else(sb, batch["dst"], batch["src"]),
+            "base": pc.if_else(sb, batch["src"], batch["dst"]),
+        })
+
+    hits = (edges.map_batches(orient, batch_format="pyarrow")
+            .groupby("inc").min("base")
+            .map_batches(lambda b: b.rename_columns(["inc", "dup_of"]),
+                         batch_format="pyarrow"))
+
+    def incoming(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        keep = ~base_mask(ids)
+        return pa.table({"inc": batch[id_col]}).filter(pa.array(keep))
+
+    inc_ds = docs_ds.map_batches(incoming, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    j = bucket_join(
+        inc_ds, hits, key="inc", join_type="left outer",
+        left_schema=pa.schema([("inc", id_type)]),
+        right_schema=pa.schema([("inc", id_type), ("dup_of", id_type)]),
+    )
+    return j.map_batches(
+        lambda b: pa.table({
+            id_col: b["inc"],
+            "dup_of": pc.fill_null(b["dup_of"], -1),
+        }), batch_format="pyarrow")

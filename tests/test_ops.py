@@ -2408,3 +2408,33 @@ def test_sorted_store_prunes_and_matches(tmp_path):
     zm2 = write_sorted_store(
         ray.data.from_arrow(t).repartition(16), out, key="k")
     assert zm2 == zm
+
+
+def test_neardup_ingest_planted_and_novel():
+    """Incoming near-dup of a base doc resolves to that base id; novel
+    incoming docs get -1; base docs never appear in the output."""
+    import ray.data
+
+    from kgrecrun.ops.dedup import neardup_ingest
+    from kgrecrun.ops.sample import _hash64
+
+    base_text = " ".join(f"tok{i}" for i in range(60))
+    ids = list(range(1, 400))
+    is_base = (_hash64(ids) % np.uint64(10)) < np.uint64(9)
+    inc_ids = [i for i, b in zip(ids, is_base) if not b]
+    base_ids = [i for i, b in zip(ids, is_base) if b]
+    dup_inc, novel_inc = inc_ids[0], inc_ids[1]
+    anchor = base_ids[0]
+    texts = {}
+    for i in ids:
+        texts[i] = f"unique{i} " + " ".join(f"u{i}w{j}" for j in range(40))
+    texts[anchor] = base_text
+    texts[dup_inc] = base_text + " tail"          # jaccard >> 0.7
+    texts[novel_inc] = " ".join(f"n{j}" for j in range(40))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([texts[i] for i in ids])})
+    out = (neardup_ingest(ray.data.from_arrow(t).repartition(4))
+           .to_pandas().set_index("doc_id"))
+    assert set(out.index) == set(inc_ids)
+    assert out.loc[dup_inc, "dup_of"] == anchor
+    assert out.loc[novel_inc, "dup_of"] == -1

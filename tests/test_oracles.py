@@ -80,6 +80,7 @@ SUBSET = [
     "returnflag_priority_counts",
     "daily_top_spender",
     "docs_store_lookup",
+    "docs_neardup_ingest",
 ]
 
 
