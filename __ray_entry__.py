@@ -1010,6 +1010,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lookup(out, key="doc_id", keys=probes,
                       columns=["doc_id", "lang", "n_chars"])
 
+    def media_phash_topk(sf_dir: str):
+        """Similar-image SEARCH: brute-force hamming top-k over the
+        64-bit perceptual hashes — probes broadcast, one vectorized
+        XOR+popcount per batch, local top-k, single-task global elect
+        (the image twin of ann_topk). Rows-only; the planted pytest
+        pins top-1 = the probe's duplicate-group base at distance 0."""
+        import ray.data
+
+        from kgrecrun.ops.media import phash_topk, synth_image_corpus
+
+        n = max(100, _n_docs(sf_dir) // 5)
+
+        def gen(batch: pa.Table) -> pa.Table:
+            return synth_image_corpus(batch["id"].to_pylist())
+
+        media = ray.data.range(n).map_batches(
+            gen, batch_format="pyarrow", batch_size=64)
+        return phash_topk(media, probe_ids=[1, 6, 11, 16], k=5)
+
     def returnflag_priority_counts(sf_dir: str):
         """TPC-H Q12-shaped conditional join counts: per returnflag,
         how many 1994-shipped lineitems belong to HIGH- vs low-priority
@@ -3025,6 +3044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_priority_counts": returnflag_priority_counts,
         "daily_top_spender": daily_top_spender,
         "docs_store_lookup": docs_store_lookup,
+        "media_phash_topk": media_phash_topk,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
         "events_user_distinct": events_user_distinct,

@@ -132,7 +132,7 @@ def bench_main() -> None:
         "term_cm_counts", "hopping_users_hll", "events_value_mad",
         "media_phash_dedup", "returnflag_priority_counts",
         "daily_top_spender", "kg_entity_pagerank", "docs_store_lookup",
-        "docs_neardup_ingest",
+        "docs_neardup_ingest", "media_phash_topk",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

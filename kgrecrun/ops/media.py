@@ -659,3 +659,93 @@ def synth_image_corpus(media_ids, seed: int = 7,
             media_id=mid, kind="image", payload=payload, width=w, height=h,
             sample_rate=0, url=f"https://media.example/img/{mid}"))
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def phash_topk(media_ds, *, probe_ids, k: int = 5, batch_size: int = 64):
+    """Similar-image SEARCH (the image twin of ops/ann.py's brute-force
+    top-k): decode+hash every image once (elastic task pool), broadcast
+    the probes' 64-bit hashes, compute per-batch hamming distances with
+    one vectorized XOR+popcount (|batch|×|probes| matrix), keep a local
+    top-k per probe per block, and elect the global top-k in a
+    single-task reduce over the tiny (probes × k × blocks) candidate
+    set. Probes excluded from their own results; deterministic
+    (distance, media_id) tie order. Output: (probe_id, media_id,
+    hamming, rank). Probe count is caller-bounded (they broadcast);
+    corpus-scale probe sets want the banded phash_dedup blocking
+    instead."""
+    import ray
+
+    from .dedup import _popcount64
+
+    ph = PhashMedia()
+    hashed = media_ds.map_batches(
+        lambda b: ph(b), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+    def ok_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = batch.filter(_pc.is_null(batch["error"]))
+        return pa.table({"media_id": t["media_id"], "phash": t["phash"]})
+
+    imgs = hashed.map_batches(ok_rows, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    probe_set = sorted(int(p) for p in probe_ids)
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.is_in(
+            batch["media_id"], value_set=pa.array(probe_set, pa.int64())))
+
+    probe_tbl = pa.concat_tables(
+        [t for t in ray.get(
+            imgs.map_batches(probe_rows, batch_format="pyarrow")
+            .to_arrow_refs())
+         if t.num_columns > 0 and t.num_rows > 0])
+    p_ids = probe_tbl["media_id"].to_numpy(zero_copy_only=False)
+    p_hash = probe_tbl["phash"].to_numpy(zero_copy_only=False)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        hs = batch["phash"].combine_chunks().to_numpy(zero_copy_only=False)
+        out_p, out_m, out_d = [], [], []
+        for pid, phv in zip(p_ids, p_hash):
+            d = _popcount64(hs ^ phv)
+            mask = ids != pid  # self excluded
+            cand_d, cand_i = d[mask], ids[mask]
+            if not len(cand_d):
+                continue
+            order = np.lexsort((cand_i, cand_d))[:k]
+            out_p.extend([int(pid)] * len(order))
+            out_m.extend(cand_i[order].tolist())
+            out_d.extend(cand_d[order].astype(np.int64).tolist())
+        return pa.table({
+            "probe_id": pa.array(out_p, pa.int64()),
+            "media_id": pa.array(out_m, pa.int64()),
+            "hamming": pa.array(out_d, pa.int64()),
+        })
+
+    def global_topk(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[
+            ("probe_id", "ascending"), ("hamming", "ascending"),
+            ("media_id", "ascending")])
+        t = batch.take(order)
+        pidv = t["probe_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(pidv)
+        new = np.ones(n, dtype=bool)
+        new[1:] = pidv[1:] != pidv[:-1]
+        seg = np.arange(n) - np.maximum.accumulate(
+            np.where(new, np.arange(n), 0))
+        keep = seg < k
+        t = t.filter(pa.array(keep))
+        return t.append_column("rank", pa.array(
+            (seg[keep] + 1).astype(np.int64), pa.int64()))
+
+    return (imgs.map_batches(local_topk, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(global_topk, batch_format="pyarrow",
+                         batch_size=None))

@@ -2438,3 +2438,21 @@ def test_neardup_ingest_planted_and_novel():
     assert set(out.index) == set(inc_ids)
     assert out.loc[dup_inc, "dup_of"] == anchor
     assert out.loc[novel_inc, "dup_of"] == -1
+
+
+def test_phash_topk_planted_neighbors():
+    import ray.data
+
+    from kgrecrun.ops import media as M
+
+    t = M.synth_image_corpus(range(100))
+    out = (M.phash_topk(ray.data.from_arrow(t), probe_ids=[1, 6], k=3)
+           .to_pandas())
+    for probe, base in ((1, 0), (6, 5)):
+        rows = out[out["probe_id"] == probe].sort_values("rank")
+        # top-1 = the group base at hamming 0 (ids 0,2,3 all hash-equal
+        # to probe 1; smallest id wins the tie)
+        assert rows.iloc[0]["media_id"] == base
+        assert rows.iloc[0]["hamming"] == 0
+        assert list(rows["rank"]) == [1, 2, 3]
+        assert probe not in set(rows["media_id"])  # self excluded
