@@ -674,6 +674,7 @@ def phash_topk(media_ds, *, probe_ids, k: int = 5, batch_size: int = 64):
     corpus-scale probe sets want the banded phash_dedup blocking
     instead."""
     import ray
+    import ray.data
 
     from .dedup import _popcount64
 
@@ -700,11 +701,18 @@ def phash_topk(media_ds, *, probe_ids, k: int = 5, batch_size: int = 64):
         return batch.filter(_pc.is_in(
             batch["media_id"], value_set=pa.array(probe_set, pa.int64())))
 
-    probe_tbl = pa.concat_tables(
-        [t for t in ray.get(
-            imgs.map_batches(probe_rows, batch_format="pyarrow")
-            .to_arrow_refs())
-         if t.num_columns > 0 and t.num_rows > 0])
+    probe_parts = [t for t in ray.get(
+        imgs.map_batches(probe_rows, batch_format="pyarrow")
+        .to_arrow_refs())
+        if t.num_columns > 0 and t.num_rows > 0]
+    if not probe_parts:  # no probe decoded — empty result, not a crash
+        return ray.data.from_arrow(pa.table({
+            "probe_id": pa.array([], pa.int64()),
+            "media_id": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }))
+    probe_tbl = pa.concat_tables(probe_parts)
     p_ids = probe_tbl["media_id"].to_numpy(zero_copy_only=False)
     p_hash = probe_tbl["phash"].to_numpy(zero_copy_only=False)
 

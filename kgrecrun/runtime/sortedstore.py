@@ -97,7 +97,6 @@ def lookup(out_dir: str, *, key: str, keys, columns: list[str] | None = None):
     files, _total = pruned_files(out_dir, keys)
     if not files:
         return ray.data.from_arrow(pa.table({}))
-    import pyarrow.compute as pc
     import pyarrow.dataset as pds
 
     return ray.data.read_parquet(
