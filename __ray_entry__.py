@@ -1040,17 +1040,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from kgrecrun.ops.cogroup import bucket_join
 
+        import datetime as _dt
+
+        lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+        hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+        # read-pushed year predicate: row groups outside 1996 never
+        # leave storage
         li = ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+            filter=((pc.field("l_shipdate") >= lo)
+                    & (pc.field("l_shipdate") < hi)),
         )
 
         def li_partial(b: pa.Table) -> pa.Table:
-            d = pc.cast(b["l_shipdate"], pa.date32())
-            lo = pa.scalar(__import__("datetime").date(1996, 1, 1))
-            hi = pa.scalar(__import__("datetime").date(1997, 1, 1))
-            t = b.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
-            g = (t.select(["l_orderkey", "l_returnflag"])
+            g = (b.select(["l_orderkey", "l_returnflag"])
                  .group_by(["l_orderkey", "l_returnflag"])
                  .aggregate([([], "count_all")]))
             return pa.table({
