@@ -1010,6 +1010,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lookup(out, key="doc_id", keys=probes,
                       columns=["doc_id", "lang", "n_chars"])
 
+    def docs_store_compaction(sf_dir: str):
+        """LSM compaction: documents arrive as THREE hash-split sorted
+        runs (fully overlapping doc_id ranges — the worst merge case),
+        compacted into ONE sorted store with ZERO shuffle: the merge
+        plan comes from zone-map/row-group metadata alone, each output
+        range is one independent pruned-read+merge task
+        (runtime/sortedstore.py compact_stores). Result surfaced as a
+        zone-map point lookup over the compacted store; sortedness,
+        disjointness, completeness and balance are asserted in pytest."""
+        import os
+
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from kgrecrun.ops.sample import _hash64
+        from kgrecrun.runtime.sortedstore import (
+            compact_stores, lookup, write_sorted_store)
+
+        src = f"{sf_dir}/documents.parquet"
+        n = _pq.ParquetFile(src).metadata.num_rows
+        base = (f"/tmp/kgrecrun_sortedstore/compact_"
+                f"{os.path.basename(os.path.normpath(sf_dir))}_{n}")
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+
+        def run_filter(r):
+            def f(b: pa.Table) -> pa.Table:
+                h = _hash64(b["doc_id"].to_pylist())
+                return b.filter(pa.array(h % np.uint64(3) == r))
+            return f
+
+        runs = []
+        for r in range(3):
+            d = f"{base}/run{r}"
+            write_sorted_store(
+                ray.data.read_parquet(
+                    src, columns=["doc_id", "lang", "n_chars"]
+                ).map_batches(run_filter(r), batch_format="pyarrow"),
+                d, key="doc_id")
+            runs.append(d)
+        out = f"{base}/merged"
+        compact_stores(runs, out, key="doc_id",
+                       target_rows_per_file=max(256, n // 8))
+
+        ids = _pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()
+        probes = [i for i in ids
+                  if int(_hash64([i])[0] % np.uint64(197)) == 3]
+        return lookup(out, key="doc_id", keys=probes,
+                      columns=["doc_id", "lang", "n_chars"])
+
+    def events_decayed_score(sf_dir: str):
+        """Recency-weighted engagement feature: per user, the
+        base-2-daily-decayed count of purchase events within 40
+        calendar days of the corpus's max timestamp —
+        Σ 2^(40 − age_days), an EXACT int64 (every term a power of
+        two, pure integer sum → value-exact vs DuckDB
+        ``SUM(1::BIGINT << (40 − age))``). Map-side (user, count,
+        score) partials, one native groupby-sum
+        (ops/stats.py decayed_score)."""
+        import ray.data
+
+        from kgrecrun.ops.stats import decayed_score
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        )
+        # one tiny native max → reference day (days since epoch),
+        # = CAST(MAX(ts) AS DATE); pyarrow cast is TZ-independent
+        # (datetime.timestamp() on a naive value would read local TZ)
+        mx = ds.max("ts")
+        ref_day = (pa.scalar(mx, pa.timestamp("us")).cast(pa.int64()).as_py()
+                   // 86_400_000_000)
+        purchases = ds.filter(
+            expr="event_type == 'purchase'").select_columns(
+            ["user_id", "ts"])
+        return decayed_score(purchases, key="user_id", ts_col="ts",
+                             ref_day=ref_day, cap_days=40)
+
+    def user_order_overlap_hll(sf_dir: str):
+        """Join-size estimation WITHOUT the join: HLL sketch algebra
+        over two key sets — distinct event users vs distinct ordering
+        customers — merged registers give the union, inclusion–
+        exclusion the intersection (ops/stats.py hll_overlap). The
+        planner primitive for "how big would events ⋈ orders be?":
+        exchange is ≤ 4096 register rows per side per block, never the
+        keys themselves; exact-integer denominators make all four
+        estimates DuckDB-value-exact."""
+        import ray.data
+
+        from kgrecrun.ops.stats import hll_overlap
+
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id"])
+        od = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        res = hll_overlap(ev, od, left_col="user_id",
+                          right_col="o_custkey")
+        return res.map_batches(
+            lambda b: _round6(b, ["est_left", "est_right", "est_union",
+                                  "est_intersection"]),
+            batch_format="pyarrow")
+
     def media_phash_topk(sf_dir: str):
         """Similar-image SEARCH: brute-force hamming top-k over the
         64-bit perceptual hashes — probes broadcast, one vectorized
@@ -3048,6 +3150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_priority_counts": returnflag_priority_counts,
         "daily_top_spender": daily_top_spender,
         "docs_store_lookup": docs_store_lookup,
+        "docs_store_compaction": docs_store_compaction,
+        "events_decayed_score": events_decayed_score,
+        "user_order_overlap_hll": user_order_overlap_hll,
         "media_phash_topk": media_phash_topk,
         "events_rollup": events_rollup,
         "events_cube": events_cube,
@@ -5299,6 +5404,78 @@ def oracle_sql() -> dict[str, str]:
         "docs_store_lookup": f"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE {_IDHASH} % 211 = 0
+        """,
+        "docs_store_compaction": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {_IDHASH} % 197 = 3
+        """,
+        "events_decayed_score": """
+            WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS refd FROM events)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_recent,
+                   CAST(SUM(CAST(1 AS BIGINT)
+                            << (40 - date_diff('day', CAST(ts AS DATE),
+                                               refd))) AS BIGINT)
+                       AS decay_score
+            FROM events, mx
+            WHERE event_type = 'purchase'
+              AND date_diff('day', CAST(ts AS DATE), refd) <= 40
+            GROUP BY user_id
+        """,
+        "user_order_overlap_hll": """
+            WITH regs AS (
+                SELECT 0 AS side,
+                       CAST(md5_number_upper(CAST(user_id AS VARCHAR))
+                            % 4096 AS BIGINT) AS reg,
+                       CASE WHEN md5_number_upper(CAST(user_id AS VARCHAR))
+                                 // 4096 = 0 THEN 53
+                            ELSE 53 - length(bin(
+                                md5_number_upper(CAST(user_id AS VARCHAR))
+                                // 4096)) END AS rho
+                FROM events
+                UNION ALL
+                SELECT 1,
+                       CAST(md5_number_upper(CAST(o_custkey AS VARCHAR))
+                            % 4096 AS BIGINT),
+                       CASE WHEN md5_number_upper(CAST(o_custkey AS VARCHAR))
+                                 // 4096 = 0 THEN 53
+                            ELSE 53 - length(bin(
+                                md5_number_upper(CAST(o_custkey AS VARCHAR))
+                                // 4096)) END
+                FROM orders
+            ), mx AS (
+                SELECT side, reg, MAX(rho) AS rho
+                FROM regs GROUP BY side, reg
+            ), agg AS (
+                SELECT side, COUNT(*) AS occ,
+                       SUM(CAST(1 AS HUGEINT) << (64 - rho))
+                         + (4096 - COUNT(*)) * (CAST(1 AS HUGEINT) << 64)
+                         AS s_total
+                FROM mx GROUP BY side
+                UNION ALL
+                SELECT 2, COUNT(*),
+                       SUM(CAST(1 AS HUGEINT) << (64 - rho))
+                         + (4096 - COUNT(*)) * (CAST(1 AS HUGEINT) << 64)
+                FROM (SELECT reg, MAX(rho) AS rho FROM mx GROUP BY reg)
+            ), fin AS (
+                SELECT side,
+                       CASE WHEN raw <= 10240.0 AND occ < 4096
+                            THEN 4096.0 * ln(4096.0 / (4096 - occ))
+                            ELSE raw END AS est
+                FROM (SELECT side, occ,
+                             0.7213 / (1.0 + 1.079 / 4096.0)
+                               * 4096.0 * 4096.0
+                               * (CAST(CAST(1 AS HUGEINT) << 64 AS DOUBLE)
+                                  / CAST(s_total AS DOUBLE)) AS raw
+                      FROM agg)
+            )
+            SELECT round(l.est, 6) AS est_left,
+                   round(r.est, 6) AS est_right,
+                   round(u.est, 6) AS est_union,
+                   round(l.est + r.est - u.est, 6) AS est_intersection
+            FROM (SELECT est FROM fin WHERE side = 0) l,
+                 (SELECT est FROM fin WHERE side = 1) r,
+                 (SELECT est FROM fin WHERE side = 2) u
         """,
         "returnflag_priority_counts": """
             SELECT l_returnflag,

@@ -1255,3 +1255,158 @@ def group_mad(
         })
 
     return mad_ds.map_batches(finish, batch_format="pyarrow")
+
+
+def decayed_score(
+    ds,
+    *,
+    key: str,
+    ts_col: str,
+    ref_day: int,
+    cap_days: int = 40,
+):
+    """Exponentially time-decayed event count per key — the
+    feature-store "recency-weighted engagement" aggregate, with
+    base-2 daily decay so the score is an EXACT int64:
+    ``score = Σ_events 2^(cap_days − age_days)`` over events whose
+    calendar-day age ≤ ``cap_days`` (an event today weighs
+    2^cap_days, one cap_days old weighs 1). Every term is a power of
+    two, the sum is pure integer arithmetic — no order-dependent
+    float reduction, value-exact against DuckDB
+    ``SUM(1::BIGINT << (cap − age))``. int64 headroom: up to
+    ~2^(62−cap_days) events per key (≈ 4M at cap 40).
+
+    ``ref_day`` is the reference date as days-since-epoch (for naive
+    epoch timestamps, ``floor(max_ts_us / 86_400e6)`` — equal to
+    DuckDB ``CAST(MAX(ts) AS DATE)``); computing it is the caller's
+    one tiny native ``max`` aggregate. Ages are calendar-day
+    differences of the DATE parts, matching ``date_diff('day', …)``.
+
+    Shape: per-batch (key, count, score) partials collapse each block
+    to ≤ |keys-in-block| rows, then one native groupby-sum — the
+    standard map-side-combine aggregate; no per-key Python anywhere.
+    Output: (key, n_recent int64, decay_score int64).
+    """
+    from .temporal import _epoch_us
+
+    us_per_day = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _epoch_us(batch[ts_col]).to_numpy(zero_copy_only=False)
+        age = ref_day - ts // us_per_day
+        keep = age <= cap_days
+        k = batch[key].combine_chunks().filter(pa.array(keep))
+        w = np.int64(1) << (cap_days - age[keep]).astype(np.int64)
+        t = pa.table({key: k,
+                      "n_recent": pa.array(np.ones(len(w), np.int64)),
+                      "decay_score": pa.array(w, pa.int64())})
+        g = t.group_by(key).aggregate(
+            [("n_recent", "sum"), ("decay_score", "sum")])
+        return g.rename_columns([key, "n_recent", "decay_score"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(key).sum(["n_recent", "decay_score"]))
+    return out.map_batches(
+        lambda b: b.rename_columns([key, "n_recent", "decay_score"]),
+        batch_format="pyarrow")
+
+
+def _hll_partial_cols(values, p: int):
+    """values → (register, rho) numpy arrays: the shared HLL hashing
+    kernel (md5-low-64, register = h % 2^p, rank of the remaining
+    64−p bits), identical to the SQL mirror's
+    ``md5_number_upper`` / ``length(bin(…))`` arithmetic."""
+    from .sample import _hash64
+
+    m = 1 << p
+    rho_max = 64 - p + 1
+    h = _hash64(values)
+    reg = (h % np.uint64(m)).astype(np.int64)
+    w = h >> np.uint64(p)
+    # w < 2^(64-p) ≤ 2^52 at p≥12 → float64-exact; frexp exponent IS
+    # bit_length(w)
+    _, ex = np.frexp(w.astype(np.float64))
+    rho = np.where(w == 0, rho_max, rho_max - ex).astype(np.int64)
+    return reg, rho
+
+
+def _hll_estimate(occ_rho_pairs, m: int) -> float:
+    """(register → max rho) pairs → the HLL estimate with exact-integer
+    harmonic denominator + linear-counting small-range fallback —
+    the single float division + ln shared bit-for-bit with the SQL
+    mirror (see :func:`hll_distinct`)."""
+    two64 = 1 << 64
+    occ = len(occ_rho_pairs)
+    s_total = sum(two64 >> int(r) for r in occ_rho_pairs) \
+        + (m - occ) * two64
+    alpha_mm = 0.7213 / (1.0 + 1.079 / float(m)) * float(m) * float(m)
+    raw = alpha_mm * (float(two64) / float(s_total))
+    zeros = m - occ
+    if raw <= 2.5 * m and zeros > 0:
+        raw = float(m) * float(np.log(float(m) / float(zeros)))
+    return raw
+
+
+def hll_overlap(
+    left_ds,
+    right_ds,
+    *,
+    left_col: str,
+    right_col: str,
+    p: int = 12,
+):
+    """Set-overlap estimation between two key sets via HLL sketch
+    ALGEBRA — the "how big would this join be?" planner primitive:
+    sketch each side once, merge registers (max) for the union, and
+    inclusion–exclusion gives the intersection:
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` — no join, no shuffle of
+    the data itself. Exchange: ≤ m rows per side per block (register
+    maxima), final reduce on a single ≤ 2m-row table.
+
+    Like :func:`hll_distinct`, every per-set estimate has an
+    exact-integer denominator, so all four outputs are
+    DuckDB-value-exact given the same md5 hash. Output: one row
+    (est_left, est_right, est_union, est_intersection), unrounded —
+    caller rounds 6dp to match SQL.
+    """
+    m = 1 << p
+
+    def partial_for(col, side):
+        def partial(batch: pa.Table) -> pa.Table:
+            reg, rho = _hll_partial_cols(batch[col].to_pylist(), p)
+            t = pa.table({
+                "side": pa.array(np.full(len(reg), side, np.int8)),
+                "reg": pa.array(reg), "rho": pa.array(rho)})
+            t = t.group_by(["side", "reg"]).aggregate([("rho", "max")])
+            return t.rename_columns(["side", "reg", "rho"])
+        return partial
+
+    parts = left_ds.map_batches(
+        partial_for(left_col, 0), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).union(right_ds.map_batches(
+        partial_for(right_col, 1), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ))
+    # native (side, reg) max → ≤ 2m rows; single-task finalize
+    maxima = parts.groupby(["side", "reg"]).max("rho")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        reg = t["reg"].to_numpy(zero_copy_only=False)
+        rho = t["max(rho)"].to_numpy(zero_copy_only=False)
+        rho_u = np.zeros(m, np.int64)
+        ests = {}
+        for s, name in ((0, "est_left"), (1, "est_right")):
+            mask = side == s
+            np.maximum.at(rho_u, reg[mask], rho[mask])
+            ests[name] = _hll_estimate(rho[mask], m)
+        ests["est_union"] = _hll_estimate(rho_u[rho_u > 0], m)
+        ests["est_intersection"] = (
+            ests["est_left"] + ests["est_right"] - ests["est_union"])
+        return pa.table({k: pa.array([v], pa.float64())
+                         for k, v in ests.items()})
+
+    return maxima.repartition(1).map_batches(
+        finalize, batch_format="pyarrow")

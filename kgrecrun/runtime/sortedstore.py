@@ -24,6 +24,7 @@ import os
 import shutil
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 ZONEMAP = "_zonemap.json"
@@ -103,3 +104,113 @@ def lookup(out_dir: str, *, key: str, keys, columns: list[str] | None = None):
         files, columns=columns,
         filter=pds.field(key).isin(list(keys)),
     )
+
+
+def compact_stores(
+    store_dirs: list[str],
+    out_dir: str,
+    *,
+    key: str,
+    target_rows_per_file: int = 64_000,
+) -> dict:
+    """LSM-style compaction: merge K sorted stores (overlapping key
+    ranges) into ONE sorted store WITHOUT a global sort shuffle.
+
+    A Dataset ``sort`` re-samples and all-to-all-exchanges every row;
+    compaction instead exploits that the inputs are already sorted
+    runs: the merge plan is computed from the ZONE MAPS alone (no data
+    read), then each disjoint output key range is produced by one
+    independent Ray task that reads only the input files overlapping
+    its range (row-filtered at the parquet scan) and sorts the few
+    blocks it sees. Exchange volume: zero; I/O: each input row is read
+    exactly once; tasks are embarrassingly parallel and individually
+    retryable — the shape that holds when the runs total 100 TB.
+
+    Raw ``ray.remote`` is justified here (not ``map_batches``): each
+    task is a range-scoped multi-file read+merge+write with no
+    per-batch semantics, and the plan (range → files) is metadata the
+    Dataset API cannot express without re-shuffling.
+
+    Boundaries come from the input files' ROW-GROUP statistics
+    (parquet footers — metadata-only reads, no row data), greedily
+    packed to ~``target_rows_per_file`` rows per output range, so
+    balance holds even when a run is a handful of huge files. Atomic
+    + idempotent like :func:`write_sorted_store`: an existing
+    complete store wins. Returns the merged store's zone map.
+    """
+    import ray
+
+    zpath = os.path.join(out_dir, ZONEMAP)
+    if os.path.exists(zpath):
+        with open(zpath) as f:
+            return json.load(f)
+
+    entries = []   # per FILE: (path, min, max) — the range→files prune
+    rg_stats = []  # per ROW GROUP: (min, rows) — boundary candidates
+    for d in store_dirs:
+        with open(os.path.join(d, ZONEMAP)) as f:
+            for name, z in json.load(f).items():
+                path = os.path.join(d, name)
+                entries.append((path, z["min"], z["max"]))
+                md = pq.ParquetFile(path).metadata
+                idx = md.schema.to_arrow_schema().get_field_index(key)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    rg_stats.append((st.min, md.row_group(rg).num_rows))
+    if not entries:
+        raise ValueError("compact_stores: no input files")
+
+    # range boundaries from row-group mins only (metadata-only plan)
+    rg_stats.sort()
+    bounds, acc = [rg_stats[0][0]], 0
+    for mn, rows in rg_stats:
+        if acc >= target_rows_per_file and mn > bounds[-1]:
+            bounds.append(mn)
+            acc = 0
+        acc += rows
+    ranges = [
+        (bounds[i], bounds[i + 1] if i + 1 < len(bounds) else None)
+        for i in range(len(bounds))
+    ]
+
+    @ray.remote
+    def merge_range(i: int, lo, hi, files: list[str], stage: str):
+        import pyarrow.dataset as pds
+
+        flt = pds.field(key) >= lo
+        if hi is not None:
+            flt = flt & (pds.field(key) < hi)
+        t = pds.dataset(files).to_table(filter=flt)
+        if t.num_rows == 0:
+            return None
+        t = t.take(pc.sort_indices(t[key]))
+        name = f"part-{i:05d}.parquet"
+        pq.write_table(t, os.path.join(stage, name))
+        col = t[key]
+        return (name, col[0].as_py(), col[-1].as_py(), t.num_rows)
+
+    stage = f"{out_dir}.stage.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    futs = []
+    for i, (lo, hi) in enumerate(ranges):
+        files = [
+            p for p, mn, mx in entries
+            if mx >= lo and (hi is None or mn < hi)
+        ]
+        if files:
+            futs.append(merge_range.remote(i, lo, hi, files, stage))
+    zonemap = {
+        name: {"min": mn, "max": mx, "rows": rows}
+        for name, mn, mx, rows in
+        (r for r in ray.get(futs) if r is not None)
+    }
+    with open(os.path.join(stage, ZONEMAP), "w") as f:
+        json.dump(zonemap, f)
+    try:
+        os.rename(stage, out_dir)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(zpath) as f:
+            return json.load(f)
+    return zonemap

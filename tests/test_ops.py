@@ -2456,3 +2456,138 @@ def test_phash_topk_planted_neighbors():
         assert rows.iloc[0]["hamming"] == 0
         assert list(rows["rank"]) == [1, 2, 3]
         assert probe not in set(rows["media_id"])  # self excluded
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_stores_zero_shuffle_merge(tmp_path):
+    """LSM compaction of 3 fully-overlapping sorted runs: the merged
+    store is complete (every row exactly once), each output file is
+    sorted, file key ranges are disjoint, output is balanced (more
+    than one file at a small target), lookups work, and a second
+    compact call is idempotent."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from kgrecrun.runtime.sortedstore import (ZONEMAP, compact_stores,
+                                              lookup, write_sorted_store)
+
+    n = 9_000
+    t = pa.table({
+        "k": pa.array(list(range(n)), pa.int64()),
+        "v": pa.array([i * 13 % 997 for i in range(n)], pa.int64()),
+    })
+    runs = []
+    for r in range(3):  # hash-split: every run spans the full range
+        sub = t.filter(pa.array([i % 3 == r for i in range(n)]))
+        d = str(tmp_path / f"run{r}")
+        write_sorted_store(ray.data.from_arrow(sub).repartition(5),
+                           d, key="k")
+        runs.append(d)
+    out = str(tmp_path / "merged")
+    zm = compact_stores(runs, out, key="k", target_rows_per_file=2_000)
+    assert len(zm) > 1  # balanced: the plan actually split ranges
+
+    prev_max = None
+    seen = []
+    for name in sorted(zm):
+        part = _pq.read_table(f"{out}/{name}")
+        ks = part["k"].to_numpy()
+        assert (np.diff(ks) >= 0).all()          # sorted within file
+        assert ks[0] == zm[name]["min"] and ks[-1] == zm[name]["max"]
+        if prev_max is not None:
+            assert ks[0] > prev_max              # disjoint ranges
+        prev_max = ks[-1]
+        seen.append(part)
+    merged = pa.concat_tables(seen)
+    assert merged.num_rows == n                  # complete, no dups
+    assert sorted(merged["k"].to_pylist()) == list(range(n))
+
+    got = lookup(out, key="k", keys=[0, 4444, 8999]).to_pandas()
+    assert sorted(got["k"]) == [0, 4444, 8999]
+    assert list(got.sort_values("k")["v"]) == [
+        k * 13 % 997 for k in (0, 4444, 8999)]
+
+    zm2 = compact_stores(runs, out, key="k", target_rows_per_file=2_000)
+    assert zm2 == zm                             # idempotent re-run
+    with open(f"{out}/{ZONEMAP}") as f:
+        assert _json.load(f) == zm
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decayed_score_exact_and_shard_invariant():
+    """decayed_score == Σ 2^(cap − age_days) per key over events within
+    the cap, exactly, independent of blocking."""
+    import ray.data
+
+    from kgrecrun.ops.stats import decayed_score
+
+    us_day = 86_400_000_000
+    ref_day = 20_000  # days since epoch
+    rows = []  # (user, age_days, µs-of-day offset)
+    for u in range(40):
+        for j in range(u % 7 + 1):
+            age = (u * 31 + j * 17) % 60  # some beyond the 40-day cap
+            rows.append((u, age, (u + j) * 1_000_003))
+    ts = pa.array([(ref_day - a) * us_day + off for _, a, off in rows],
+                  pa.timestamp("us"))
+    t = pa.table({"u": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": ts})
+
+    expect_n, expect_s = {}, {}
+    for u, age, _ in rows:
+        if age <= 40:
+            expect_n[u] = expect_n.get(u, 0) + 1
+            expect_s[u] = expect_s.get(u, 0) + (1 << (40 - age))
+
+    def run(blocks):
+        out = decayed_score(
+            ray.data.from_arrow(t).repartition(blocks),
+            key="u", ts_col="ts", ref_day=ref_day, cap_days=40,
+        ).to_pandas().set_index("u")
+        return out
+
+    a = run(3)
+    assert set(a.index) == set(expect_n)
+    for u in expect_n:
+        assert a.loc[u, "n_recent"] == expect_n[u]
+        assert a.loc[u, "decay_score"] == expect_s[u]
+    b = run(9)
+    assert a.sort_index().equals(b.sort_index())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_overlap_accuracy_and_shard_invariance():
+    """hll_overlap estimates |A|, |B|, |A∪B|, |A∩B| within ~5% on a
+    planted 50% overlap, identically across blockings, and consistency
+    holds: intersection = left + right − union exactly (by
+    construction) and per-side estimates equal hll_distinct's."""
+    import ray.data
+
+    from kgrecrun.ops.stats import hll_overlap
+
+    nl, nr, shared = 60_000, 40_000, 20_000
+    left = np.arange(nl)                          # 0 .. 59_999
+    right = np.arange(nl - shared, nl - shared + nr)  # 40k .. 79_999
+    lt = pa.table({"a": pa.array(np.concatenate([left, left[:500]]),
+                                 pa.int64())})    # dups don't matter
+    rt = pa.table({"b": pa.array(right, pa.int64())})
+
+    def run(blocks):
+        out = hll_overlap(
+            ray.data.from_arrow(lt).repartition(blocks),
+            ray.data.from_arrow(rt).repartition(blocks),
+            left_col="a", right_col="b",
+        ).to_pandas().iloc[0]
+        return out
+
+    e = run(3)
+    assert abs(e["est_left"] - nl) / nl < 0.05
+    assert abs(e["est_right"] - nr) / nr < 0.05
+    assert abs(e["est_union"] - (nl + nr - shared)) / (nl + nr - shared) < 0.05
+    assert abs(e["est_intersection"] - shared) / shared < 0.15
+    assert e["est_intersection"] == pytest.approx(
+        e["est_left"] + e["est_right"] - e["est_union"], abs=1e-9)
+    f = run(7)
+    assert e.equals(f)  # register maxima are associative
