@@ -1059,6 +1059,118 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lookup(out, key="doc_id", keys=probes,
                       columns=["doc_id", "lang", "n_chars"])
 
+    def orders_zorder_box(sf_dir: str):
+        """Multi-dimensional pruned scan: orders clustered ONCE by the
+        Morton code z(o_custkey, epoch-day(o_orderdate)) — the
+        Delta/Iceberg ZORDER BY layout — then a (customer-range ×
+        date-range) box probe reads only the files whose quadtree cell
+        intersects the box (runtime/zorder.py; pruning on BOTH thin
+        dimensions asserted in pytest). Rows are exact: surviving
+        files are re-filtered on the coordinates at the scan."""
+        import datetime
+        import os
+
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from kgrecrun.ops.temporal import _epoch_us
+        from kgrecrun.runtime.zorder import box_lookup, write_zorder_store
+
+        src = f"{sf_dir}/orders.parquet"
+        n = _pq.ParquetFile(src).metadata.num_rows
+        out = (f"/tmp/kgrecrun_zorder/orders_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}_{n}")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+
+        def add_day(b: pa.Table) -> pa.Table:
+            day = pc.divide(_epoch_us(b["o_orderdate"]),
+                            pa.scalar(86_400_000_000, pa.int64()))
+            return b.append_column("o_day", pc.cast(day, pa.int64()))
+
+        write_zorder_store(
+            ray.data.read_parquet(
+                src, columns=["o_orderkey", "o_custkey", "o_orderdate"]
+            ).map_batches(add_day, batch_format="pyarrow"),
+            out, cols=("o_custkey", "o_day"))
+
+        epoch = datetime.date(1970, 1, 1)
+        d0 = (datetime.date(1995, 1, 1) - epoch).days
+        d1 = (datetime.date(1995, 12, 31) - epoch).days
+        return box_lookup(out, (100, d0), (299, d1),
+                          columns=["o_orderkey", "o_custkey"])
+
+    def supplier_qty_ivm(sf_dir: str):
+        """Incremental view maintenance: the per-supplier (count, qty)
+        aggregate materialized over pre-1997 shipments is UPDATED from
+        a changelog — 1997 shipments as inserts, returned 1996 rows as
+        retractions — by aggregating only the delta and merging
+        (ops/cdc.py maintain_agg); base rows are never rescanned.
+        Equals a full recompute exactly (count/sum are distributive)."""
+        import datetime
+
+        import ray.data
+
+        from kgrecrun.ops.cdc import maintain_agg
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.temporal import _epoch_us
+
+        def us(y):
+            # TZ-independent epoch µs of Jan 1 (pyarrow cast, not
+            # datetime.timestamp() which reads the local zone)
+            return pa.scalar(datetime.datetime(y, 1, 1),
+                             pa.timestamp("us")).cast(pa.int64()).as_py()
+
+        t96, t97, t98 = us(1996), us(1997), us(1998)
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_quantity", "l_shipdate",
+                     "l_returnflag"])
+
+        def base_partial(b: pa.Table) -> pa.Table:
+            ts = _epoch_us(b["l_shipdate"])
+            t = pa.table({
+                "l_suppkey": b["l_suppkey"],
+                "n": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+                "qty_cents": pc.cast(cents(b["l_quantity"]), pa.int64()),
+            }).filter(pc.less(ts, t97))
+            g = t.group_by("l_suppkey").aggregate(
+                [("n", "sum"), ("qty_cents", "sum")])
+            return g.rename_columns(["l_suppkey", "n", "qty_cents"])
+
+        def delta(b: pa.Table) -> pa.Table:
+            ts = _epoch_us(b["l_shipdate"])
+            t = pa.table({
+                "l_suppkey": b["l_suppkey"],
+                "qty_cents": pc.cast(cents(b["l_quantity"]), pa.int64()),
+                "__ts": ts, "__rf": b["l_returnflag"],
+            })
+            ins = t.filter(pc.and_(pc.greater_equal(t["__ts"], t97),
+                                   pc.less(t["__ts"], t98)))
+            dels = t.filter(pc.and_(
+                pc.and_(pc.greater_equal(t["__ts"], t96),
+                        pc.less(t["__ts"], t97)),
+                pc.equal(t["__rf"], "R")))
+            out = pa.concat_tables([
+                ins.select(["l_suppkey", "qty_cents"]).append_column(
+                    "op", pa.nulls(ins.num_rows, pa.string())
+                    .fill_null("insert")),
+                dels.select(["l_suppkey", "qty_cents"]).append_column(
+                    "op", pa.nulls(dels.num_rows, pa.string())
+                    .fill_null("delete")),
+            ])
+            return out
+
+        base_agg = (ds.map_batches(base_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                    .groupby("l_suppkey").sum(["n", "qty_cents"])
+                    .map_batches(lambda b: b.rename_columns(
+                        ["l_suppkey", "n", "qty_cents"]),
+                        batch_format="pyarrow"))
+        delta_ds = ds.map_batches(delta, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return maintain_agg(base_agg, delta_ds, key="l_suppkey",
+                            sum_cols=["qty_cents"])
+
     def events_decayed_score(sf_dir: str):
         """Recency-weighted engagement feature: per user, the
         base-2-daily-decayed count of purchase events within 40
@@ -1087,6 +1199,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["user_id", "ts"])
         return decayed_score(purchases, key="user_id", ts_col="ts",
                              ref_day=ref_day, cap_days=40)
+
+    def events_late_data(sf_dir: str):
+        """Streaming watermark replay: events arrive with a
+        deterministic per-event network latency (md5 jitter < 4 h);
+        the watermark at each arrival is max(prior event times) − 3 h;
+        tumbling 1-day event-time windows count on-time vs LATE
+        arrivals (ops/window.py late_data_windows — global running
+        max over arrival order with no global sort). The SQL mirror is
+        a MAX ... OVER (ORDER BY arrival ROWS UNBOUNDED PRECEDING TO
+        1 PRECEDING) window, value-exact."""
+        import ray.data
+
+        from kgrecrun.ops.sample import _hash64
+        from kgrecrun.ops.temporal import _epoch_us
+        from kgrecrun.ops.window import late_data_windows
+
+        jitter_us = 14_400_000_000   # < 4 h deterministic latency
+        delay_us = 10_800_000_000    # 3 h bounded out-of-orderness
+
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "ts"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            tsu = _epoch_us(b["ts"])
+            j = (_hash64(b["event_id"].to_pylist())
+                 % np.uint64(jitter_us)).astype(np.int64)
+            return pa.table({
+                "event_id": b["event_id"],
+                "ts_us": tsu,
+                "arrival_us": pc.add(tsu, pa.array(j, pa.int64())),
+            })
+
+        prepped = ds.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+        # arrival values are epoch-µs: size the contiguous order ranges
+        # to the actual span (~2k ranges) instead of the id-oriented
+        # 65536 default, else the range domain explodes
+        lo = prepped.min("arrival_us")
+        hi = prepped.max("arrival_us")
+        width = max(1, (hi - lo) // 2048 + 1)
+        return late_data_windows(prepped, arrival_col="arrival_us",
+                                 tie_col="event_id", ts_col="ts_us",
+                                 delay_us=delay_us,
+                                 range_width=width)
 
     def user_order_overlap_hll(sf_dir: str):
         """Join-size estimation WITHOUT the join: HLL sketch algebra
@@ -3151,6 +3307,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_top_spender": daily_top_spender,
         "docs_store_lookup": docs_store_lookup,
         "docs_store_compaction": docs_store_compaction,
+        "orders_zorder_box": orders_zorder_box,
+        "supplier_qty_ivm": supplier_qty_ivm,
+        "events_late_data": events_late_data,
         "events_decayed_score": events_decayed_score,
         "user_order_overlap_hll": user_order_overlap_hll,
         "media_phash_topk": media_phash_topk,
@@ -5408,6 +5567,46 @@ def oracle_sql() -> dict[str, str]:
         "docs_store_compaction": f"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE {_IDHASH} % 197 = 3
+        """,
+        "orders_zorder_box": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey BETWEEN 100 AND 299
+              AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+              AND CAST(o_orderdate AS DATE) <= DATE '1995-12-31'
+        """,
+        "supplier_qty_ivm": """
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS qty_cents
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-01-01'
+              AND NOT (l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                       AND l_returnflag = 'R')
+            GROUP BY l_suppkey
+        """,
+        "events_late_data": """
+            WITH a AS (
+                SELECT event_id, epoch_us(ts) AS tsu,
+                       epoch_us(ts)
+                         + CAST(md5_number_upper(CAST(event_id AS VARCHAR))
+                                % 14400000000 AS BIGINT) AS arr
+                FROM events
+            ), w AS (
+                SELECT tsu,
+                       MAX(tsu) OVER (ORDER BY arr, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+                FROM a
+            )
+            SELECT (tsu // 86400000000) * 86400000000 AS window_start_us,
+                   CAST(SUM(CASE WHEN wm IS NULL
+                                   OR tsu >= wm - 10800000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+                   CAST(SUM(CASE WHEN wm IS NOT NULL
+                                  AND tsu < wm - 10800000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM w GROUP BY 1
         """,
         "events_decayed_score": """
             WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS refd FROM events)

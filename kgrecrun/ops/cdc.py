@@ -79,3 +79,57 @@ def apply_changelog(base_ds, changes_ds, *, key: str, value_cols: list[str],
 
     return winners.map_batches(finish, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def maintain_agg(agg_ds, delta_ds, *, key: str, sum_cols: list[str],
+                 n_col: str = "n", op_col: str = "op",
+                 delete_op: str = "delete"):
+    """Incremental VIEW MAINTENANCE for distributive aggregates: update
+    a materialized per-key (count, sums) aggregate from a row-level
+    changelog WITHOUT rescanning the base table.
+
+    ``agg_ds`` is the existing aggregate (key, n_col, *sum_cols);
+    ``delta_ds`` is the change stream (key, *sum_cols, op_col) where
+    each row is one inserted (+) or deleted (−) base-table row. Every
+    delta row becomes a signed partial (±1, ±value), map-side combined
+    per block, then ONE native groupby-sum merges partials with the
+    old aggregate — the exchange carries ≤ |keys-in-block| rows of the
+    delta plus the (already small) aggregate, never base rows. Keys
+    whose count reaches zero are dropped (they no longer exist in the
+    view), matching a full recompute exactly: count and sum are
+    distributive, so base ⊎ inserts ∖ deletes == old_agg + Σ signed
+    deltas. This is the 100-TB shape: maintaining a daily aggregate
+    over an appended/retracted sliver costs O(delta), not O(base).
+
+    Deletes MUST carry the same value columns as the original inserted
+    row (standard changelog/retraction semantics — e.g. Flink's
+    retract streams); int64 sums assumed (cents discipline).
+    """
+
+    def signed(batch: pa.Table) -> pa.Table:
+        sign = pc.if_else(pc.equal(batch[op_col], delete_op),
+                          pa.scalar(-1, pa.int64()),
+                          pa.scalar(1, pa.int64()))
+        cols = {key: batch[key], n_col: sign}
+        for c in sum_cols:
+            cols[c] = pc.multiply(pc.cast(batch[c], pa.int64()), sign)
+        t = pa.table(cols)
+        g = t.group_by(key).aggregate(
+            [(n_col, "sum")] + [(c, "sum") for c in sum_cols])
+        return g.rename_columns([key, n_col, *sum_cols])
+
+    def align(batch: pa.Table) -> pa.Table:
+        return batch.select([key, n_col, *sum_cols])
+
+    merged = (agg_ds.map_batches(align, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .union(delta_ds.map_batches(signed, batch_format="pyarrow",
+                                          zero_copy_batch=True))
+              .groupby(key).sum([n_col, *sum_cols]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns([key, n_col, *sum_cols])
+        return t.filter(pc.greater(t[n_col], 0))
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -797,7 +797,8 @@ def daily_new_users(sf_dir: str, *, events_ds=None):
 
 
 def global_cummax(ds, *, order_col: str, value_col: str,
-                  range_width: int = 65_536, value_fn=None):
+                  range_width: int = 65_536, value_fn=None,
+                  tie_col: str | None = None):
     """GLOBAL running maximum over arrival order — the streaming
     "record tracker": for each row (ordered by ``order_col``), the max
     of every STRICTLY EARLIER row's value, plus an ``is_record`` flag
@@ -819,7 +820,10 @@ def global_cummax(ds, *, order_col: str, value_col: str,
     (a record by definition, int64 min stays internal). Scale
     contract: one range's rows fit a worker (ranges are order-id
     slices — tune ``range_width``); order ids need not be dense, only
-    unique.
+    unique — or pass ``tie_col`` (a unique id) to make "earlier" the
+    lexicographic (order, tie) position when order values may collide
+    (e.g. arrival timestamps). The tie column passes through to the
+    output.
     """
     from ..kg.resources import broadcast, resolve
 
@@ -833,11 +837,14 @@ def global_cummax(ds, *, order_col: str, value_col: str,
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         on = o.to_numpy(zero_copy_only=False)
-        return pa.table({
+        cols = {
             "__range": pa.array(on // range_width, pa.int64()),
             order_col: o,
             "value": pc.cast(v, pa.int64()),
-        })
+        }
+        if tie_col is not None:
+            cols[tie_col] = batch[tie_col]
+        return pa.table(cols)
 
     ranged = ds.map_batches(tag, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
@@ -868,8 +875,10 @@ def global_cummax(ds, *, order_col: str, value_col: str,
 
     def sweep(group: pa.Table) -> pa.Table:
         pre = resolve(pre_ref)[group["__range"][0].as_py()]
-        g = group.take(pc.sort_indices(group, sort_keys=[(order_col,
-                                                          "ascending")]))
+        sort_keys = [(order_col, "ascending")]
+        if tie_col is not None:
+            sort_keys.append((tie_col, "ascending"))
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
         v = g["value"].combine_chunks().to_numpy(zero_copy_only=False)
         shifted = np.empty_like(v)
         shifted[0] = pre
@@ -878,12 +887,15 @@ def global_cummax(ds, *, order_col: str, value_col: str,
             np.maximum(shifted[1:], pre, out=shifted[1:])
         is_rec = v > shifted
         prev = np.where(shifted == np.iinfo(np.int64).min, v, shifted)
-        return pa.table({
+        cols = {
             order_col: g[order_col],
             "value": g["value"],
             "prev_max": pa.array(prev, pa.int64()),
             "is_record": pa.array(is_rec.astype(np.int64), pa.int64()),
-        })
+        }
+        if tie_col is not None:
+            cols[tie_col] = g[tie_col]
+        return pa.table(cols)
 
     return ranged.groupby("__range").map_groups(sweep, batch_format="pyarrow")
 
@@ -1211,3 +1223,56 @@ def session_running_spend(sf_dir: str, gap_minutes: int = 30, *,
 
     return _bucketed(ds, "user_id").groupby("__bucket").map_groups(
         sweep, batch_format="pyarrow")
+
+
+def late_data_windows(ds, *, arrival_col: str, tie_col: str, ts_col: str,
+                      delay_us: int, window_us: int = 86_400_000_000,
+                      range_width: int = 65_536):
+    """Streaming WATERMARK semantics over a batch table: tumbling
+    event-time windows with late-data accounting — the missing
+    "windows/watermarks/late data" row of the reference's category
+    checklist, replayed deterministically from an arrival log.
+
+    The watermark when a row arrives is ``max(event time of every
+    strictly-earlier arrival) − delay_us`` (the standard
+    bounded-out-of-orderness watermark, e.g. Flink's
+    BoundedOutOfOrdernessWatermarks); a row whose event time is below
+    that watermark is LATE — a streaming engine would have already
+    closed its window and routed it to a side output. Output: one row
+    per tumbling event-time window, (window_start_us, n_ontime,
+    n_late); every event is attributed to its event-time window, late
+    ones in the n_late column. The first arrival is on-time by
+    definition.
+
+    Scale shape: the running max over arrival order is
+    :func:`global_cummax` (contiguous arrival ranges, per-range max
+    partials, driver prefix-max of one int64 per range — no global
+    sort); the window rollup is a map-side combiner + one native
+    groupby-sum over the tiny window domain. ``arrival_col`` is epoch
+    µs of arrival (may collide — ``tie_col`` must be a unique id).
+    """
+    wm = global_cummax(ds, order_col=arrival_col, value_col=ts_col,
+                       range_width=range_width, tie_col=tie_col)
+
+    def window_partial(batch: pa.Table) -> pa.Table:
+        tsu = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        prev = batch["prev_max"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        late = tsu < prev - delay_us
+        t = pa.table({
+            "window_start_us": pa.array(tsu // window_us * window_us,
+                                        pa.int64()),
+            "n_ontime": pa.array((~late).astype(np.int64)),
+            "n_late": pa.array(late.astype(np.int64)),
+        })
+        g = t.group_by("window_start_us").aggregate(
+            [("n_ontime", "sum"), ("n_late", "sum")])
+        return g.rename_columns(["window_start_us", "n_ontime", "n_late"])
+
+    out = (wm.map_batches(window_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("window_start_us").sum(["n_ontime", "n_late"]))
+    return out.map_batches(
+        lambda b: b.rename_columns(["window_start_us", "n_ontime",
+                                    "n_late"]),
+        batch_format="pyarrow")

@@ -2591,3 +2591,148 @@ def test_hll_overlap_accuracy_and_shard_invariance():
         e["est_left"] + e["est_right"] - e["est_union"], abs=1e-9)
     f = run(7)
     assert e.equals(f)  # register maxima are associative
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zorder_store_box_pruning(tmp_path):
+    """Z-order clustering: box queries return exactly the brute-force
+    rows, and the zone map prunes files for thin boxes in EITHER
+    dimension (the property a 1-D sort cannot give)."""
+    import ray.data
+
+    from kgrecrun.runtime.zorder import (box_files, box_lookup, zdecode,
+                                         write_zorder_store, zvalue)
+
+    # round-trip of the bit interleave
+    a = np.array([0, 1, 5, 2**31 - 1, 12345], np.int64)
+    b = np.array([0, 2**31 - 1, 7, 3, 54321], np.int64)
+    za = zvalue(a, b)
+    ra, rb = zdecode(za)
+    assert (ra == a).all() and (rb == b).all()
+    # monotone per coordinate: box image inside corner z-interval
+    assert zvalue([3], [4])[0] <= zvalue([5], [4])[0]
+    assert zvalue([3], [4])[0] <= zvalue([3], [9])[0]
+
+    n = 256
+    g = np.arange(n * n, dtype=np.int64)
+    t = pa.table({"x": g % n, "y": g // n,
+                  "v": pa.array(g * 7 % 1009, pa.int64())})
+    out = str(tmp_path / "zstore")
+    zm = write_zorder_store(
+        ray.data.from_arrow(t).repartition(32), out, cols=("x", "y"))
+    assert len(zm) >= 16
+
+    def brute(lo, hi):
+        m = ((t["x"].to_numpy() >= lo[0]) & (t["x"].to_numpy() <= hi[0])
+             & (t["y"].to_numpy() >= lo[1]) & (t["y"].to_numpy() <= hi[1]))
+        return t.filter(pa.array(m))
+
+    for lo, hi in [((10, 0), (15, 255)),    # thin in x, full in y
+                   ((0, 100), (255, 105)),  # full in x, thin in y
+                   ((40, 60), (80, 90)),    # interior box
+                   ((200, 200), (255, 255))]:
+        got = (box_lookup(out, lo, hi, columns=["x", "y", "v"])
+               .to_pandas().sort_values(["x", "y"]).reset_index(drop=True))
+        want = brute(lo, hi).to_pandas().sort_values(
+            ["x", "y"]).reset_index(drop=True)
+        assert got.equals(want)
+        files, total = box_files(out, lo, hi)
+        assert len(files) < total * 0.7  # pruned in BOTH thin dims
+
+    # empty box off the grid
+    assert box_lookup(out, (300, 300), (400, 400)).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_maintain_agg_matches_recompute():
+    """Incremental aggregate maintenance == full recompute: inserts on
+    existing and NEW keys, partial deletes, and a key deleted down to
+    zero rows (must vanish from the view)."""
+    import ray.data
+
+    from kgrecrun.ops.cdc import maintain_agg
+
+    base = pa.table({
+        "k": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+        "v": pa.array([10, 20, 5, 1, 2, 3], pa.int64()),
+    })
+    import pyarrow.compute as pc
+
+    agg = base.group_by("k").aggregate([("v", "count"), ("v", "sum")])
+    agg = pa.table({"k": agg["k"],
+                    "n": pc.cast(agg["v_count"], pa.int64()),
+                    "v": agg["v_sum"]})
+    delta = pa.table({
+        "k": pa.array([1, 2, 4, 4, 3, 3, 3], pa.int64()),
+        "v": pa.array([7, 5, 100, 200, 1, 2, 3], pa.int64()),
+        "op": pa.array(["insert", "delete", "insert", "insert",
+                        "delete", "delete", "delete"]),
+    })
+    out = maintain_agg(
+        ray.data.from_arrow(agg).repartition(2),
+        ray.data.from_arrow(delta).repartition(3),
+        key="k", sum_cols=["v"],
+    ).to_pandas().set_index("k").sort_index()
+    # recompute: k1 {10,20,7}, k2 {} (deleted to zero), k3 deleted all,
+    # k4 new {100,200}
+    assert list(out.index) == [1, 4]
+    assert out.loc[1, "n"] == 3 and out.loc[1, "v"] == 37
+    assert out.loc[4, "n"] == 2 and out.loc[4, "v"] == 300
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_late_data_windows_watermark_semantics():
+    """Watermark replay == a brute-force single-threaded simulation:
+    per arrival, watermark = max(prior event times) − delay; late iff
+    event time < watermark; counts roll into tumbling event-time
+    windows. Includes arrival-time ties (tie_col order) and a first
+    arrival (on-time by definition). Shard-invariant."""
+    import ray.data
+
+    from kgrecrun.ops.window import late_data_windows
+
+    rng_rows = []
+    # (event_id, ts, arrival): arrival = ts + deterministic jitter,
+    # two rows share an arrival instant (tie broken by id)
+    W, D = 100, 10
+    data = [
+        (1, 50, 55), (2, 90, 91), (3, 60, 92),   # 3: wm=90-10=80 > 60 late
+        (4, 95, 93), (5, 70, 93),                # tie: 4 before 5; 5 late
+        (6, 300, 301), (7, 310, 302),
+        (8, 280, 303),                           # wm=310-10=300 > 280 late
+        (9, 299, 304),                           # wm=300, 299<300 late
+    ]
+    del rng_rows
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in data], pa.int64()),
+        "ts_us": pa.array([r[1] for r in data], pa.int64()),
+        "arrival_us": pa.array([r[2] for r in data], pa.int64()),
+    })
+
+    # brute-force reference
+    byarr = sorted(data, key=lambda r: (r[2], r[0]))
+    seen_max, flags = None, {}
+    for eid, ts, _arr in byarr:
+        late = seen_max is not None and ts < seen_max - D
+        flags[eid] = late
+        seen_max = ts if seen_max is None else max(seen_max, ts)
+    expect = {}
+    for eid, ts, _ in data:
+        w = ts // W * W
+        on, la = expect.get(w, (0, 0))
+        expect[w] = (on + (not flags[eid]), la + flags[eid])
+
+    def run(blocks, width):
+        out = late_data_windows(
+            ray.data.from_arrow(t).repartition(blocks),
+            arrival_col="arrival_us", tie_col="event_id",
+            ts_col="ts_us", delay_us=D, window_us=W,
+            range_width=width,
+        ).to_pandas().set_index("window_start_us").sort_index()
+        return out
+
+    a = run(3, 64)
+    assert {w: (r["n_ontime"], r["n_late"]) for w, r in a.iterrows()} \
+        == expect
+    b = run(5, 7)  # ranges split mid-stream: prefix handoff exercised
+    assert a.equals(b)
