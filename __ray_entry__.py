@@ -1244,6 +1244,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  delay_us=delay_us,
                                  range_width=width)
 
+    def graph_sssp(sf_dir: str):
+        """Weighted shortest paths from the smallest node of the
+        sparse supplier-part graph — Bellman–Ford with deterministic
+        edge weights 1 + (u+v) % 7, capped at 12 relaxation rounds so
+        the 12×-unrolled SQL recurrence is value-equal by construction
+        (ops/graph.py sssp_distances: driver-held (node, dist) numpy
+        state, one raw-task wave per round over cached edge blocks)."""
+        from kgrecrun.ops.graph import sssp_distances, supplier_part_edges
+
+        def add_w(b: pa.Table) -> pa.Table:
+            s = b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "w", pa.array(1 + (s + d) % 7, pa.int64()))
+
+        edges = supplier_part_edges(sf_dir, max_quantity=2).map_batches(
+            add_w, batch_format="pyarrow", zero_copy_batch=True)
+        return sssp_distances(edges, rounds=12)
+
+    def lineitem_sample_quantiles(sf_dir: str):
+        """Quantile estimation by deterministic bottom-k sampling: the
+        2000 lineitems with the smallest md5(orderkey·10+linenumber)
+        are a uniform RNG-free sample every engine selects identically;
+        exact interpolated quantiles over it estimate the full-table
+        price distribution with exchange ≤ k rows per block — table
+        size drops out entirely (ops/sample.py sample_quantiles;
+        value-exact vs DuckDB quantile_cont over the same QUALIFY
+        bottom-k sample)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.sample import sample_quantiles
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+        def ids(b: pa.Table):
+            o = b["l_orderkey"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            ln = pc.cast(b["l_linenumber"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            return (o * 10 + ln).tolist()
+
+        return sample_quantiles(
+            ds, id_fn=ids, cents_fn=lambda b: cents(b["l_extendedprice"]),
+            k=2000, qs=(0.1, 0.25, 0.5, 0.75, 0.9))
+
     def user_order_overlap_hll(sf_dir: str):
         """Join-size estimation WITHOUT the join: HLL sketch algebra
         over two key sets — distinct event users vs distinct ordering
@@ -3310,6 +3358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_zorder_box": orders_zorder_box,
         "supplier_qty_ivm": supplier_qty_ivm,
         "events_late_data": events_late_data,
+        "graph_sssp": graph_sssp,
+        "lineitem_sample_quantiles": lineitem_sample_quantiles,
         "events_decayed_score": events_decayed_score,
         "user_order_overlap_hll": user_order_overlap_hll,
         "media_phash_topk": media_phash_topk,
@@ -3789,6 +3839,36 @@ def _embedding_dedup_sql(threshold: float = 0.95) -> str:
 _IDHASH = "md5_number_upper(CAST(doc_id AS VARCHAR))"
 
 
+def _sssp_sql(rounds: int) -> str:
+    """Bellman–Ford over the sparse supplier-part graph, UNROLLED
+    ``rounds`` times (recursive CTEs cannot aggregate in the recursive
+    term). Rounds past the fixpoint are no-ops, so this equals the
+    engine's fixpoint-or-cap output exactly — the k-core contract."""
+    parts = ["""
+        WITH pairs AS MATERIALIZED (
+            SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,
+                   CAST(l_suppkey AS BIGINT) * 2 + 1 AS v
+            FROM lineitem WHERE l_quantity <= 2
+        ), edges AS MATERIALIZED (
+            SELECT u, v, 1 + (u + v) % 7 AS w FROM pairs
+            UNION ALL
+            SELECT v, u, 1 + (u + v) % 7 FROM pairs
+        ), d0 AS MATERIALIZED (
+            SELECT MIN(u) AS node, 0 AS dist FROM edges
+        )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", d{i} AS MATERIALIZED (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{i - 1}
+                UNION ALL
+                SELECT e.v AS node, d.dist + e.w FROM d{i - 1} d
+                JOIN edges e ON e.u = d.node
+            ) GROUP BY node)""")
+    parts.append(
+        f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}")
+    return "".join(parts)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """k-core peeling over the co-purchase graph, UNROLLED ``rounds``
     times (recursive CTEs cannot aggregate in the recursive term).
@@ -4216,6 +4296,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY part
         """,
         "part_copurchase_kcore": _kcore_sql(k=65, rounds=12),
+        "graph_sssp": _sssp_sql(rounds=12),
         "cust_order_histogram": """
             WITH c AS (
                 SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -5584,6 +5665,26 @@ def oracle_sql() -> dict[str, str]:
                        AND l_shipdate < TIMESTAMP '1997-01-01'
                        AND l_returnflag = 'R')
             GROUP BY l_suppkey
+        """,
+        "lineitem_sample_quantiles": """
+            WITH s AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                       md5_number_upper(CAST(l_orderkey * 10 + l_linenumber
+                                             AS VARCHAR)) AS h
+                FROM lineitem
+                QUALIFY ROW_NUMBER() OVER (ORDER BY h, cents) <= 2000
+            )
+            SELECT CAST(0.1 AS DOUBLE) AS q,
+                   round(quantile_cont(CAST(cents AS DOUBLE), 0.1), 6) AS qv
+            FROM s
+            UNION ALL SELECT 0.25,
+                   round(quantile_cont(CAST(cents AS DOUBLE), 0.25), 6) FROM s
+            UNION ALL SELECT 0.5,
+                   round(quantile_cont(CAST(cents AS DOUBLE), 0.5), 6) FROM s
+            UNION ALL SELECT 0.75,
+                   round(quantile_cont(CAST(cents AS DOUBLE), 0.75), 6) FROM s
+            UNION ALL SELECT 0.9,
+                   round(quantile_cont(CAST(cents AS DOUBLE), 0.9), 6) FROM s
         """,
         "events_late_data": """
             WITH a AS (

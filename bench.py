@@ -133,6 +133,10 @@ def bench_main() -> None:
         "media_phash_dedup", "returnflag_priority_counts",
         "daily_top_spender", "kg_entity_pagerank", "docs_store_lookup",
         "docs_neardup_ingest", "media_phash_topk",
+        "docs_store_compaction", "events_decayed_score",
+        "user_order_overlap_hll", "orders_zorder_box",
+        "supplier_qty_ivm", "events_late_data", "graph_sssp",
+        "lineitem_sample_quantiles",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

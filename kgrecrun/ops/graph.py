@@ -1345,3 +1345,93 @@ def label_propagation(edges_ds, *, rounds: int = 3,
         "node": pa.array(nodes, pa.int64()),
         "label": pa.array(labels, pa.int64()),
     }))
+
+
+def sssp_distances(edges_ds, *, source: int | None = None, rounds: int = 12,
+                   broadcast_nodes: int = 2_000_000):
+    """Weighted single-source shortest paths (Bellman–Ford) over a
+    symmetric (src, dst, w) edge list with positive int64 weights —
+    the weighted sibling of :func:`bfs_distances`.
+
+    Per round every edge relaxes once: d'(v) = min(d(v), min over
+    incoming edges (d(u) + w)). Rounds are capped at ``rounds`` AND
+    stop early at the fixpoint; both give exactly d_rounds (fixpoint
+    rounds are no-ops), so an oracle that unrolls the same recurrence
+    ``rounds`` times is value-equal whether or not the graph has
+    converged — the same contract as the unrolled k-core SQL.
+
+    Scale shape (the broadcast path of the module's pagerank/BFS
+    trade-off): the (node, dist) state is driver-held numpy — 16
+    B/reached node, hard-capped at ``broadcast_nodes`` — and each
+    round is one wave of raw tasks over the once-cached edge block
+    refs (serially-dependent rounds over static blocks: re-launching
+    a Dataset execution per round costs ~10 s of executor startup for
+    milliseconds of numpy). Map-side each block emits its per-target
+    min candidate only — the merge is O(reached), never O(E).
+
+    ``source=None`` uses the smallest node id. Output: (node, dist)
+    for every node reached within ``rounds`` relaxations.
+    """
+    import ray
+    import ray.data
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        w = pc.cast(b["w"], pa.int64()).combine_chunks()
+        return pa.table({
+            "u": pa.concat_arrays([
+                b["src"].combine_chunks().cast(pa.int64()),
+                b["dst"].combine_chunks().cast(pa.int64()),
+            ]),
+            "v": pa.concat_arrays([
+                b["dst"].combine_chunks().cast(pa.int64()),
+                b["src"].combine_chunks().cast(pa.int64()),
+            ]),
+            "w": pa.concat_arrays([w, w]),
+        })
+
+    edges = edges_ds.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if source is None:
+        source = int(edges.min("u"))
+    block_refs = list(edges.to_arrow_refs())
+
+    @ray.remote
+    def relax(block: pa.Table, nodes: np.ndarray, dist: np.ndarray):
+        u = block["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = block["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = block["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nodes, u)
+        pos[pos >= len(nodes)] = 0
+        hit = nodes[pos] == u
+        cand = dist[pos[hit]] + w[hit]
+        vv = v[hit]
+        tgt, inv = np.unique(vv, return_inverse=True)
+        m = np.full(tgt.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(m, inv, cand)
+        return tgt, m
+
+    nodes = np.array([source], np.int64)   # kept sorted
+    dist = np.array([0], np.int64)
+    for _ in range(rounds):
+        n_ref, d_ref = ray.put(nodes), ray.put(dist)
+        parts = ray.get([relax.remote(br, n_ref, d_ref)
+                         for br in block_refs])
+        all_v = np.concatenate([p[0] for p in parts] + [nodes])
+        all_d = np.concatenate([p[1] for p in parts] + [dist])
+        tgt, inv = np.unique(all_v, return_inverse=True)
+        nd = np.full(tgt.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(nd, inv, all_d)
+        if tgt.size > broadcast_nodes:
+            raise RuntimeError(
+                f"sssp_distances: reached node set exceeds "
+                f"broadcast_nodes={broadcast_nodes}")
+        unchanged = tgt.size == nodes.size and (nd == dist).all()
+        nodes, dist = tgt, nd
+        if unchanged:
+            break
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "dist": pa.array(dist, pa.int64()),
+    }))

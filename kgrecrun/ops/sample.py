@@ -263,3 +263,56 @@ def quantile_band_filter(ds, *, value_col: str, id_col: str = "doc_id",
 
     return ds.map_batches(band, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def sample_quantiles(ds, *, id_fn, cents_fn, k: int = 2000,
+                     qs=(0.1, 0.25, 0.5, 0.75, 0.9)):
+    """Quantile ESTIMATION by deterministic bottom-k sampling: keep the
+    ``k`` rows with the smallest ``md5(id)`` — a uniform random sample
+    that every worker, every run, and the SQL oracle select
+    IDENTICALLY (no RNG, stable under re-sharding, the
+    :func:`hash_sample` discipline) — then exact linear-interpolated
+    quantiles over the sample. The 100-TB story: the exchange carries
+    ≤ k (hash, cents) rows per block and the estimate's error is the
+    standard sampling bound (~1/√k quantile deviation), independent of
+    table size.
+
+    Map-side each block keeps its own bottom-k (a superset guarantee:
+    the global bottom-k is a subset of the union of per-block
+    bottom-k); one single-task reduce re-sorts and interpolates.
+    Sample membership is decided by the total order (h, cents) so hash
+    ties cannot make the boundary ambiguous. ``qs`` fractions should
+    be exact dyadics (0.25 steps are bit-exact vs DuckDB
+    ``quantile_cont``; we round 6dp on both sides regardless).
+    Output: (q float64, qv float64 — rounded 6dp).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _hash64(id_fn(batch))
+        cents = cents_fn(batch)
+        if isinstance(cents, pa.ChunkedArray):
+            cents = cents.combine_chunks()
+        c = np.asarray(cents.to_numpy(zero_copy_only=False), np.int64)
+        order = np.lexsort((c, h))[:k]
+        return pa.table({"h": pa.array(h[order], pa.uint64()),
+                         "cents": pa.array(c[order], pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        h = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, h))[:k]
+        v = np.sort(c[order].astype(np.float64))
+        qarr = np.asarray(qs, np.float64)
+        pos = (len(v) - 1) * qarr
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, len(v) - 1)
+        qv = v[lo] + (pos - lo) * (v[hi] - v[lo])
+        # half-away-from-zero to match DuckDB round() (repo convention)
+        t6 = pc.round(pa.array(qv, pa.float64()), ndigits=6,
+                      round_mode="half_towards_infinity")
+        return pa.table({"q": pa.array(qarr, pa.float64()), "qv": t6})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(finish, batch_format="pyarrow"))

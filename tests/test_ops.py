@@ -2736,3 +2736,77 @@ def test_late_data_windows_watermark_semantics():
         == expect
     b = run(5, 7)  # ranges split mid-stream: prefix handoff exercised
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sssp_weighted_and_round_cap():
+    """Bellman–Ford: a weighted shortcut loses to the cheaper 2-hop
+    path; the round cap yields exactly d_rounds of the recurrence
+    (pre-convergence states match an unrolled reference)."""
+    import ray.data
+
+    from kgrecrun.ops.graph import sssp_distances
+
+    edges = pa.table({
+        "src": pa.array([1, 2, 1, 3, 4, 5], pa.int64()),
+        "dst": pa.array([2, 3, 3, 4, 5, 6], pa.int64()),
+        "w":   pa.array([5, 5, 20, 1, 1, 1], pa.int64()),
+    })
+
+    def reference(rounds):
+        adj = {}
+        for s, d, w in zip(edges["src"].to_pylist(),
+                           edges["dst"].to_pylist(),
+                           edges["w"].to_pylist()):
+            adj.setdefault(s, []).append((d, w))
+            adj.setdefault(d, []).append((s, w))
+        dist = {1: 0}
+        for _ in range(rounds):
+            nd = dict(dist)
+            for u, du in dist.items():
+                for v, w in adj[u]:
+                    if du + w < nd.get(v, 1 << 62):
+                        nd[v] = du + w
+            dist = nd
+        return dist
+
+    for rounds in (2, 12):
+        got = dict(sssp_distances(
+            ray.data.from_arrow(edges).repartition(3), rounds=rounds,
+        ).to_pandas().itertuples(index=False, name=None))
+        assert got == reference(rounds)
+    # converged values: shortcut 1-3 (20) loses to 1-2-3 (10)
+    assert reference(12) == {1: 0, 2: 5, 3: 10, 4: 11, 5: 12, 6: 13}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sample_quantiles_deterministic_and_accurate():
+    """Bottom-k hash sample: shard-invariant (identical estimates for
+    any blocking), within ~4/sqrt(k) of the true quantiles on a known
+    distribution, and exactly the full-data quantiles when k >= n."""
+    import ray.data
+
+    from kgrecrun.ops.sample import sample_quantiles
+
+    n = 50_000
+    vals = np.arange(n, dtype=np.int64)  # uniform 0..n-1
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "cents": pa.array(vals, pa.int64())})
+
+    def run(blocks, k):
+        out = sample_quantiles(
+            ray.data.from_arrow(t).repartition(blocks),
+            id_fn=lambda b: b["id"].to_pylist(),
+            cents_fn=lambda b: b["cents"], k=k,
+            qs=(0.25, 0.5, 0.75),
+        ).to_pandas()
+        return dict(zip(out["q"], out["qv"]))
+
+    a, b = run(4, 1600), run(11, 1600)
+    assert a == b  # deterministic sample: blocking-invariant
+    for q, qv in a.items():
+        assert abs(qv / n - q) < 4 / np.sqrt(1600)
+    # k >= n degenerates to the exact full-data quantiles
+    full = run(5, n + 10)
+    assert full[0.5] == (n - 1) / 2
+    assert full[0.25] == (n - 1) * 0.25
