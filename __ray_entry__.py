@@ -1292,6 +1292,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, id_fn=ids, cents_fn=lambda b: cents(b["l_extendedprice"]),
             k=2000, qs=(0.1, 0.25, 0.5, 0.75, 0.9))
 
+    def sessions_peak_concurrency(sf_dir: str):
+        """Capacity-planning sweep: the peak number of SIMULTANEOUSLY
+        open user sessions at the busiest boundary instant of each day
+        — +1/−1 boundary events through a distributed global prefix
+        sum (ops/window.py global_cumsum: range partials + driver
+        prefix offsets, no global sort), per-day max
+        (peak_concurrency). Closed intervals: starts sort before ends
+        at a shared instant."""
+        from kgrecrun.ops.window import peak_concurrency, session_intervals
+
+        return peak_concurrency(session_intervals(sf_dir),
+                                start_col="start_us", end_col="end_us")
+
+    def event_value_chi2(sf_dir: str):
+        """Chi-square independence table: is event type independent of
+        spend tier? Per cell the observed count, independence-expected
+        count, and (O−E)²/E contribution — margins exact int64, the
+        deviation (O·N − R·C)² exact in arbitrary precision (HUGEINT
+        in SQL), the only floats two identically-rounded divisions
+        (ops/stats.py chi_square)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.stats import chi_square
+
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+
+        def tier(b: pa.Table) -> pa.Table:
+            c = cents(b["value"])
+            t = pc.if_else(
+                pc.less(c, 2000), pa.scalar("low"),
+                pc.if_else(pc.less(c, 6000), pa.scalar("mid"),
+                           pa.scalar("high")))
+            return pa.table({"event_type": b["event_type"], "tier": t})
+
+        return chi_square(
+            ds.map_batches(tier, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            a_col="event_type", b_col="tier")
+
+    def customer_balance_asof(sf_dir: str):
+        """Time-travel read of the CDC-merged customer balances AS OF
+        1996-01-01: the same changelog as customer_balance_merge with
+        changes after the cutoff excluded BEFORE the merge — snapshot
+        reconstruction at any past point from base + bounded changelog
+        (ops/cdc.py apply_changelog; lakehouse time travel)."""
+        import datetime as _dt
+
+        import ray.data
+
+        from kgrecrun.ops.cdc import apply_changelog
+        from kgrecrun.ops.relational import cents
+
+        cutoff = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+
+        def prep_base(batch):
+            return pa.table({
+                "custkey": batch["c_custkey"],
+                "bal_cents": cents(batch["c_acctbal"]),
+            })
+
+        def prep_change(batch):
+            t = pa.table({
+                "custkey": batch["o_custkey"],
+                "bal_cents": cents(batch["o_totalprice"]),
+                "ts": batch["o_orderdate"],
+                "seq": batch["o_orderkey"],
+                "op": pc.if_else(
+                    pc.equal(batch["o_orderstatus"], "F"),
+                    pa.scalar("delete"), pa.scalar("upsert")),
+            })
+            return t.filter(pc.less(t["ts"], cutoff))
+
+        base = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_acctbal"],
+        ).map_batches(prep_base, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        changes = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice", "o_orderdate",
+                     "o_orderkey", "o_orderstatus"],
+        ).map_batches(prep_change, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        return apply_changelog(
+            base, changes, key="custkey", value_cols=["bal_cents"],
+            ts_col="ts", seq_col="seq", op_col="op")
+
     def user_order_overlap_hll(sf_dir: str):
         """Join-size estimation WITHOUT the join: HLL sketch algebra
         over two key sets — distinct event users vs distinct ordering
@@ -3360,6 +3449,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_data": events_late_data,
         "graph_sssp": graph_sssp,
         "lineitem_sample_quantiles": lineitem_sample_quantiles,
+        "sessions_peak_concurrency": sessions_peak_concurrency,
+        "event_value_chi2": event_value_chi2,
+        "customer_balance_asof": customer_balance_asof,
         "events_decayed_score": events_decayed_score,
         "user_order_overlap_hll": user_order_overlap_hll,
         "media_phash_topk": media_phash_topk,
@@ -5665,6 +5757,87 @@ def oracle_sql() -> dict[str, str]:
                        AND l_shipdate < TIMESTAMP '1997-01-01'
                        AND l_returnflag = 'R')
             GROUP BY l_suppkey
+        """,
+        "event_value_chi2": """
+            WITH e AS (
+                SELECT event_type,
+                       CASE WHEN round(value * 100) < 2000 THEN 'low'
+                            WHEN round(value * 100) < 6000 THEN 'mid'
+                            ELSE 'high' END AS tier
+                FROM events
+            ), o AS (
+                SELECT event_type, tier, COUNT(*) AS o
+                FROM e GROUP BY 1, 2
+            ), r AS (SELECT event_type, SUM(o) AS r FROM o GROUP BY 1),
+            c AS (SELECT tier, SUM(o) AS c FROM o GROUP BY 1),
+            n AS (SELECT SUM(o) AS n FROM o)
+            SELECT o.event_type, o.tier, CAST(o.o AS BIGINT) AS o,
+                   round(CAST(r.r * c.c AS DOUBLE) / CAST(n.n AS DOUBLE),
+                         6) AS expected6,
+                   round(CAST(CAST(o.o * n.n - r.r * c.c AS HUGEINT)
+                              * CAST(o.o * n.n - r.r * c.c AS HUGEINT)
+                              AS DOUBLE)
+                         / CAST(CAST(n.n AS HUGEINT) * r.r * c.c
+                                AS DOUBLE), 6) AS contrib6
+            FROM o JOIN r USING (event_type) JOIN c USING (tier)
+            CROSS JOIN n
+        """,
+        "customer_balance_asof": """
+            WITH base AS (
+                SELECT c_custkey AS custkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                       CAST(NULL AS TIMESTAMP) AS ts,
+                       CAST(NULL AS BIGINT) AS seq, FALSE AS del
+                FROM customer
+            ), ch AS (
+                SELECT o_custkey AS custkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS bal_cents,
+                       o_orderdate AS ts, o_orderkey AS seq,
+                       o_orderstatus = 'F' AS del
+                FROM orders
+                WHERE o_orderdate < TIMESTAMP '1996-01-01'
+            ), u AS (
+                SELECT * FROM base UNION ALL SELECT * FROM ch
+            ), w AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY custkey
+                    ORDER BY ts DESC NULLS LAST, seq DESC NULLS LAST) AS rn
+                FROM u
+            )
+            SELECT custkey, bal_cents FROM w
+            WHERE rn = 1 AND NOT del ORDER BY 1
+        """,
+        "sessions_peak_concurrency": """
+            WITH ordered AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                           AS session_no
+                FROM ordered
+            ), s AS (
+                SELECT epoch_us(MIN(ts)) AS start_us,
+                       epoch_us(MAX(ts)) AS end_us
+                FROM numbered GROUP BY user_id, session_no
+            ), b AS (
+                SELECT start_us AS t, 1 AS d, 0 AS tie FROM s
+                UNION ALL
+                SELECT end_us, -1, 1 FROM s
+            ), r AS (
+                SELECT t, SUM(d) OVER (ORDER BY t, tie
+                                       ROWS UNBOUNDED PRECEDING) AS conc
+                FROM b
+            )
+            SELECT (t // 86400000000) * 86400000000 AS window_start_us,
+                   CAST(MAX(conc) AS BIGINT) AS peak
+            FROM r GROUP BY 1
         """,
         "lineitem_sample_quantiles": """
             WITH s AS (

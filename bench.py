@@ -136,7 +136,8 @@ def bench_main() -> None:
         "docs_store_compaction", "events_decayed_score",
         "user_order_overlap_hll", "orders_zorder_box",
         "supplier_qty_ivm", "events_late_data", "graph_sssp",
-        "lineitem_sample_quantiles",
+        "lineitem_sample_quantiles", "sessions_peak_concurrency",
+        "event_value_chi2", "customer_balance_asof",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

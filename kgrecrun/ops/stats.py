@@ -1410,3 +1410,64 @@ def hll_overlap(
 
     return maxima.repartition(1).map_batches(
         finalize, batch_format="pyarrow")
+
+
+def chi_square(ds, *, a_col: str, b_col: str):
+    """Pearson chi-square independence table for two categorical
+    columns — the contingency-table counterpart of the two-sample
+    tests (:func:`mann_whitney_u`, KS): per cell (a, b) the observed
+    count, the expected count under independence, and the chi-square
+    contribution (O−E)²/E.
+
+    Exactness discipline: margins and N are exact int64 sums; each
+    cell's deviation is the exact INTEGER (O·N − R·C) squared in
+    arbitrary precision (Python ints here, HUGEINT in the SQL mirror)
+    over the exact integer N·R·C, so the only float ops are the final
+    per-cell divisions of identical integers — identically rounded
+    6dp on both engines. No order-dependent float sum anywhere (the
+    total statistic is the caller's Σ of the emitted contributions).
+
+    Scale shape: map-side (a, b) count partials collapse every block
+    to the cell domain, one native groupby-sum, single-task finalize
+    over the tiny cell table. Output: (a_col, b_col, o int64,
+    expected6, contrib6).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({a_col: batch[a_col], b_col: batch[b_col]})
+        t = t.append_column("o", pa.nulls(t.num_rows,
+                                          pa.int64()).fill_null(1))
+        g = t.group_by([a_col, b_col]).aggregate([("o", "sum")])
+        return g.rename_columns([a_col, b_col, "o"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby([a_col, b_col]).sum("o"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_pylist()
+        b = t[b_col].to_pylist()
+        o = t["sum(o)"].to_pylist()
+        n = sum(o)
+        row = {}
+        col = {}
+        for ai, bi, oi in zip(a, b, o):
+            row[ai] = row.get(ai, 0) + oi
+            col[bi] = col.get(bi, 0) + oi
+        exp, con = [], []
+        for ai, bi, oi in zip(a, b, o):
+            rc = row[ai] * col[bi]
+            dev = oi * n - rc           # exact ints end-to-end
+            exp.append(float(rc) / float(n))
+            con.append(float(dev * dev) / float(n * rc))
+        # half-away-from-zero like DuckDB round() (repo convention)
+        r6 = dict(ndigits=6, round_mode="half_towards_infinity")
+        return pa.table({
+            a_col: t[a_col], b_col: t[b_col],
+            "o": pa.array(o, pa.int64()),
+            "expected6": pc.round(pa.array(exp, pa.float64()), **r6),
+            "contrib6": pc.round(pa.array(con, pa.float64()), **r6),
+        })
+
+    return counts.repartition(1).map_batches(finalize,
+                                             batch_format="pyarrow")

@@ -1276,3 +1276,138 @@ def late_data_windows(ds, *, arrival_col: str, tie_col: str, ts_col: str,
         lambda b: b.rename_columns(["window_start_us", "n_ontime",
                                     "n_late"]),
         batch_format="pyarrow")
+
+
+def global_cumsum(ds, *, order_col: str, value_col: str,
+                  range_width: int = 65_536, tie_col: str | None = None):
+    """GLOBAL running sum over a total order — the prefix-SUM sibling
+    of :func:`global_cummax`, same contiguous-range pattern: per-range
+    sum partials (one int64 per range on the driver), exclusive prefix
+    sums broadcast, one vectorized sort + cumsum per range group. The
+    backbone of sweep-line operators (interval concurrency, inventory
+    level, account balance replay). Output: (order_col[, tie_col],
+    value, running) with ``running`` the inclusive prefix sum in
+    (order, tie) order. One range's rows must fit a worker.
+    """
+    from ..kg.resources import broadcast, resolve
+
+    def tag(batch: pa.Table) -> pa.Table:
+        o = batch[order_col]
+        if isinstance(o, pa.ChunkedArray):
+            o = o.combine_chunks()
+        on = o.to_numpy(zero_copy_only=False)
+        cols = {
+            "__range": pa.array(on // range_width, pa.int64()),
+            order_col: o,
+            "value": pc.cast(batch[value_col], pa.int64()),
+        }
+        if tie_col is not None:
+            cols[tie_col] = batch[tie_col]
+        return pa.table(cols)
+
+    ranged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"__range": batch["__range"], "value": batch["value"]})
+        g = t.group_by("__range").aggregate([("value", "sum")])
+        return g.rename_columns(["__range", "s_local"])
+
+    per_range = (ranged.map_batches(sum_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                 .groupby("__range").sum("s_local"))
+    sum_by_range: dict[int, int] = {}
+    for b in per_range.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "__range" not in b.column_names:
+            continue
+        for r, s in zip(b["__range"].to_pylist(),
+                        b["sum(s_local)"].to_pylist()):
+            sum_by_range[r] = sum_by_range.get(r, 0) + s
+    prefix: dict[int, int] = {}
+    acc = 0
+    for r in sorted(sum_by_range):
+        prefix[r] = acc
+        acc += sum_by_range[r]
+    try:
+        pre_ref = broadcast(prefix)
+    except Exception:
+        pre_ref = prefix
+
+    def sweep(group: pa.Table) -> pa.Table:
+        pre = resolve(pre_ref)[group["__range"][0].as_py()]
+        sort_keys = [(order_col, "ascending")]
+        if tie_col is not None:
+            sort_keys.append((tie_col, "ascending"))
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        v = g["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        run = np.cumsum(v) + pre
+        cols = {order_col: g[order_col], "value": g["value"],
+                "running": pa.array(run, pa.int64())}
+        if tie_col is not None:
+            cols[tie_col] = g[tie_col]
+        return pa.table(cols)
+
+    return ranged.groupby("__range").map_groups(sweep,
+                                                batch_format="pyarrow")
+
+
+def peak_concurrency(intervals_ds, *, start_col: str, end_col: str,
+                     window_us: int = 86_400_000_000,
+                     range_width: int | None = None):
+    """Sweep-line peak concurrency per tumbling window: how many
+    intervals (sessions, connections, rentals) are open SIMULTANEOUSLY
+    at the busiest boundary instant of each window — the classic
+    +1-at-start / −1-at-end sweep, made distributed by
+    :func:`global_cumsum` (no global sort).
+
+    Closed-interval semantics: at a shared instant, starts count
+    before ends (tie 0 < 1), so touching intervals overlap. Peaks are
+    measured AT boundary instants; a window containing no boundary
+    emits no row (concurrency there is flat and owned by the previous
+    boundary — the SQL mirror behaves identically). Among equal
+    boundary (t, tie) runs the running sum ramps monotonically, so the
+    per-window MAX is order-invariant and deterministic.
+
+    ``range_width`` defaults to ~1/2048 of the boundary time span
+    (boundaries are epoch-µs — the id-oriented 65536 default would
+    explode the range domain). Output: (window_start_us, peak).
+    """
+    def bounds(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[start_col], pa.int64()).combine_chunks()
+        e = pc.cast(batch[end_col], pa.int64()).combine_chunks()
+        n = batch.num_rows
+        return pa.table({
+            "t": pa.concat_arrays([s, e]),
+            "d": pa.concat_arrays([
+                pa.nulls(n, pa.int64()).fill_null(1),
+                pa.nulls(n, pa.int64()).fill_null(-1)]),
+            "tie": pa.concat_arrays([
+                pa.nulls(n, pa.int64()).fill_null(0),
+                pa.nulls(n, pa.int64()).fill_null(1)]),
+        })
+
+    b = intervals_ds.map_batches(bounds, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    if range_width is None:
+        lo, hi = b.min("t"), b.max("t")
+        range_width = max(1, (hi - lo) // 2048 + 1)
+    run = global_cumsum(b, order_col="t", value_col="d", tie_col="tie",
+                        range_width=range_width)
+
+    def window_partial(batch: pa.Table) -> pa.Table:
+        t = batch["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        r = batch["running"].combine_chunks().to_numpy(zero_copy_only=False)
+        tbl = pa.table({
+            "window_start_us": pa.array(t // window_us * window_us,
+                                        pa.int64()),
+            "peak": pa.array(r, pa.int64()),
+        })
+        g = tbl.group_by("window_start_us").aggregate([("peak", "max")])
+        return g.rename_columns(["window_start_us", "peak"])
+
+    out = (run.map_batches(window_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby("window_start_us").max("peak"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["window_start_us", "peak"]),
+        batch_format="pyarrow")

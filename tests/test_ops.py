@@ -2810,3 +2810,84 @@ def test_sample_quantiles_deterministic_and_accurate():
     full = run(5, n + 10)
     assert full[0.5] == (n - 1) / 2
     assert full[0.25] == (n - 1) * 0.25
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_peak_concurrency_sweep():
+    """Sweep-line peak == brute-force boundary simulation: touching
+    closed intervals overlap (start ties before end), multi-window
+    spans, and prefix handoff across cumsum ranges (tiny width)."""
+    import ray.data
+
+    from kgrecrun.ops.window import global_cumsum, peak_concurrency
+
+    W = 100
+    iv = [(5, 40), (10, 20), (20, 30),    # t=20: end meets start -> 3
+          (150, 260), (155, 160),         # spans windows 1 and 2
+          (250, 255)]
+    t = pa.table({
+        "start_us": pa.array([a for a, _ in iv], pa.int64()),
+        "end_us": pa.array([b for _, b in iv], pa.int64()),
+    })
+
+    # brute force at boundary instants
+    bounds = sorted([(a, 0, 1) for a, _ in iv] + [(b, 1, -1) for _, b in iv])
+    conc, by_w = 0, {}
+    for tt, _tie, d in bounds:
+        conc += d
+        w = tt // W * W
+        by_w[w] = max(by_w.get(w, -1 << 62), conc)
+
+    def run(blocks, width):
+        out = peak_concurrency(
+            ray.data.from_arrow(t).repartition(blocks),
+            start_col="start_us", end_col="end_us", window_us=W,
+            range_width=width,
+        ).to_pandas().set_index("window_start_us").sort_index()
+        return dict(out["peak"])
+
+    a = run(3, 7)
+    assert a == by_w
+    assert a == run(2, 1000)  # single range vs many: same result
+    # the underlying prefix sum is exact in order
+    run_tbl = global_cumsum(
+        ray.data.from_arrow(pa.table({
+            "t": pa.array([1, 1, 2, 3], pa.int64()),
+            "d": pa.array([1, 1, -1, -1], pa.int64()),
+            "tie": pa.array([0, 0, 1, 1], pa.int64()),
+        })).repartition(2),
+        order_col="t", value_col="d", tie_col="tie", range_width=2,
+    ).to_pandas().sort_values(["t", "tie"])
+    assert list(run_tbl["running"]) == [1, 2, 1, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chi_square_matches_reference():
+    """chi_square cell table == a scipy-free hand computation on a
+    known contingency table, shard-invariant."""
+    import ray.data
+
+    from kgrecrun.ops.stats import chi_square
+
+    # planted 2x2: a/x 30, a/y 10, b/x 20, b/y 40
+    pairs = [("a", "x")] * 30 + [("a", "y")] * 10 \
+        + [("b", "x")] * 20 + [("b", "y")] * 40
+    t = pa.table({"g": pa.array([p[0] for p in pairs]),
+                  "h": pa.array([p[1] for p in pairs])})
+
+    def run(blocks):
+        out = chi_square(ray.data.from_arrow(t).repartition(blocks),
+                         a_col="g", b_col="h").to_pandas()
+        return out.set_index(["g", "h"]).sort_index()
+
+    a = run(3)
+    n = 100
+    row = {"a": 40, "b": 60}
+    col = {"x": 50, "y": 50}
+    for (g, h), r in a.iterrows():
+        e = row[g] * col[h] / n
+        assert r["expected6"] == round(e, 6)
+        assert r["contrib6"] == pytest.approx(
+            (r["o"] - e) ** 2 / e, abs=1e-6)
+    assert a["o"].sum() == n
+    assert a.equals(run(7))
