@@ -1381,6 +1381,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
             base, changes, key="custkey", value_cols=["bal_cents"],
             ts_col="ts", seq_col="seq", op_col="op")
 
+    def events_debounced(sf_dir: str):
+        """Ingest throttling: keep an event only if it is the first of
+        its (user, type) or arrived > 5 min after that key's previous
+        event — the burst suppressor (ops/window.py debounce; one
+        bucketed shuffle, one lag-comparison sweep; SQL mirror is a
+        QUALIFY lag one-liner)."""
+        import ray.data
+
+        from kgrecrun.ops.window import debounce
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "ts"])
+        return debounce(ds, key_cols=["user_id", "event_type"],
+                        ts_col="ts", tie_col="event_id",
+                        window_us=300_000_000,
+                        out_cols=["event_id", "user_id", "event_type"])
+
+    def docs_replica_diff(sf_dir: str):
+        """Replica reconciliation: two sorted-store replicas of
+        documents — one with planted divergence (md5-selected rows
+        dropped / mutated / added) — audited by per-range Merkle
+        content hashes on a common metadata-derived grid; the exact
+        row diff runs ONLY in ranges whose hashes disagree
+        (runtime/sortedstore.py store_diff; fingerprints cached in a
+        sidecar so re-audits are metadata-only). Output: (doc_id,
+        status ∈ only_a/only_b/mismatch)."""
+        import os
+
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from kgrecrun.ops.sample import _hash64
+        from kgrecrun.runtime.sortedstore import (store_diff,
+                                                  write_sorted_store)
+
+        src = f"{sf_dir}/documents.parquet"
+        n = _pq.ParquetFile(src).metadata.num_rows
+        # path keyed by (sf, rows, mutation modulus) — a cached replica
+        # built under a different planted-divergence rule must miss
+        base = (f"/tmp/kgrecrun_sortedstore/diff_m101_"
+                f"{os.path.basename(os.path.normpath(sf_dir))}_{n}")
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        cols = ["doc_id", "lang", "n_chars"]
+
+        def mutate(b: pa.Table) -> pa.Table:
+            h = _hash64(b["doc_id"].to_pylist()) % np.uint64(101)
+            keep = b.filter(pa.array(h != 1))
+            hk = _hash64(keep["doc_id"].to_pylist()) % np.uint64(101)
+            lang = pc.if_else(pa.array(hk == 2), pa.scalar("xx"),
+                              keep["lang"].combine_chunks())
+            keep = keep.set_column(keep.column_names.index("lang"),
+                                   "lang", lang)
+            extra = b.filter(pa.array(h == 3))
+            ids = pc.add(extra["doc_id"].combine_chunks(),
+                         pa.scalar(1_000_000_000, pa.int64()))
+            extra = extra.set_column(extra.column_names.index("doc_id"),
+                                     "doc_id", ids)
+            return pa.concat_tables([keep, extra])
+
+        a_dir, b_dir = f"{base}/a", f"{base}/b"
+        write_sorted_store(
+            ray.data.read_parquet(src, columns=cols), a_dir, key="doc_id")
+        write_sorted_store(
+            ray.data.read_parquet(src, columns=cols).map_batches(
+                mutate, batch_format="pyarrow"), b_dir, key="doc_id")
+        return store_diff(a_dir, b_dir, key="doc_id",
+                          columns=["lang", "n_chars"],
+                          target_rows_per_range=max(256, n // 8))
+
+    def events_orders_join_size(sf_dir: str):
+        """Exact join-size profile WITHOUT the join: |events ⋈ orders
+        ON user=custkey| = Σ_k cnt·cnt from per-key COUNT partials —
+        rows never ship, and max_key_rows exposes the worst skew key
+        (ops/joins.py join_size_profile; the exact counterpart of the
+        HLL overlap sketch)."""
+        import ray.data
+
+        from kgrecrun.ops.joins import join_size_profile
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id"])
+        od = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+        return join_size_profile(ev, od, left_key="user_id",
+                                 right_key="o_custkey")
+
     def user_order_overlap_hll(sf_dir: str):
         """Join-size estimation WITHOUT the join: HLL sketch algebra
         over two key sets — distinct event users vs distinct ordering
@@ -3452,6 +3539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_peak_concurrency": sessions_peak_concurrency,
         "event_value_chi2": event_value_chi2,
         "customer_balance_asof": customer_balance_asof,
+        "events_debounced": events_debounced,
+        "docs_replica_diff": docs_replica_diff,
+        "events_orders_join_size": events_orders_join_size,
         "events_decayed_score": events_decayed_score,
         "user_order_overlap_hll": user_order_overlap_hll,
         "media_phash_topk": media_phash_topk,
@@ -5757,6 +5847,43 @@ def oracle_sql() -> dict[str, str]:
                        AND l_shipdate < TIMESTAMP '1997-01-01'
                        AND l_returnflag = 'R')
             GROUP BY l_suppkey
+        """,
+        "events_orders_join_size": """
+            WITH a AS (
+                SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1
+            ), b AS (
+                SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+            ), j AS (
+                SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
+                           AS join_rows,
+                       CAST(COUNT(*) AS BIGINT) AS matched_keys,
+                       CAST(COALESCE(MAX(a.c * b.c), 0) AS BIGINT)
+                           AS max_key_rows
+                FROM a JOIN b USING (k)
+            )
+            SELECT join_rows, matched_keys,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS left_keys,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS right_keys,
+                   max_key_rows
+            FROM j
+        """,
+        "docs_replica_diff": f"""
+            SELECT doc_id, 'only_a' AS status FROM documents
+            WHERE {_IDHASH} % 101 = 1
+            UNION ALL
+            SELECT doc_id, 'mismatch' FROM documents
+            WHERE {_IDHASH} % 101 = 2
+            UNION ALL
+            SELECT doc_id + 1000000000, 'only_b' FROM documents
+            WHERE {_IDHASH} % 101 = 3
+        """,
+        "events_debounced": """
+            SELECT event_id, user_id, event_type FROM events
+            QUALIFY lag(ts) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id)
+                    > INTERVAL 5 MINUTES
         """,
         "event_value_chi2": """
             WITH e AS (

@@ -138,6 +138,8 @@ def bench_main() -> None:
         "supplier_qty_ivm", "events_late_data", "graph_sssp",
         "lineitem_sample_quantiles", "sessions_peak_concurrency",
         "event_value_chi2", "customer_balance_asof",
+        "events_debounced", "docs_replica_diff",
+        "events_orders_join_size",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

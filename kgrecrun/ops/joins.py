@@ -383,3 +383,69 @@ def broadcast_interval_lookup(left_ds, intervals: pa.Table, value_col: str,
 
     return left_ds.map_batches(attach, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def join_size_profile(left_ds, right_ds, *, left_key: str, right_key: str):
+    """EXACT join-size profile without materializing the join — the
+    exact counterpart of the HLL overlap sketch
+    (:func:`~kgrecrun.ops.stats.hll_overlap`): |A ⋈ B| =
+    Σ_k cnt_A(k)·cnt_B(k), computed from per-key COUNT partials only.
+    The planner's "would this join explode?" check: exchange carries
+    one (key, count) row per distinct key per block — never the rows —
+    and the per-key product also exposes the worst skew key.
+
+    Output: one row (join_rows, matched_keys, left_keys, right_keys,
+    max_key_rows) — all exact int64 (max_key_rows = the largest single
+    key's contribution, the skew headline).
+    """
+
+    def partial_for(key, a, b):
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "k": pc.cast(batch[key], pa.int64()),
+                "a": pa.nulls(batch.num_rows, pa.int64()).fill_null(a),
+                "b": pa.nulls(batch.num_rows, pa.int64()).fill_null(b),
+            })
+            g = t.group_by("k").aggregate([("a", "sum"), ("b", "sum")])
+            return g.rename_columns(["k", "a", "b"])
+        return partial
+
+    merged = (left_ds.map_batches(partial_for(left_key, 1, 0),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+              .union(right_ds.map_batches(partial_for(right_key, 0, 1),
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True))
+              .groupby("k").sum(["a", "b"]))
+
+    def local(batch: pa.Table) -> pa.Table:
+        a = batch["sum(a)"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch["sum(b)"].combine_chunks().to_numpy(zero_copy_only=False)
+        prod = a * b
+        return pa.table({
+            "join_rows": pa.array([int(prod.sum())], pa.int64()),
+            "matched_keys": pa.array([int(((a > 0) & (b > 0)).sum())],
+                                     pa.int64()),
+            "left_keys": pa.array([int((a > 0).sum())], pa.int64()),
+            "right_keys": pa.array([int((b > 0).sum())], pa.int64()),
+            "max_key_rows": pa.array(
+                [int(prod.max()) if len(prod) else 0], pa.int64()),
+        })
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "join_rows": pa.array([pc.sum(t["join_rows"]).as_py() or 0],
+                                  pa.int64()),
+            "matched_keys": pa.array(
+                [pc.sum(t["matched_keys"]).as_py() or 0], pa.int64()),
+            "left_keys": pa.array([pc.sum(t["left_keys"]).as_py() or 0],
+                                  pa.int64()),
+            "right_keys": pa.array([pc.sum(t["right_keys"]).as_py() or 0],
+                                   pa.int64()),
+            "max_key_rows": pa.array(
+                [pc.max(t["max_key_rows"]).as_py() or 0], pa.int64()),
+        })
+
+    return (merged.map_batches(local, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(1).map_batches(fold, batch_format="pyarrow"))

@@ -1411,3 +1411,47 @@ def peak_concurrency(intervals_ds, *, start_col: str, end_col: str,
     return out.map_batches(
         lambda t: t.rename_columns(["window_start_us", "peak"]),
         batch_format="pyarrow")
+
+
+def debounce(ds, *, key_cols: list[str], ts_col: str, tie_col: str,
+             window_us: int, out_cols: list[str] | None = None):
+    """Event THROTTLING (debounce): within each key, keep an event only
+    if it is the key's first or arrived more than ``window_us`` after
+    the key's PREVIOUS event (kept or not) — the lag-based duplicate/
+    burst suppressor every event pipeline runs at ingest. The
+    previous-event (not previous-KEPT) rule is what makes the sweep
+    one vectorized lag comparison instead of a sequential greedy chain
+    — and is exactly SQL's ``lag() OVER (PARTITION BY key ORDER BY ts,
+    tie)``, so the oracle is a QUALIFY one-liner.
+
+    Bucket-vectorized like every per-key operator here: one hash-bucket
+    shuffle of the narrow columns, one lexsort + segment mask sweep per
+    bucket. Output: ``out_cols`` (default: key_cols + [ts_col,
+    tie_col]) of the kept rows.
+    """
+    keep_cols = out_cols or [*key_cols, ts_col, tie_col]
+
+    def sweep(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[(c, "ascending") for c in key_cols]
+            + [(ts_col, "ascending"), (tie_col, "ascending")])
+        g = group.take(order)
+        ts = pc.cast(pc.cast(g[ts_col], pa.timestamp("us")), pa.int64()) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_seg = np.zeros(n, dtype=bool)
+        new_seg[:1] = True
+        for c in key_cols:
+            v = g[c].combine_chunks()
+            if n > 1:
+                same = pc.equal(v.slice(1), v.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False)
+                new_seg[1:] |= ~same
+        keep = new_seg.copy()
+        if n > 1:
+            keep[1:] |= (ts[1:] - ts[:-1]) > window_us
+        return g.select(keep_cols).filter(pa.array(keep))
+
+    bucketed = _bucketed(ds, key_cols[0])
+    return bucketed.groupby("__bucket").map_groups(sweep,
+                                                   batch_format="pyarrow")

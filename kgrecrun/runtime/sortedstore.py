@@ -214,3 +214,175 @@ def compact_stores(
         with open(zpath) as f:
             return json.load(f)
     return zonemap
+
+
+FPRINTS = "_fingerprints.json"
+
+
+def _mix_rows(tbl: pa.Table, key: str, columns: list[str]) -> int:
+    """Order-free 64-bit content hash of (key, *columns) rows — md5 per
+    row tuple XOR-folded, so two stores' ranges hash equal iff the row
+    multisets are equal regardless of file layout."""
+    import hashlib
+
+    cols = [tbl[key]] + [tbl[c] for c in columns]
+    lists = [c.to_pylist() for c in cols]
+    acc = 0
+    for row in zip(*lists):
+        h = hashlib.md5("\x1f".join(map(repr, row)).encode()).digest()
+        acc ^= int.from_bytes(h[:8], "little")
+    return acc
+
+
+def store_fingerprints(store_dir: str, bounds: list, *, key: str,
+                       columns: list[str]) -> dict[int, int]:
+    """Per-range content hashes of a sorted store on a COMMON range
+    grid (``bounds[i] .. bounds[i+1]``, last open-ended) — the Merkle
+    level of replica reconciliation. Computed by one pruned-read Ray
+    task per range and CACHED in a ``_fingerprints.json`` sidecar
+    keyed by the grid's own hash, so re-diffing unchanged replicas is
+    metadata-only. Each input row is read once on first call.
+    """
+    import hashlib
+
+    import ray
+
+    grid_id = hashlib.md5(repr((bounds, key, columns)).encode()) \
+        .hexdigest()[:16]
+    fpath = os.path.join(store_dir, FPRINTS)
+    cache = {}
+    if os.path.exists(fpath):
+        with open(fpath) as f:
+            cache = json.load(f)
+        if cache.get("grid") == grid_id:
+            return {int(k): v for k, v in cache["ranges"].items()}
+
+    with open(os.path.join(store_dir, ZONEMAP)) as f:
+        zonemap = json.load(f)
+    entries = [(os.path.join(store_dir, n), z["min"], z["max"])
+               for n, z in sorted(zonemap.items())]
+
+    @ray.remote
+    def hash_range(i: int, lo, hi, files: list[str]):
+        import pyarrow.dataset as pds
+
+        flt = pds.field(key) >= lo
+        if hi is not None:
+            flt = flt & (pds.field(key) < hi)
+        t = pds.dataset(files).to_table(filter=flt,
+                                        columns=[key, *columns])
+        return i, _mix_rows(t, key, columns), t.num_rows
+
+    futs = []
+    for i, lo in enumerate(bounds):
+        hi = bounds[i + 1] if i + 1 < len(bounds) else None
+        files = [p for p, mn, mx in entries
+                 if mx >= lo and (hi is None or mn < hi)]
+        if files:
+            futs.append(hash_range.remote(i, lo, hi, files))
+    out = {i: [h, n] for i, h, n in ray.get(futs)}
+    tmp = f"{fpath}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"grid": grid_id,
+                   "ranges": {str(k): v for k, v in out.items()}}, f)
+    os.replace(tmp, fpath)
+    return out
+
+
+def store_diff(dir_a: str, dir_b: str, *, key: str, columns: list[str],
+               target_rows_per_range: int = 256_000):
+    """Replica reconciliation between two sorted stores WITHOUT
+    shipping either table: compare per-range Merkle content hashes on
+    a common grid (from both stores' row-group metadata), then run an
+    exact row diff ONLY inside mismatching ranges — each range one
+    independent pruned-read task, zero exchange. Keys must be unique
+    per store. At 100 TB this is how replicas are audited: hash
+    comparison is metadata-cached (`store_fingerprints`), and the
+    expensive row work is proportional to the DIVERGENCE, not the
+    table.
+
+    → ray.data.Dataset (key, status) with status ∈ {'only_a',
+    'only_b', 'mismatch'} (mismatch = same key, any column differs).
+    Returns an empty-but-typed Dataset when replicas agree.
+    """
+    import ray
+    import ray.data
+
+    rg_stats = []
+    for d in (dir_a, dir_b):
+        with open(os.path.join(d, ZONEMAP)) as f:
+            for name in json.load(f):
+                path = os.path.join(d, name)
+                md = pq.ParquetFile(path).metadata
+                idx = md.schema.to_arrow_schema().get_field_index(key)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    rg_stats.append((st.min, md.row_group(rg).num_rows))
+    rg_stats.sort()
+    bounds, acc = [rg_stats[0][0]], 0
+    for mn, rows in rg_stats:
+        if acc >= target_rows_per_range and mn > bounds[-1]:
+            bounds.append(mn)
+            acc = 0
+        acc += rows
+    fa = store_fingerprints(dir_a, bounds, key=key, columns=columns)
+    fb = store_fingerprints(dir_b, bounds, key=key, columns=columns)
+    bad = sorted(i for i in set(fa) | set(fb) if fa.get(i) != fb.get(i))
+
+    def files_for(d, lo, hi):
+        with open(os.path.join(d, ZONEMAP)) as f:
+            zm = json.load(f)
+        return [os.path.join(d, n) for n, z in sorted(zm.items())
+                if z["max"] >= lo and (hi is None or z["min"] < hi)]
+
+    @ray.remote
+    def diff_range(lo, hi, files_a: list[str], files_b: list[str]):
+        import numpy as np
+        import pyarrow.dataset as pds
+
+        def load(files):
+            if not files:
+                return pa.table({key: pa.array([], pa.int64()),
+                                 **{c: pa.array([], pa.string())
+                                    for c in columns}})
+            flt = pds.field(key) >= lo
+            if hi is not None:
+                flt = flt & (pds.field(key) < hi)
+            t = pds.dataset(files).to_table(filter=flt,
+                                            columns=[key, *columns])
+            return t.take(pc.sort_indices(t[key]))
+
+        ta, tb = load(files_a), load(files_b)
+        ka = ta[key].to_numpy(zero_copy_only=False)
+        kb = tb[key].to_numpy(zero_copy_only=False)
+        in_b = np.isin(ka, kb)
+        in_a = np.isin(kb, ka)
+        keys, statuses = [ka[~in_b], kb[~in_a]], ["only_a", "only_b"]
+        ca, cb = ta.filter(pa.array(in_b)), tb.filter(pa.array(in_a))
+        if ca.num_rows:
+            neq = np.zeros(ca.num_rows, bool)
+            for c in columns:
+                neq |= pc.invert(pc.equal(
+                    ca[c].combine_chunks(), cb[c].combine_chunks()
+                )).fill_null(True).to_numpy(zero_copy_only=False)
+            keys.append(ca[key].to_numpy(zero_copy_only=False)[neq])
+            statuses.append("mismatch")
+        out_k, out_s = [], []
+        for k, s in zip(keys, statuses):
+            out_k.extend(int(x) for x in k)
+            out_s.extend([s] * len(k))
+        return pa.table({key: pa.array(out_k, pa.int64()),
+                         "status": pa.array(out_s, pa.string())})
+
+    futs = []
+    for i in bad:
+        lo = bounds[i]
+        hi = bounds[i + 1] if i + 1 < len(bounds) else None
+        futs.append(diff_range.remote(lo, hi, files_for(dir_a, lo, hi),
+                                      files_for(dir_b, lo, hi)))
+    tables = [t for t in ray.get(futs) if t.num_rows] if futs else []
+    if not tables:
+        return ray.data.from_arrow(pa.table({
+            key: pa.array([], pa.int64()),
+            "status": pa.array([], pa.string())}))
+    return ray.data.from_arrow(pa.concat_tables(tables))

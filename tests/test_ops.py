@@ -2891,3 +2891,110 @@ def test_chi_square_matches_reference():
             (r["o"] - e) ** 2 / e, abs=1e-6)
     assert a["o"].sum() == n
     assert a.equals(run(7))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_store_diff_merkle_reconciliation(tmp_path):
+    """Replica diff: identical replicas hash equal everywhere (empty
+    diff, fingerprint sidecars written); planted drop/mutate/add rows
+    come back with the right statuses; re-diff reuses the cached
+    fingerprints."""
+    import os
+
+    import ray.data
+
+    from kgrecrun.runtime.sortedstore import (FPRINTS, store_diff,
+                                              write_sorted_store)
+
+    n = 4000
+    t = pa.table({
+        "k": pa.array(list(range(n)), pa.int64()),
+        "lang": pa.array(["en" if i % 3 else "de" for i in range(n)]),
+        "sz": pa.array([i * 11 % 97 for i in range(n)], pa.int64()),
+    })
+    a_dir, b_dir, c_dir = (str(tmp_path / x) for x in "abc")
+    write_sorted_store(ray.data.from_arrow(t).repartition(8), a_dir,
+                       key="k")
+    write_sorted_store(ray.data.from_arrow(t).repartition(5), c_dir,
+                       key="k")
+    # identical content, different file layout -> empty diff
+    out = store_diff(a_dir, c_dir, key="k", columns=["lang", "sz"],
+                     target_rows_per_range=500)
+    assert out.count() == 0
+    assert os.path.exists(f"{a_dir}/{FPRINTS}")
+
+    # planted divergence: drop 100-109, mutate sz of 2000-2004, add 9001
+    mask = [not (100 <= i < 110) for i in range(n)]
+    tb = t.filter(pa.array(mask))
+    sz = tb["sz"].to_pylist()
+    kk = tb["k"].to_pylist()
+    for j, key in enumerate(kk):
+        if 2000 <= key < 2005:
+            sz[j] += 1
+    tb = tb.set_column(2, "sz", pa.array(sz, pa.int64()))
+    tb = pa.concat_tables([tb, pa.table({
+        "k": pa.array([9001], pa.int64()),
+        "lang": pa.array(["fr"]), "sz": pa.array([1], pa.int64())})])
+    write_sorted_store(ray.data.from_arrow(tb).repartition(6), b_dir,
+                       key="k")
+    got = store_diff(a_dir, b_dir, key="k", columns=["lang", "sz"],
+                     target_rows_per_range=500).to_pandas()
+    by = {s: sorted(g["k"]) for s, g in got.groupby("status")}
+    assert by["only_a"] == list(range(100, 110))
+    assert by["mismatch"] == list(range(2000, 2005))
+    assert by["only_b"] == [9001]
+    # cached fingerprints: second call, same result
+    got2 = store_diff(a_dir, b_dir, key="k", columns=["lang", "sz"],
+                      target_rows_per_range=500).to_pandas()
+    assert len(got2) == len(got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_debounce_bursts():
+    """Planted bursts: within a (user, type) key, events ≤ window after
+    the PREVIOUS event are dropped (lag rule, not last-kept), firsts
+    always kept, other keys untouched."""
+    import ray.data
+
+    from kgrecrun.ops.window import debounce
+
+    us = 1_000_000
+    rows = [  # (id, user, type, t_seconds)
+        (1, 7, "v", 0), (2, 7, "v", 10), (3, 7, "v", 25),
+        (4, 7, "v", 100),          # burst: 2,3 dropped (gap<=30); 4 kept
+        (5, 7, "p", 5),            # different type: kept
+        (6, 8, "v", 11),           # different user: kept
+        (7, 8, "v", 11),           # same instant: gap 0 -> dropped
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "ts": pa.array([r[3] * us for r in rows], pa.timestamp("us")),
+    })
+    out = debounce(ray.data.from_arrow(t).repartition(3),
+                   key_cols=["user_id", "event_type"], ts_col="ts",
+                   tie_col="event_id", window_us=30 * us,
+                   out_cols=["event_id"]).to_pandas()
+    assert sorted(out["event_id"]) == [1, 4, 5, 6]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_size_profile_exact():
+    """join_size_profile == len of the actual join, incl. multiplicity
+    and a skew key; unmatched keys counted per side only."""
+    import ray.data
+
+    from kgrecrun.ops.joins import join_size_profile
+
+    a = pa.table({"k": pa.array([1, 1, 1, 2, 3, 9], pa.int64())})
+    b = pa.table({"k": pa.array([1, 1, 2, 2, 2, 4], pa.int64())})
+    out = join_size_profile(
+        ray.data.from_arrow(a).repartition(3),
+        ray.data.from_arrow(b).repartition(2),
+        left_key="k", right_key="k").to_pandas().iloc[0]
+    # join rows: k1 3*2=6, k2 1*3=3 -> 9; matched 2; skew key k1 -> 6
+    assert out["join_rows"] == 9
+    assert out["matched_keys"] == 2
+    assert out["left_keys"] == 4 and out["right_keys"] == 3
+    assert out["max_key_rows"] == 6
