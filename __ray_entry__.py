@@ -1468,6 +1468,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return join_size_profile(ev, od, left_key="user_id",
                                  right_key="o_custkey")
 
+    def hopping_users_exact(sf_dir: str):
+        """EXACT distinct users per 2-hour hopping window (hop 1 h) —
+        the exact companion to hopping_users_hll documenting the
+        trade: exchange here is the distinct (window, user) pair set
+        (bucketed map-side distinct, one shuffle), vs the HLL path's
+        fixed m registers per window. Pairs pack into one int64
+        (window index ≪ 32 | user), np.unique per bucket, per-window
+        partial counts, native sum."""
+        import ray.data
+
+        from kgrecrun.kg.unionfind import hash_bucket
+
+        hop_us = 3_600_000_000
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+            u = pc.cast(batch["user_id"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            wi = ts // hop_us
+            packed = np.unique(np.concatenate([
+                (wi << np.int64(32)) | u,
+                ((wi - 1) << np.int64(32)) | u,
+            ]))
+            t = pa.table({"p": pa.array(packed, pa.int64())})
+            return t.append_column(
+                "__bucket", hash_bucket(t["p"].combine_chunks(), 256))
+
+        def count_bucket(group: pa.Table) -> pa.Table:
+            p = np.unique(group["p"].combine_chunks().to_numpy(
+                zero_copy_only=False))
+            wi, counts = np.unique(p >> np.int64(32), return_counts=True)
+            return pa.table({
+                "window_start_us": pa.array(wi * hop_us, pa.int64()),
+                "n_users": pa.array(counts.astype(np.int64)),
+            })
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "user_id"])
+        out = (ev.map_batches(replicate, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("__bucket").map_groups(count_bucket,
+                                               batch_format="pyarrow")
+               .groupby("window_start_us").sum("n_users"))
+        return out.map_batches(
+            lambda b: b.rename_columns(["window_start_us", "n_users"]),
+            batch_format="pyarrow")
+
+    def revenue_autocorr(sf_dir: str):
+        """Seasonality probe: Pearson autocorrelation of the daily
+        revenue series at lags 1 / 7 / 28 days — daily cents aggregate
+        (map partials + one tiny day-domain groupby), lagged pairs
+        aligned by searchsorted in a single small task, then the
+        shared exact-int sufficient-statistics correlation
+        (ops/stats.py group_corr keyed by lag; dollars quantization
+        keeps Σx² under 2^63 through sf1)."""
+        import ray.data
+
+        from kgrecrun.ops.relational import cents
+        from kgrecrun.ops.stats import group_corr
+        from kgrecrun.ops.temporal import _epoch_us
+
+        us_day = 86_400_000_000
+
+        def daily_partial(b: pa.Table) -> pa.Table:
+            day = _epoch_us(b["l_shipdate"]).to_numpy(
+                zero_copy_only=False) // us_day
+            t = pa.table({
+                "day": pa.array(day, pa.int64()),
+                "cents": pc.cast(cents(b["l_extendedprice"]), pa.int64()),
+            })
+            g = t.group_by("day").aggregate([("cents", "sum")])
+            return g.rename_columns(["day", "cents"])
+
+        daily = (ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_extendedprice"])
+            .map_batches(daily_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("day").sum("cents"))
+
+        def pairs(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(["day", "cents"])
+            order = pc.sort_indices(t["day"])
+            d = t["day"].take(order).to_numpy(zero_copy_only=False)
+            v = t["cents"].take(order).to_numpy(
+                zero_copy_only=False) // 100  # dollars
+            lags, xs, ys = [], [], []
+            for lag in (1, 7, 28):
+                pos = np.searchsorted(d, d + lag)
+                pos_c = np.minimum(pos, len(d) - 1)
+                hit = d[pos_c] == d + lag
+                lags.append(np.full(int(hit.sum()), lag, np.int64))
+                xs.append(v[hit])
+                ys.append(v[pos_c[hit]])
+            return pa.table({
+                "lag": pa.array(np.concatenate(lags), pa.int64()),
+                "x": pa.array(np.concatenate(xs), pa.int64()),
+                "y": pa.array(np.concatenate(ys), pa.int64()),
+            })
+
+        pair_ds = daily.repartition(1).map_batches(
+            pairs, batch_format="pyarrow")
+        return group_corr(pair_ds, key="lag", x_col="x", y_col="y")
+
     def user_order_overlap_hll(sf_dir: str):
         """Join-size estimation WITHOUT the join: HLL sketch algebra
         over two key sets — distinct event users vs distinct ordering
@@ -3542,6 +3647,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounced": events_debounced,
         "docs_replica_diff": docs_replica_diff,
         "events_orders_join_size": events_orders_join_size,
+        "hopping_users_exact": hopping_users_exact,
+        "revenue_autocorr": revenue_autocorr,
         "events_decayed_score": events_decayed_score,
         "user_order_overlap_hll": user_order_overlap_hll,
         "media_phash_topk": media_phash_topk,
@@ -5847,6 +5954,54 @@ def oracle_sql() -> dict[str, str]:
                        AND l_shipdate < TIMESTAMP '1997-01-01'
                        AND l_returnflag = 'R')
             GROUP BY l_suppkey
+        """,
+        "hopping_users_exact": """
+            WITH r AS (
+                SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS w,
+                       user_id
+                FROM events
+                UNION ALL
+                SELECT epoch_us(ts) - epoch_us(ts) % 3600000000
+                         - 3600000000, user_id
+                FROM events
+            )
+            SELECT w AS window_start_us,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM r GROUP BY 1
+        """,
+        "revenue_autocorr": """
+            WITH d AS (
+                SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+                       CAST(SUM(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) // 100 AS v
+                FROM lineitem GROUP BY 1
+            ), p AS (
+                SELECT CAST(1 AS BIGINT) AS lag, a.v AS x, b.v AS y
+                FROM d a JOIN d b ON b.day = a.day + 1
+                UNION ALL
+                SELECT CAST(7 AS BIGINT), a.v, b.v
+                FROM d a JOIN d b ON b.day = a.day + 7
+                UNION ALL
+                SELECT CAST(28 AS BIGINT), a.v, b.v
+                FROM d a JOIN d b ON b.day = a.day + 28
+            ), a AS (
+                SELECT lag, COUNT(*) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                       SUM(x*x) AS sxx, SUM(y*y) AS syy
+                FROM p GROUP BY lag
+            )
+            SELECT lag, n,
+                   CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                        THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+                                   / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                          * CAST(n*syy - sy*sy AS DOUBLE)),
+                                   6)
+                   END AS corr6,
+                   CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                        THEN round(CAST(n*sxy - sx*sy AS DOUBLE)
+                                   / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+                   END AS slope6
+            FROM a
         """,
         "events_orders_join_size": """
             WITH a AS (

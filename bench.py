@@ -139,7 +139,8 @@ def bench_main() -> None:
         "lineitem_sample_quantiles", "sessions_peak_concurrency",
         "event_value_chi2", "customer_balance_asof",
         "events_debounced", "docs_replica_diff",
-        "events_orders_join_size",
+        "events_orders_join_size", "hopping_users_exact",
+        "revenue_autocorr",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

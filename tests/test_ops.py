@@ -2998,3 +2998,37 @@ def test_join_size_profile_exact():
     assert out["matched_keys"] == 2
     assert out["left_keys"] == 4 and out["right_keys"] == 3
     assert out["max_key_rows"] == 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revenue_autocorr_pair_alignment():
+    """The lagged-pair construction only pairs existing days and the
+    resulting correlation matches numpy's Pearson r on those pairs."""
+    import ray.data
+
+    import __ray_entry__ as E
+
+    out = E.queries()["revenue_autocorr"](SF_DIR).to_pandas() \
+        .set_index("lag")
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/lineitem.parquet')")
+    d = con.execute("""
+        SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+               CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+                    AS BIGINT) // 100 AS v
+        FROM lineitem GROUP BY 1 ORDER BY 1""").fetchnumpy()
+    days, v = d["day"], d["v"]
+    idx = {int(dd): i for i, dd in enumerate(days)}
+    for lag in (1, 7, 28):
+        xs, ys = [], []
+        for i, dd in enumerate(days):
+            j = idx.get(int(dd) + lag)
+            if j is not None:
+                xs.append(v[i])
+                ys.append(v[j])
+        assert out.loc[lag, "n"] == len(xs)
+        if len(xs) > 1 and np.std(xs) > 0 and np.std(ys) > 0:
+            r = np.corrcoef(xs, ys)[0, 1]
+            assert out.loc[lag, "corr6"] == pytest.approx(r, abs=1e-5)
