@@ -1573,6 +1573,126 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pairs, batch_format="pyarrow")
         return group_corr(pair_ds, key="lag", x_col="x", y_col="y")
 
+    def data_quality_audit(sf_dir: str):
+        """Constraint-validation sweep — the ingest gate a production
+        lake runs before promoting a batch: five rules audited with
+        exact violation counts (duplicate doc_ids, null lang,
+        n_chars≠length(text) consistency, events.user_id→customer FK
+        orphans, negative order totals). Every rule is map-side count
+        partials + a tiny reduce; the FK check is the per-key
+        count-merge (no row ever ships). Output: (rule, violations)."""
+        import ray.data
+
+        def one(rule: str, n: int) -> pa.Table:
+            return pa.table({"rule": pa.array([rule]),
+                             "violations": pa.array([n], pa.int64())})
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars", "text"]).materialize()
+        total = docs.count()
+        distinct = docs.groupby("doc_id").count().count()
+
+        def mism(b: pa.Table) -> pa.Table:
+            ln = pc.utf8_length(b["text"].combine_chunks())
+            bad = pc.sum(pc.cast(pc.not_equal(
+                pc.cast(b["n_chars"], pa.int64()),
+                pc.cast(ln, pa.int64())), pa.int64())).as_py() or 0
+            nul = b["lang"].null_count
+            return pa.table({"m": pa.array([bad], pa.int64()),
+                             "nl": pa.array([nul], pa.int64())})
+
+        mm = docs.map_batches(mism, batch_format="pyarrow",
+                              zero_copy_batch=True).repartition(1) \
+            .map_batches(lambda t: pa.table({
+                "m": pa.array([pc.sum(t["m"]).as_py() or 0], pa.int64()),
+                "nl": pa.array([pc.sum(t["nl"]).as_py() or 0],
+                               pa.int64())}), batch_format="pyarrow") \
+            .take(1)[0]
+
+        def key_counts(path, col, side):
+            def f(b: pa.Table) -> pa.Table:
+                t = pa.table({
+                    "k": pc.cast(b[col], pa.int64()),
+                    "a": pa.nulls(b.num_rows, pa.int64()).fill_null(
+                        1 if side == 0 else 0),
+                    "b": pa.nulls(b.num_rows, pa.int64()).fill_null(
+                        0 if side == 0 else 1),
+                })
+                g = t.group_by("k").aggregate([("a", "sum"), ("b", "sum")])
+                return g.rename_columns(["k", "a", "b"])
+            return ray.data.read_parquet(path, columns=[col]).map_batches(
+                f, batch_format="pyarrow", zero_copy_batch=True)
+
+        merged = key_counts(f"{sf_dir}/events.parquet", "user_id", 0) \
+            .union(key_counts(f"{sf_dir}/customer.parquet",
+                              "c_custkey", 1)) \
+            .groupby("k").sum(["a", "b"])
+
+        def orphan(b: pa.Table) -> pa.Table:
+            a = b["sum(a)"].combine_chunks().to_numpy(zero_copy_only=False)
+            bb = b["sum(b)"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            return pa.table({"o": pa.array([int(a[bb == 0].sum())],
+                                           pa.int64())})
+
+        orphans = merged.map_batches(orphan, batch_format="pyarrow",
+                                     zero_copy_batch=True) \
+            .sum("o")
+
+        neg = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+        ).filter(expr="o_totalprice < 0").count()
+
+        return ray.data.from_arrow(pa.concat_tables([
+            one("dup_doc_id", total - distinct),
+            one("null_lang", mm["nl"]),
+            one("nchars_mismatch", mm["m"]),
+            one("fk_orphan_event_users", int(orphans or 0)),
+            one("negative_order_total", neg),
+        ]))
+
+    def docs_store_timetravel(sf_dir: str):
+        """Snapshot-chain time travel: documents committed as store
+        version 1, a mutated batch committed as version 2 (atomic
+        manifest swap), then version 1 read back AS OF — byte-equal to
+        the original table even though the live version has diverged
+        (runtime/sortedstore.py commit_version/read_store_version;
+        versions stay immutable until retention)."""
+        import os
+
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from kgrecrun.ops.sample import _hash64
+        from kgrecrun.runtime.sortedstore import (VERSIONS,
+                                                  commit_version,
+                                                  read_store_version)
+
+        src = f"{sf_dir}/documents.parquet"
+        n = _pq.ParquetFile(src).metadata.num_rows
+        tdir = (f"/tmp/kgrecrun_sortedstore/tt_"
+                f"{os.path.basename(os.path.normpath(sf_dir))}_{n}")
+        cols = ["doc_id", "lang", "n_chars"]
+        if not os.path.exists(f"{tdir}/{VERSIONS}"):
+            commit_version(tdir,
+                           ray.data.read_parquet(src, columns=cols),
+                           key="doc_id")
+
+            def mutate(b: pa.Table) -> pa.Table:
+                h = _hash64(b["doc_id"].to_pylist()) % np.uint64(7)
+                lang = pc.if_else(pa.array(h == 0), pa.scalar("zz"),
+                                  b["lang"].combine_chunks())
+                return b.set_column(b.column_names.index("lang"),
+                                    "lang", lang)
+
+            commit_version(
+                tdir,
+                ray.data.read_parquet(src, columns=cols).map_batches(
+                    mutate, batch_format="pyarrow"),
+                key="doc_id")
+        return read_store_version(tdir, version=1, columns=cols)
+
     def user_order_overlap_hll(sf_dir: str):
         """Join-size estimation WITHOUT the join: HLL sketch algebra
         over two key sets — distinct event users vs distinct ordering
@@ -3648,6 +3768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_replica_diff": docs_replica_diff,
         "events_orders_join_size": events_orders_join_size,
         "hopping_users_exact": hopping_users_exact,
+        "data_quality_audit": data_quality_audit,
+        "docs_store_timetravel": docs_store_timetravel,
         "revenue_autocorr": revenue_autocorr,
         "events_decayed_score": events_decayed_score,
         "user_order_overlap_hll": user_order_overlap_hll,
@@ -5954,6 +6076,35 @@ def oracle_sql() -> dict[str, str]:
                        AND l_shipdate < TIMESTAMP '1997-01-01'
                        AND l_returnflag = 'R')
             GROUP BY l_suppkey
+        """,
+        "docs_store_timetravel": """
+            SELECT doc_id, lang, n_chars FROM documents
+        """,
+        "data_quality_audit": """
+            SELECT 'dup_doc_id' AS rule,
+                   CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+                       AS violations
+            FROM documents
+            UNION ALL
+            SELECT 'null_lang',
+                   CAST(COALESCE(SUM(CASE WHEN lang IS NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'nchars_mismatch',
+                   CAST(COALESCE(SUM(CASE WHEN n_chars != length(text)
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'fk_orphan_event_users', CAST(COUNT(*) AS BIGINT)
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id)
+            UNION ALL
+            SELECT 'negative_order_total',
+                   CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM orders
         """,
         "hopping_users_exact": """
             WITH r AS (

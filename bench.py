@@ -140,7 +140,8 @@ def bench_main() -> None:
         "event_value_chi2", "customer_balance_asof",
         "events_debounced", "docs_replica_diff",
         "events_orders_join_size", "hopping_users_exact",
-        "revenue_autocorr",
+        "revenue_autocorr", "data_quality_audit",
+        "docs_store_timetravel",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

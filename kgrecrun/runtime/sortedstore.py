@@ -386,3 +386,53 @@ def store_diff(dir_a: str, dir_b: str, *, key: str, columns: list[str],
             key: pa.array([], pa.int64()),
             "status": pa.array([], pa.string())}))
     return ray.data.from_arrow(pa.concat_tables(tables))
+
+
+VERSIONS = "_versions.json"
+
+
+def commit_version(table_dir: str, ds, *, key: str) -> int:
+    """Iceberg-style snapshot chain over sorted stores: each commit
+    writes a full store under ``v<NNN>/`` and then atomically swaps the
+    version manifest (tmp + os.replace), so readers always see either
+    the old chain or the new one — never a half-written snapshot. Old
+    versions stay immutable on disk for time-travel reads until a
+    retention job drops them. Returns the new version number.
+
+    (Snapshot = full store here; the delta path at scale is the
+    existing changelog machinery — ``ops/cdc.apply_changelog`` to
+    derive a snapshot, ``compact_stores`` to merge incremental sorted
+    runs into the next version without a shuffle.)
+    """
+    os.makedirs(table_dir, exist_ok=True)
+    vpath = os.path.join(table_dir, VERSIONS)
+    chain = []
+    if os.path.exists(vpath):
+        with open(vpath) as f:
+            chain = json.load(f)["versions"]
+    v = (chain[-1] if chain else 0) + 1
+    vdir = os.path.join(table_dir, f"v{v:03d}")
+    write_sorted_store(ds, vdir, key=key)
+    tmp = f"{vpath}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"versions": chain + [v], "key": key}, f)
+    os.replace(tmp, vpath)
+    return v
+
+
+def read_store_version(table_dir: str, version: int | None = None,
+                       columns: list[str] | None = None):
+    """Time-travel read: the full store of ``version`` (default: the
+    latest committed). → ray.data.Dataset."""
+    import ray.data
+
+    with open(os.path.join(table_dir, VERSIONS)) as f:
+        chain = json.load(f)["versions"]
+    if version is None:
+        version = chain[-1]
+    if version not in chain:
+        raise ValueError(f"version {version} not in {chain}")
+    vdir = os.path.join(table_dir, f"v{version:03d}")
+    with open(os.path.join(vdir, ZONEMAP)) as f:
+        files = [os.path.join(vdir, n) for n in sorted(json.load(f))]
+    return ray.data.read_parquet(files, columns=columns)

@@ -3032,3 +3032,27 @@ def test_revenue_autocorr_pair_alignment():
         if len(xs) > 1 and np.std(xs) > 0 and np.std(ys) > 0:
             r = np.corrcoef(xs, ys)[0, 1]
             assert out.loc[lag, "corr6"] == pytest.approx(r, abs=1e-5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_store_versions_immutable_timetravel(tmp_path):
+    """Snapshot chain: v1 stays byte-stable after v2 commits; latest
+    read returns v2; unknown version raises."""
+    import ray.data
+
+    from kgrecrun.runtime.sortedstore import (commit_version,
+                                              read_store_version)
+
+    t1 = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                   "v": pa.array(["a", "b", "c"])})
+    t2 = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                   "v": pa.array(["a", "B", "c", "d"])})
+    d = str(tmp_path / "tbl")
+    assert commit_version(d, ray.data.from_arrow(t1), key="k") == 1
+    assert commit_version(d, ray.data.from_arrow(t2), key="k") == 2
+    old = read_store_version(d, 1).to_pandas().sort_values("k")
+    assert list(old["v"]) == ["a", "b", "c"]
+    new = read_store_version(d).to_pandas().sort_values("k")
+    assert list(new["v"]) == ["a", "B", "c", "d"]
+    with pytest.raises(ValueError):
+        read_store_version(d, 9)
