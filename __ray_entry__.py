@@ -305,6 +305,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["entity", "rank_fp"]),
             batch_format="pyarrow")
 
+    def kg_fact_resolution(sf_dir: str):
+        """Truth discovery over the materialized KG: one winning obj per
+        (subj, pred) — max n_sources, ties to the smallest obj (map-side
+        argext combiner + one bucketed groupby, no per-key dispatch).
+        Oracle: ROW_NUMBER SQL over the planted-triples golden (valid
+        because kg_triples reproduces it exactly at sf0.01)."""
+        from kgrecrun.kg.trainprep import fact_resolution
+
+        return fact_resolution(_kg(sf_dir)["triples"])
+
+    def kg_two_hop(sf_dir: str):
+        """2-hop metapath statistics (n_paths, n_bridges per pred pair)
+        WITHOUT materializing paths: per-bridge pred-count vectors joined
+        in ONE bucketed cogroup — a hub with c1 in / c2 out edges costs
+        one product row, not c1·c2 path rows (the skew-proof shape).
+        Oracle: triple self-join SQL over the planted golden."""
+        from kgrecrun.kg.trainprep import metapath_two_hop
+
+        return metapath_two_hop(_kg(sf_dir)["triples"])
+
+    def kg_negative_samples(sf_dir: str):
+        """Corrupt-tail negatives for link-prediction training: md5-keyed
+        rank into the broadcast object vocabulary, accidental positives
+        dropped by the bucketed anti-join — RNG-free, reshard-stable.
+        Oracle: md5_number_upper rank join over the planted golden."""
+        from kgrecrun.kg.trainprep import negative_samples
+
+        return negative_samples(_kg(sf_dir)["triples"])
+
+    def kg_random_walks(sf_dir: str):
+        """DeepWalk-style deterministic walk corpus: one walk per subject
+        entity, 3 md5-argmin hops over the materialized adjacency (narrow
+        projection materialized once; per-round bucket join + argext
+        winner sweep). Oracle: 3 unrolled ROW_NUMBER CTEs."""
+        from kgrecrun.kg.trainprep import random_walks
+
+        return random_walks(_kg(sf_dir)["triples"])
+
     def kg_text_nodes(sf_dir: str):
         from kgrecrun.extract.stage import explode_text_nodes
 
@@ -3678,6 +3716,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_text_nodes": kg_text_nodes,
         "kg_entity_degrees": kg_entity_degrees,
         "kg_entity_pagerank": kg_entity_pagerank,
+        "kg_fact_resolution": kg_fact_resolution,
+        "kg_two_hop": kg_two_hop,
+        "kg_negative_samples": kg_negative_samples,
+        "kg_random_walks": kg_random_walks,
         "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,
@@ -4372,6 +4414,73 @@ def oracle_sql() -> dict[str, str]:
                         '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
                 )
             ) m ON p.node = m.node
+        """,
+        # KG-embedding training prep (kg/trainprep.py) — all four are
+        # value-exact against the planted golden: md5_number_upper is
+        # the exact hash the engine computes (md5[:8] little-endian).
+        "kg_fact_resolution": """
+            SELECT subj, pred, obj, n_sources FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY subj, pred
+                    ORDER BY n_sources DESC, obj) AS rn
+                FROM read_parquet(
+                    '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
+            ) WHERE rn = 1
+        """,
+        "kg_two_hop": """
+            WITH t AS (SELECT subj, pred, obj FROM read_parquet(
+                '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet'))
+            SELECT a.pred AS pred1, b.pred AS pred2,
+                   COUNT(*) AS n_paths, COUNT(DISTINCT a.obj) AS n_bridges
+            FROM t a JOIN t b ON a.obj = b.subj
+            GROUP BY 1, 2
+        """,
+        "kg_negative_samples": """
+            WITH g AS (SELECT subj, pred, obj FROM read_parquet(
+                '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')),
+            pool AS (SELECT obj AS neg_obj,
+                            ROW_NUMBER() OVER (ORDER BY obj) - 1 AS rk
+                     FROM (SELECT DISTINCT obj FROM g)),
+            c AS (SELECT g.subj, g.pred, g.obj,
+                         CAST(i.i AS BIGINT) AS neg_idx,
+                         CAST(md5_number_upper(
+                                  g.subj || '|' || g.pred || '|' || g.obj
+                                  || '|' || CAST(i.i AS VARCHAR))
+                              % (SELECT COUNT(*) FROM pool) AS BIGINT) AS rk
+                  FROM g CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) i)
+            SELECT c.subj, c.pred, c.obj, c.neg_idx, p.neg_obj
+            FROM c JOIN pool p USING (rk)
+            WHERE NOT EXISTS (SELECT 1 FROM g t
+                              WHERE t.subj = c.subj AND t.pred = c.pred
+                                AND t.obj = p.neg_obj)
+        """,
+        "kg_random_walks": """
+            WITH adj AS MATERIALIZED (
+                SELECT DISTINCT subj AS node, obj AS nbr FROM read_parquet(
+                    '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')),
+            s0 AS MATERIALIZED (SELECT DISTINCT node AS walk_id, node FROM adj),
+            c1 AS MATERIALIZED (SELECT s0.walk_id, a.nbr,
+                  ROW_NUMBER() OVER (PARTITION BY s0.walk_id
+                    ORDER BY md5_number_upper(s0.walk_id || '|1|' || a.nbr),
+                             a.nbr) AS rn
+                 FROM s0 JOIN adj a ON a.node = s0.node),
+            s1 AS MATERIALIZED (SELECT walk_id, nbr AS node FROM c1 WHERE rn = 1),
+            c2 AS MATERIALIZED (SELECT s1.walk_id, a.nbr,
+                  ROW_NUMBER() OVER (PARTITION BY s1.walk_id
+                    ORDER BY md5_number_upper(s1.walk_id || '|2|' || a.nbr),
+                             a.nbr) AS rn
+                 FROM s1 JOIN adj a ON a.node = s1.node),
+            s2 AS MATERIALIZED (SELECT walk_id, nbr AS node FROM c2 WHERE rn = 1),
+            c3 AS MATERIALIZED (SELECT s2.walk_id, a.nbr,
+                  ROW_NUMBER() OVER (PARTITION BY s2.walk_id
+                    ORDER BY md5_number_upper(s2.walk_id || '|3|' || a.nbr),
+                             a.nbr) AS rn
+                 FROM s2 JOIN adj a ON a.node = s2.node),
+            s3 AS MATERIALIZED (SELECT walk_id, nbr AS node FROM c3 WHERE rn = 1)
+            SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM s0
+            UNION ALL SELECT walk_id, 1, node FROM s1
+            UNION ALL SELECT walk_id, 2, node FROM s2
+            UNION ALL SELECT walk_id, 3, node FROM s3
         """,
         "doc_sample": f"""
             SELECT doc_id, lang FROM documents

@@ -1,0 +1,303 @@
+"""KG-embedding training preparation over the canonical triple table.
+
+The downstream consumer of the materialized KG (reference produces the
+article text these triples come from; the graph itself is this repo's
+north-rule extension) is a graph-embedding / link-prediction trainer.
+This module provides the four standard prep operators, each expressed
+in the repo's scale idioms (map-side combiners, bucketed cogroups, one
+narrow shuffle per stage, no per-key ``map_groups``):
+
+- :func:`fact_resolution` — truth discovery: one winning object per
+  (subj, pred) by source support (SQL ``arg_max`` shape).
+- :func:`metapath_two_hop` — 2-hop metapath statistics WITHOUT
+  materializing paths: per-bridge pred-count vectors joined in a
+  bucketed cogroup, so a hub entity with c1 in-edges and c2 out-edges
+  contributes a single (c1·c2) product row instead of c1·c2 rows.
+- :func:`negative_samples` — deterministic corrupt-tail negatives
+  (md5-keyed pick from the object vocabulary, accidental positives
+  removed by a bucketed anti-join).
+- :func:`random_walks` — DeepWalk-style walks with md5-keyed
+  deterministic next-hop selection (bit-reproducible across engines,
+  block layouts and parallelism).
+
+Determinism contract: every hash is ``md5(key-string)`` low-8-bytes
+little-endian, the exact value DuckDB's ``md5_number_upper`` returns,
+so each operator has a value-exact SQL mirror. md5 per candidate is
+the established repo convention for oracle parity (ops/sample.py); at
+production scale you would swap in a vectorized 64-bit hash with the
+same API.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+N_BUCKETS = 256
+
+
+def _md5_u64(strs) -> np.ndarray:
+    """md5(s)[:8] little-endian per string — matches DuckDB
+    ``md5_number_upper(s)`` (same mapping as ops/sample._hash64)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+         for s in strs),
+        dtype=np.uint64,
+        count=len(strs),
+    )
+
+
+def _concat_str(cols: list[pa.ChunkedArray | pa.Array], sep: str = "|") -> pa.Array:
+    out = pc.binary_join_element_wise(*[pc.cast(c, pa.string()) for c in cols], sep)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def fact_resolution(triples_ds):
+    """One object per (subj, pred): max ``n_sources``, ties broken by
+    the lexicographically smallest ``obj`` — the standard
+    majority-support truth-discovery rule for functional predicates.
+
+    Scale shape: delegates to ops/argext.group_arg_extreme — a map-side
+    lexsort combiner (≤ 1 candidate/key/block crosses the wire) and one
+    bucketed groupby; no per-key dispatch at any key cardinality.
+    """
+    from ..ops.argext import group_arg_extreme
+
+    def add_key(b: pa.Table) -> pa.Table:
+        return b.append_column("__sp", _concat_str([b["subj"], b["pred"]]))
+
+    keyed = triples_ds.map_batches(add_key, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    won = group_arg_extreme(
+        keyed, key="__sp",
+        order_cols=[("n_sources", "descending"), ("obj", "ascending")],
+    )
+    return won.map_batches(lambda b: b.drop_columns(["__sp"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def metapath_two_hop(triples_ds, *, n_buckets: int = N_BUCKETS):
+    """Per (pred1, pred2): the number of 2-hop path instances
+    (a −pred1→ b −pred2→ c) and the number of distinct bridge entities
+    b, WITHOUT materializing any path.
+
+    n_paths(p1,p2) = Σ_b in_cnt(b,p1) · out_cnt(b,p2), so it suffices
+    to aggregate per-bridge pred-count vectors and join them per
+    bridge: a hub with 10^4 in- and 10^4 out-edges contributes ONE
+    product row instead of 10^8 path rows — the skew-proof formulation
+    (path materialization is quadratic in hub degree; this is linear).
+
+    Stages: (1) map-side partial counts keyed (entity, pred, side) —
+    the shuffle carries ≤ |block-distinct (entity,pred)| rows; (2) ONE
+    bucketed cogroup by hash(entity) that finishes the per-side sums
+    and runs a vectorized Arrow join + product per bucket; (3) a final
+    native groupby over ≤ |preds|² partial rows. Buckets partition
+    entities, so per-bucket COUNT DISTINCT bridge sums exactly.
+    """
+    from .unionfind import hash_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        fst = (b.select(["obj", "pred"]).group_by(["obj", "pred"])
+                .aggregate([([], "count_all")]))
+        snd = (b.select(["subj", "pred"]).group_by(["subj", "pred"])
+                .aggregate([([], "count_all")]))
+        out = pa.table({
+            "entity": pa.concat_arrays([fst["obj"].combine_chunks(),
+                                        snd["subj"].combine_chunks()]),
+            "pred": pa.concat_arrays([fst["pred"].combine_chunks(),
+                                      snd["pred"].combine_chunks()]),
+            "cnt": pa.concat_arrays([
+                pc.cast(fst["count_all"], pa.int64()).combine_chunks(),
+                pc.cast(snd["count_all"], pa.int64()).combine_chunks()]),
+            "side": pa.concat_arrays([
+                pa.nulls(fst.num_rows, pa.int8()).fill_null(0),
+                pa.nulls(snd.num_rows, pa.int8()).fill_null(1)]),
+        })
+        return out.append_column(
+            "__bucket", hash_bucket(out["entity"].combine_chunks(), n_buckets))
+
+    def sweep(group: pa.Table) -> pa.Table:
+        left = group.filter(pc.equal(group["side"], 0))
+        right = group.filter(pc.equal(group["side"], 1))
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.table({"pp": pa.array([], pa.string()),
+                             "n_paths": pa.array([], pa.int64()),
+                             "n_bridges": pa.array([], pa.int64())})
+        a = (left.select(["entity", "pred", "cnt"])
+                 .group_by(["entity", "pred"]).aggregate([("cnt", "sum")])
+                 .rename_columns(["entity", "p1", "c1"]))
+        bb = (right.select(["entity", "pred", "cnt"])
+                   .group_by(["entity", "pred"]).aggregate([("cnt", "sum")])
+                   .rename_columns(["entity", "p2", "c2"]))
+        j = a.join(bb, keys="entity", join_type="inner")
+        if j.num_rows == 0:
+            return pa.table({"pp": pa.array([], pa.string()),
+                             "n_paths": pa.array([], pa.int64()),
+                             "n_bridges": pa.array([], pa.int64())})
+        j = j.append_column("prod", pc.multiply(j["c1"], j["c2"]))
+        agg = (j.group_by(["p1", "p2"])
+                .aggregate([("prod", "sum"), ("entity", "count_distinct")]))
+        return pa.table({
+            "pp": _concat_str([agg["p1"], agg["p2"]]),
+            "n_paths": pc.cast(agg["prod_sum"], pa.int64()).combine_chunks(),
+            "n_bridges": pc.cast(agg["entity_count_distinct"],
+                                 pa.int64()).combine_chunks(),
+        })
+
+    parts = (triples_ds.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+             .groupby("__bucket").map_groups(sweep, batch_format="pyarrow")
+             .groupby("pp").sum(["n_paths", "n_bridges"]))
+
+    def split(b: pa.Table) -> pa.Table:
+        pp = pc.split_pattern(b["pp"], "|")
+        return pa.table({
+            "pred1": pc.list_element(pp, 0),
+            "pred2": pc.list_element(pp, 1),
+            "n_paths": b["sum(n_paths)"],
+            "n_bridges": b["sum(n_bridges)"],
+        })
+
+    return parts.map_batches(split, batch_format="pyarrow")
+
+
+def negative_samples(triples_ds, *, k: int = 2):
+    """Corrupt-tail negatives for link-prediction training: for each
+    positive (subj, pred, obj) and i ∈ [0, k), the candidate object is
+    the entity at rank ``md5(subj|pred|obj|i) % |pool|`` of the SORTED
+    object vocabulary; candidates that collide with a true triple are
+    dropped (type-consistent filtered negatives, deterministic —
+    RNG-free and reshard-stable like every sampler in this repo).
+
+    Scale shape: the pool is the OBJECT VOCABULARY (the entity catalog
+    — orders of magnitude smaller than the triple corpus), broadcast
+    once via ``ray.put`` and indexed per batch with one vectorized
+    ``take``; at vocabularies past broadcast size you would md5-sample
+    the pool first (same determinism). The accidental-positive filter
+    is the bucketed anti-join (ops/joins.anti_join) — no per-key
+    dispatch, exchange carries only (composite-key) rows.
+    """
+    import ray
+
+    from ..ops.joins import anti_join
+
+    narrow = triples_ds.map_batches(
+        lambda b: b.select(["subj", "pred", "obj"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    pool_rows = (narrow.map_batches(
+        lambda b: b.select(["obj"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("obj").count().take_all())
+    pool = np.array(sorted(r["obj"] for r in pool_rows))
+    pool_ref = ray.put(pool)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        p = ray.get(pool_ref)
+        n = batch.num_rows
+        subj = batch["subj"].to_pylist()
+        pred = batch["pred"].to_pylist()
+        obj = batch["obj"].to_pylist()
+        keys = [f"{s}|{pr}|{o}|{i}"
+                for s, pr, o in zip(subj, pred, obj) for i in range(k)]
+        idx = _md5_u64(keys) % np.uint64(len(p))
+        cand = p[idx]
+        rep = pa.table({
+            "subj": pa.array(np.repeat(subj, k)),
+            "pred": pa.array(np.repeat(pred, k)),
+            "obj": pa.array(np.repeat(obj, k)),
+            "neg_idx": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+            "neg_obj": pa.array(cand),
+        })
+        return rep.append_column(
+            "__k", _concat_str([rep["subj"], rep["pred"], rep["neg_obj"]]))
+
+    cands = narrow.map_batches(gen, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    true_keys = narrow.map_batches(
+        lambda b: pa.table({"__k": _concat_str([b["subj"], b["pred"], b["obj"]])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    kept = anti_join(cands, true_keys, "__k")
+    return kept.map_batches(lambda b: b.drop_columns(["__k"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def random_walks(triples_ds, *, steps: int = 3):
+    """One deterministic walk per distinct subject entity: at step t
+    the walk at node u moves to the out-neighbor v minimizing
+    ``md5(walk_id|t|v)`` (ties — md5 collisions — broken by smallest
+    v). Emits (walk_id, step, node) rows for step 0..steps; a walk
+    with no outgoing edge simply stops (no row). md5-keyed selection
+    makes the walk corpus bit-identical across engines / parallelism —
+    the property DeepWalk-style sampling needs for reproducible
+    training data.
+
+    Scale shape: the (subj, obj) adjacency is projected NARROW and
+    materialized ONCE (it feeds every round — re-deriving it would
+    re-run the whole upstream KG pipeline per round); each round is
+    one bucketed cogroup join frontier×adjacency (frontier carries 2
+    string columns) followed by the argext winner sweep (map-side
+    combiner, ≤ 1 candidate/walk/block). Rounds are serial by nature
+    (step t+1 needs step t) — ``steps`` is small and fixed, matching
+    the unrolled-recurrence oracle contract used by k-core/SSSP.
+    """
+    from ..ops.argext import group_arg_extreme
+    from ..ops.cogroup import bucket_join
+
+    adj = (triples_ds.map_batches(
+        lambda b: b.select(["subj", "obj"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["subj", "obj"]).count()
+        .map_batches(lambda b: pa.table({"node": b["subj"], "nbr": b["obj"]}),
+                     batch_format="pyarrow")
+        .materialize())
+
+    frontier = (adj.map_batches(lambda b: b.select(["node"]),
+                                batch_format="pyarrow", zero_copy_batch=True)
+                .groupby("node").count()
+                .map_batches(lambda b: pa.table({"walk_id": b["node"],
+                                                 "node": b["node"]}),
+                             batch_format="pyarrow")
+                .materialize())
+
+    def emit(step: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "walk_id": b["walk_id"],
+                "step": pa.nulls(b.num_rows, pa.int64()).fill_null(step),
+                "node": b["node"],
+            })
+        return f
+
+    fr_schema = pa.schema([("walk_id", pa.string()), ("node", pa.string())])
+    adj_schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
+
+    outs = [frontier.map_batches(emit(0), batch_format="pyarrow")]
+    for t in range(1, steps + 1):
+        # explicit schemas: a dead-ended (empty) frontier loses its
+        # schema and bucket_join cannot infer it from the Dataset
+        cand = bucket_join(frontier, adj, key="node", join_type="inner",
+                           left_schema=fr_schema, right_schema=adj_schema)
+
+        def score(b: pa.Table, _t=t) -> pa.Table:
+            keys = [f"{w}|{_t}|{v}" for w, v in
+                    zip(b["walk_id"].to_pylist(), b["nbr"].to_pylist())]
+            return b.append_column("__h", pa.array(_md5_u64(keys)))
+
+        scored = cand.map_batches(score, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        won = group_arg_extreme(
+            scored, key="walk_id",
+            order_cols=[("__h", "ascending"), ("nbr", "ascending")])
+        frontier = won.map_batches(
+            lambda b: pa.table({"walk_id": b["walk_id"], "node": b["nbr"]}),
+            batch_format="pyarrow").materialize()
+        outs.append(frontier.map_batches(emit(t), batch_format="pyarrow"))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
