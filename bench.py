@@ -142,6 +142,8 @@ def bench_main() -> None:
         "events_orders_join_size", "hopping_users_exact",
         "revenue_autocorr", "data_quality_audit",
         "docs_store_timetravel",
+        "kg_fact_resolution", "kg_two_hop",
+        "kg_negative_samples", "kg_random_walks",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

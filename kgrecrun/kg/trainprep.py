@@ -225,7 +225,8 @@ def negative_samples(triples_ds, *, k: int = 2):
                             batch_format="pyarrow", zero_copy_batch=True)
 
 
-def random_walks(triples_ds, *, steps: int = 3):
+def random_walks(triples_ds, *, steps: int = 3,
+                 broadcast_walks: int | None = 2_000_000):
     """One deterministic walk per distinct subject entity: at step t
     the walk at node u moves to the out-neighbor v minimizing
     ``md5(walk_id|t|v)`` (ties — md5 collisions — broken by smallest
@@ -235,18 +236,28 @@ def random_walks(triples_ds, *, steps: int = 3):
     the property DeepWalk-style sampling needs for reproducible
     training data.
 
-    Scale shape: the (subj, obj) adjacency is projected NARROW and
-    materialized ONCE (it feeds every round — re-deriving it would
-    re-run the whole upstream KG pipeline per round); each round is
-    one bucketed cogroup join frontier×adjacency (frontier carries 2
-    string columns) followed by the argext winner sweep (map-side
-    combiner, ≤ 1 candidate/walk/block). Rounds are serial by nature
-    (step t+1 needs step t) — ``steps`` is small and fixed, matching
-    the unrolled-recurrence oracle contract used by k-core/SSSP.
-    """
-    from ..ops.argext import group_arg_extreme
-    from ..ops.cogroup import bucket_join
+    Two paths, bit-identical output (the bfs_distances trade-off):
 
+    - **broadcast** (default, ``broadcast_walks`` = bound): walk count
+      is catalog-order (one per distinct subject), so the frontier
+      lives on the driver and each round is raw tasks over the ONCE-
+      cached adjacency block refs — a vectorized Arrow join + local
+      argmin per block, then a tree merge of ≤1-row-per-walk winner
+      tables. Zero shuffles and zero executor launches per round
+      (iterated Dataset algebra costs ~10 s/round in executor startup
+      alone). Raises past the bound.
+    - **exchange** (``broadcast_walks=None``): nothing walk-shaped on
+      the driver — per round ONE bucketed cogroup join frontier ×
+      adjacency plus the argext winner sweep; every inter-round table
+      is narrow and materialized. Right when the walk set itself
+      outgrows driver memory.
+
+    Rounds are serial by nature (step t+1 needs step t) — ``steps`` is
+    small and fixed, matching the unrolled-recurrence oracle contract
+    used by k-core/SSSP. The (subj, obj) adjacency is projected NARROW
+    and materialized ONCE (it feeds every round — re-deriving it would
+    re-run the whole upstream KG pipeline per round).
+    """
     adj = (triples_ds.map_batches(
         lambda b: b.select(["subj", "obj"]),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -254,6 +265,97 @@ def random_walks(triples_ds, *, steps: int = 3):
         .map_batches(lambda b: pa.table({"node": b["subj"], "nbr": b["obj"]}),
                      batch_format="pyarrow")
         .materialize())
+    # compact: the distinct-groupby emits ~n_buckets tiny blocks; per-
+    # round task count (broadcast) and shuffle cost (exchange) scale
+    # with BLOCK COUNT, not rows — target ~75k rows/block
+    n_edges = adj.count()
+    adj = adj.repartition(max(8, min(256, n_edges // 75_000 + 1))).materialize()
+
+    if broadcast_walks is not None:
+        return _random_walks_broadcast(adj, steps=steps, bound=broadcast_walks)
+    return _random_walks_exchange(adj, steps=steps)
+
+
+def _random_walks_broadcast(adj, *, steps: int, bound: int):
+    import ray
+    import ray.data
+
+    from ..ops.argext import _winners
+
+    block_refs = list(adj.to_arrow_refs())
+
+    # walk starts = distinct subjects, computed over the already-cached
+    # refs (a groupby here would launch one more whole execution)
+    @ray.remote
+    def block_nodes(block: pa.Table):
+        import numpy as np
+        # repartition of a tiny dataset emits schemaless empty blocks
+        if block.num_rows == 0 or "node" not in block.column_names:
+            return np.array([], object)
+        return np.unique(block["node"].combine_chunks().to_numpy(
+            zero_copy_only=False))
+
+    import numpy as np
+    uniq = ray.get([block_nodes.remote(br) for br in block_refs])
+    walk_np = np.unique(np.concatenate(
+        [u for u in uniq if len(u)] or [np.array([], object)]))
+    if len(walk_np) > bound:
+        raise RuntimeError(
+            f"random_walks: {len(walk_np)} walks exceeds "
+            f"broadcast_walks={bound}; pass broadcast_walks=None for the "
+            "exchange path")
+    walk_nodes = pa.array(walk_np.tolist(), pa.string())
+    frontier = pa.table({"walk_id": walk_nodes, "node": walk_nodes})
+    order = [("__h", "ascending"), ("nbr", "ascending")]
+    empty = pa.table({"walk_id": pa.array([], pa.string()),
+                      "nbr": pa.array([], pa.string()),
+                      "__h": pa.array([], pa.uint64())})
+
+    @ray.remote
+    def local_win(block: pa.Table, fr: pa.Table, t: int) -> pa.Table:
+        if block.num_rows == 0 or "node" not in block.column_names:
+            return empty
+        cand = block.join(fr, keys="node", join_type="inner")
+        if cand.num_rows == 0:
+            return empty
+        keys = [f"{w}|{t}|{v}" for w, v in
+                zip(cand["walk_id"].to_pylist(), cand["nbr"].to_pylist())]
+        cand = cand.append_column("__h", pa.array(_md5_u64(keys)))
+        return _winners(cand.select(["walk_id", "nbr", "__h"]),
+                        "walk_id", order)
+
+    @ray.remote
+    def merge(*tables) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return empty
+        return _winners(pa.concat_tables(live), "walk_id", order)
+
+    def step_table(fr: pa.Table, t: int) -> pa.Table:
+        return pa.table({
+            "walk_id": fr["walk_id"],
+            "step": pa.nulls(fr.num_rows, pa.int64()).fill_null(t),
+            "node": fr["node"],
+        })
+
+    out = [step_table(frontier, 0)]
+    for t in range(1, steps + 1):
+        fr_ref = ray.put(frontier)
+        parts = [local_win.remote(br, fr_ref, t) for br in block_refs]
+        while len(parts) > 1:
+            parts = [merge.remote(*parts[i:i + 16])
+                     for i in range(0, len(parts), 16)]
+        won = ray.get(parts[0])
+        if won.num_rows == 0:
+            break
+        frontier = pa.table({"walk_id": won["walk_id"], "node": won["nbr"]})
+        out.append(step_table(frontier, t))
+    return ray.data.from_arrow(pa.concat_tables(out))
+
+
+def _random_walks_exchange(adj, *, steps: int):
+    from ..ops.argext import group_arg_extreme
+    from ..ops.cogroup import bucket_join
 
     frontier = (adj.map_batches(lambda b: b.select(["node"]),
                                 batch_format="pyarrow", zero_copy_batch=True)

@@ -142,6 +142,24 @@ def test_negative_samples_drops_accidental_positives():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_random_walks_paths_equivalent():
+    # broadcast (driver frontier + raw tasks) and exchange (bucketed
+    # cogroup) paths must be bit-identical
+    ds = ray.data.read_parquet(GOLD)
+    key = lambda r: (r["walk_id"], r["step"])
+    a = sorted(tp.random_walks(ds).take_all(), key=key)
+    b = sorted(tp.random_walks(ds, broadcast_walks=None).take_all(), key=key)
+    assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_random_walks_broadcast_bound():
+    ds = ray.data.read_parquet(GOLD)
+    with pytest.raises(RuntimeError, match="broadcast_walks"):
+        tp.random_walks(ds, broadcast_walks=5)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_random_walks_dead_end_stops():
     # A -> B, B has no out-edge: walk A emits steps 0,1 then stops;
     # walk B never starts (B is not a subject)
