@@ -343,6 +343,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return random_walks(_kg(sf_dir)["triples"])
 
+    def kg_incremental_ingest(sf_dir: str):
+        """Incremental batch ingest: the corpus split into two disjoint
+        warc_ts halves, EACH run through the full extract → NER → link
+        → canonicalize → dedup pipeline independently (the way a crawl
+        arrives in batches), then merged by one (subj, pred, obj)
+        groupby-sum of the per-batch n_sources partials. Because triple
+        dedup is an associative aggregate, batch-ingest-then-merge must
+        equal full recompute BIT-EXACTLY — the oracle is the same
+        planted golden kg_triples matches, making the incremental path
+        a hash-checked resumability surface (north rule: per-partition
+        ingest without global reprocessing)."""
+        from kgrecrun.corpus.synthgen import BASE_TS, get_world
+        from kgrecrun.runtime.pipeline import kg_pipeline
+
+        n = _n_docs(sf_dir)
+        world = get_world(42)
+        cutoff = BASE_TS + (n // 2) * 1_000_000  # warc_ts = BASE_TS + doc_id·1e6
+
+        def half(keep_older: bool):
+            def f(b: pa.Table) -> pa.Table:
+                ts = pc.cast(pc.cast(b["warc_ts"], pa.timestamp("us")),
+                             pa.int64())
+                mask = pc.less(ts, cutoff) if keep_older \
+                    else pc.greater_equal(ts, cutoff)
+                return b.filter(mask)
+            return _synth_pages(sf_dir).map_batches(
+                f, batch_format="pyarrow", zero_copy_batch=True)
+
+        ta = kg_pipeline(half(True), world.entity_table())["triples"]
+        tb = kg_pipeline(half(False), world.entity_table())["triples"]
+        merged = (ta.union(tb)
+                  .groupby(["subj", "pred", "obj"]).sum("n_sources"))
+        return merged.map_batches(
+            lambda b: b.rename_columns(["subj", "pred", "obj", "n_sources"]),
+            batch_format="pyarrow")
+
+    def kg_verbalization(sf_dir: str):
+        """KG-to-text linearization: one template sentence per canonical
+        triple (LM-training surface form). Stateless vectorized map, no
+        shuffle. Oracle: CASE-template SQL over the planted golden."""
+        from kgrecrun.kg.trainprep import verbalize
+
+        return verbalize(_kg(sf_dir)["triples"])
+
+    def kg_ego_networks(sf_dir: str):
+        """GraphSAGE-style 2-hop neighborhood sampling, fanout 3 per
+        (seed, parent), md5-ranked (bit-identical across parallelism);
+        visited-excluded before ranking, deduped per hop after. Driver-
+        resident frontier + raw tasks over cached adjacency refs (the
+        random_walks broadcast design). Oracle: two unrolled ROW_NUMBER
+        layers over the planted golden."""
+        from kgrecrun.kg.trainprep import ego_networks
+
+        return ego_networks(_kg(sf_dir)["triples"])
+
     def kg_text_nodes(sf_dir: str):
         from kgrecrun.extract.stage import explode_text_nodes
 
@@ -3720,6 +3775,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": kg_two_hop,
         "kg_negative_samples": kg_negative_samples,
         "kg_random_walks": kg_random_walks,
+        "kg_verbalization": kg_verbalization,
+        "kg_ego_networks": kg_ego_networks,
+        "kg_incremental_ingest": kg_incremental_ingest,
         "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,
@@ -4481,6 +4539,58 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, 1, node FROM s1
             UNION ALL SELECT walk_id, 2, node FROM s2
             UNION ALL SELECT walk_id, 3, node FROM s3
+        """,
+        # incremental two-batch ingest must merge to EXACTLY the full-
+        # recompute result: same golden as kg_triples
+        "kg_incremental_ingest": """
+            SELECT subj, pred, obj, n_sources
+            FROM read_parquet(
+                '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
+        """,
+        "kg_verbalization": """
+            SELECT subj, pred, obj, n_sources,
+                   subj || CASE pred
+                       WHEN 'born_in' THEN ' was born in '
+                       WHEN 'works_for' THEN ' works for '
+                       WHEN 'acquired' THEN ' acquired '
+                       WHEN 'located_in' THEN ' is located in '
+                       WHEN 'founded' THEN ' founded '
+                       WHEN 'ceo_of' THEN ' is the CEO of '
+                       WHEN 'headquartered_in' THEN ' is headquartered in '
+                       WHEN 'partnered_with' THEN ' partnered with '
+                       ELSE ' ' || pred || ' ' END
+                   || obj || '.' AS sentence
+            FROM read_parquet(
+                '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
+        """,
+        "kg_ego_networks": """
+            WITH adj AS MATERIALIZED (
+                SELECT DISTINCT subj AS node, obj AS nbr FROM read_parquet(
+                    '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')),
+            seeds AS MATERIALIZED (SELECT DISTINCT node AS seed FROM adj),
+            h1 AS MATERIALIZED (
+                SELECT seed, nbr, ROW_NUMBER() OVER (PARTITION BY seed
+                    ORDER BY md5_number_upper(seed || '|1|' || nbr), nbr) rn
+                FROM seeds JOIN adj a ON a.node = seed
+                WHERE nbr <> seed),
+            l1 AS MATERIALIZED (SELECT seed, nbr AS node FROM h1 WHERE rn <= 3),
+            h2c AS MATERIALIZED (
+                SELECT l1.seed, l1.node AS parent, a.nbr
+                FROM l1 JOIN adj a ON a.node = l1.node
+                WHERE a.nbr <> l1.seed
+                  AND NOT EXISTS (SELECT 1 FROM l1 v
+                                  WHERE v.seed = l1.seed AND v.node = a.nbr)),
+            h2r AS MATERIALIZED (
+                SELECT seed, parent, nbr, ROW_NUMBER() OVER (
+                    PARTITION BY seed, parent
+                    ORDER BY md5_number_upper(
+                        seed || '|2|' || parent || '|' || nbr), nbr) rn
+                FROM h2c),
+            l2 AS MATERIALIZED (
+                SELECT DISTINCT seed, nbr AS node FROM h2r WHERE rn <= 3)
+            SELECT seed, CAST(0 AS BIGINT) AS hop, seed AS node FROM seeds
+            UNION ALL SELECT seed, 1, node FROM l1
+            UNION ALL SELECT seed, 2, node FROM l2
         """,
         "doc_sample": f"""
             SELECT doc_id, lang FROM documents

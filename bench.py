@@ -144,6 +144,7 @@ def bench_main() -> None:
         "docs_store_timetravel",
         "kg_fact_resolution", "kg_two_hop",
         "kg_negative_samples", "kg_random_walks",
+        "kg_verbalization", "kg_ego_networks", "kg_incremental_ingest",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -13,16 +13,24 @@ from __future__ import annotations
 
 def hash_bucket(arr, n_buckets: int):
     """Deterministic hash bucket per value (vectorized splitmix64 finalizer
-    for integer ids, crc32 for strings). n_buckets must be a power of two.
+    for integer ids, polars' vectorized xxhash for strings). n_buckets
+    must be a power of two.
 
     The integer path MIXES the bits before masking: plain ``id & (n-1)``
     collapses keys strided by a multiple of n_buckets (sharded /
     partitioned id schemes) into one bucket, breaking the "one bucket
     fits a worker" assumption every bucket-cogroup operator relies on.
     splitmix64's finalizer is a bijection, so distinct keys stay
-    distinct and the bucketing is deterministic across runs/processes."""
-    import zlib
+    distinct and the bucketing is deterministic across runs/processes.
 
+    The string path needs only WITHIN-RUN consistency (bucket ids are
+    internal grouping keys — every consumer processes whole buckets, so
+    outputs never depend on the assignment; same contract as the bloom
+    hashes in ops/joins). The previous per-row crc32 loop cost ~4 µs/row
+    — pure Python in what is otherwise the hot path of every
+    string-keyed cogroup — so strings now go through polars' xxhash
+    (one vectorized call per batch), with crc32 kept as the no-polars
+    fallback."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -36,10 +44,23 @@ def hash_bucket(arr, n_buckets: int):
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         x = x ^ (x >> np.uint64(31))
         return pa.array((x & np.uint64(n_buckets - 1)).astype(np.int32), pa.int32())
-    return pa.array(
-        [zlib.crc32(str(v).encode()) & (n_buckets - 1) for v in arr.to_pylist()],
-        pa.int32(),
-    )
+    try:
+        import polars as pl
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        h = pl.Series(arr.cast(pa.string())).hash(seed=0).to_numpy() \
+            .astype(np.uint64)
+        return pa.array((h & np.uint64(n_buckets - 1)).astype(np.int32),
+                        pa.int32())
+    except ImportError:
+        import zlib
+
+        return pa.array(
+            [zlib.crc32(str(v).encode()) & (n_buckets - 1)
+             for v in arr.to_pylist()],
+            pa.int32(),
+        )
 
 
 class UnionFind:

@@ -104,8 +104,99 @@ def test_random_walks_matches_duckdb():
     """)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_verbalization_matches_duckdb():
+    ds = ray.data.read_parquet(GOLD)
+    _assert_match(tp.verbalize(ds), f"""
+        SELECT subj, pred, obj, n_sources,
+               subj || CASE pred
+                   WHEN 'born_in' THEN ' was born in '
+                   WHEN 'works_for' THEN ' works for '
+                   WHEN 'acquired' THEN ' acquired '
+                   WHEN 'located_in' THEN ' is located in '
+                   WHEN 'founded' THEN ' founded '
+                   WHEN 'ceo_of' THEN ' is the CEO of '
+                   WHEN 'headquartered_in' THEN ' is headquartered in '
+                   WHEN 'partnered_with' THEN ' partnered with '
+                   ELSE ' ' || pred || ' ' END || obj || '.' AS sentence
+        FROM read_parquet('{GOLD}')
+    """)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ego_networks_matches_duckdb():
+    ds = ray.data.read_parquet(GOLD)
+    _assert_match(tp.ego_networks(ds), f"""
+        WITH adj AS MATERIALIZED (
+            SELECT DISTINCT subj AS node, obj AS nbr FROM read_parquet('{GOLD}')),
+        seeds AS MATERIALIZED (SELECT DISTINCT node AS seed FROM adj),
+        h1 AS MATERIALIZED (
+            SELECT seed, nbr, ROW_NUMBER() OVER (PARTITION BY seed
+                ORDER BY md5_number_upper(seed || '|1|' || nbr), nbr) rn
+            FROM seeds JOIN adj a ON a.node = seed WHERE nbr <> seed),
+        l1 AS MATERIALIZED (SELECT seed, nbr AS node FROM h1 WHERE rn <= 3),
+        h2c AS MATERIALIZED (
+            SELECT l1.seed, l1.node AS parent, a.nbr
+            FROM l1 JOIN adj a ON a.node = l1.node
+            WHERE a.nbr <> l1.seed
+              AND NOT EXISTS (SELECT 1 FROM l1 v
+                              WHERE v.seed = l1.seed AND v.node = a.nbr)),
+        h2r AS MATERIALIZED (
+            SELECT seed, parent, nbr, ROW_NUMBER() OVER (
+                PARTITION BY seed, parent
+                ORDER BY md5_number_upper(seed || '|2|' || parent || '|' || nbr),
+                         nbr) rn
+            FROM h2c),
+        l2 AS MATERIALIZED (SELECT DISTINCT seed, nbr AS node FROM h2r WHERE rn <= 3)
+        SELECT seed, CAST(0 AS BIGINT) AS hop, seed AS node FROM seeds
+        UNION ALL SELECT seed, 1, node FROM l1
+        UNION ALL SELECT seed, 2, node FROM l2
+    """)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_ingest_equals_full_recompute():
+    # triple dedup is an associative aggregate: two disjoint corpus
+    # halves pipelined independently then merged must equal one full
+    # run bit-exactly (engine-vs-engine, sf-independent)
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r["subj"], r["pred"], r["obj"])
+    inc = sorted(E.queries()["kg_incremental_ingest"](sf).take_all(), key=key)
+    full = sorted(E.queries()["kg_triples"](sf).take_all(), key=key)
+    assert inc == full
+
+
 def _tiny(rows):
     return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verbalize_unknown_pred_fallback():
+    ds = _tiny([{"subj": "A", "pred": "mystery_rel", "obj": "B",
+                 "n_sources": 1}])
+    got = tp.verbalize(ds).take_all()
+    assert got[0]["sentence"] == "A mystery_rel B."
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ego_networks_fanout_and_visited():
+    # seed A: 5 out-neighbors -> exactly fanout=3 at hop 1; self-loop
+    # A->A excluded; hop-2 candidates that are hop-1 nodes excluded
+    rows = [{"subj": "A", "pred": "p", "obj": o, "n_sources": 1}
+            for o in ["B", "C", "D", "E", "F", "A"]]
+    rows += [{"subj": "B", "pred": "p", "obj": o, "n_sources": 1}
+             for o in ["C", "D", "E", "F", "Z"]]
+    got = tp.ego_networks(_tiny(rows)).take_all()
+    by_hop = {}
+    for r in got:
+        if r["seed"] == "A":
+            by_hop.setdefault(r["hop"], set()).add(r["node"])
+    assert by_hop[0] == {"A"}
+    assert len(by_hop[1]) == 3 and "A" not in by_hop[1]
+    # hop-2 nodes are disjoint from {A} + hop-1
+    assert by_hop.get(2, set()).isdisjoint(by_hop[1] | {"A"})
 
 
 @pytest.mark.usefixtures("ray_session")
