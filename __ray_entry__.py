@@ -379,6 +379,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.rename_columns(["subj", "pred", "obj", "n_sources"]),
             batch_format="pyarrow")
 
+    def kg_founders_birthplaces(sf_dir: str):
+        """SPARQL-style basic graph pattern over the materialized KG:
+        ?s founded ?org . ?s born_in ?place — predicate filters pushed
+        map-side (only the two predicates' edges ship), one bucketed
+        cogroup join on the shared subject. Oracle: self-join SQL over
+        the planted golden."""
+        from kgrecrun.kg.query import conjunctive_match
+
+        return conjunctive_match(
+            _kg(sf_dir)["triples"],
+            [("founded", "org"), ("born_in", "birthplace")])
+
+    def kg_acquisition_chains(sf_dir: str):
+        """Bounded regular-path query acquired+ (length <= 3): shortest
+        chain length per reachable (src, dst) company pair — BFS rounds
+        of bucketed cogroup joins over the map-side-filtered acquired
+        edge list, shorter-length rediscoveries anti-joined away.
+        Oracle: 3 unrolled CTE layers over the planted golden."""
+        from kgrecrun.kg.query import path_closure
+
+        return path_closure(_kg(sf_dir)["triples"], "acquired", max_len=3)
+
     def kg_verbalization(sf_dir: str):
         """KG-to-text linearization: one template sentence per canonical
         triple (LM-training surface form). Stateless vectorized map, no
@@ -3778,6 +3800,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_verbalization": kg_verbalization,
         "kg_ego_networks": kg_ego_networks,
         "kg_incremental_ingest": kg_incremental_ingest,
+        "kg_founders_birthplaces": kg_founders_birthplaces,
+        "kg_acquisition_chains": kg_acquisition_chains,
         "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,
@@ -4539,6 +4563,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, 1, node FROM s1
             UNION ALL SELECT walk_id, 2, node FROM s2
             UNION ALL SELECT walk_id, 3, node FROM s3
+        """,
+        "kg_founders_birthplaces": """
+            WITH g AS (SELECT subj, pred, obj FROM read_parquet(
+                '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet'))
+            SELECT a.subj, a.obj AS org, b.obj AS birthplace
+            FROM g a JOIN g b ON b.subj = a.subj
+            WHERE a.pred = 'founded' AND b.pred = 'born_in'
+        """,
+        "kg_acquisition_chains": """
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT subj AS src, obj AS dst FROM read_parquet(
+                    '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
+                WHERE pred = 'acquired'),
+            l1 AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+            c2 AS MATERIALIZED (
+                SELECT DISTINCT l1.src, e.dst FROM l1
+                JOIN e ON e.src = l1.dst WHERE l1.src <> e.dst),
+            l2 AS MATERIALIZED (
+                SELECT src, dst FROM c2
+                WHERE NOT EXISTS (SELECT 1 FROM l1
+                                  WHERE l1.src = c2.src AND l1.dst = c2.dst)),
+            c3 AS MATERIALIZED (
+                SELECT DISTINCT l2.src, e.dst FROM l2
+                JOIN e ON e.src = l2.dst WHERE l2.src <> e.dst),
+            l3 AS MATERIALIZED (
+                SELECT src, dst FROM c3
+                WHERE NOT EXISTS (SELECT 1 FROM l1
+                                  WHERE l1.src = c3.src AND l1.dst = c3.dst)
+                  AND NOT EXISTS (SELECT 1 FROM l2
+                                  WHERE l2.src = c3.src AND l2.dst = c3.dst))
+            SELECT src, dst, CAST(1 AS BIGINT) AS path_len FROM l1
+            UNION ALL SELECT src, dst, 2 FROM l2
+            UNION ALL SELECT src, dst, 3 FROM l3
         """,
         # incremental two-batch ingest must merge to EXACTLY the full-
         # recompute result: same golden as kg_triples

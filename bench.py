@@ -145,6 +145,7 @@ def bench_main() -> None:
         "kg_fact_resolution", "kg_two_hop",
         "kg_negative_samples", "kg_random_walks",
         "kg_verbalization", "kg_ego_networks", "kg_incremental_ingest",
+        "kg_founders_birthplaces", "kg_acquisition_chains",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -231,7 +231,14 @@ def negative_samples(triples_ds, *, k: int = 2):
     true_keys = narrow.map_batches(
         lambda b: pa.table({"__k": _concat_str([b["subj"], b["pred"], b["obj"]])}),
         batch_format="pyarrow", zero_copy_batch=True)
-    kept = bloom_anti_join(cands, true_keys, "__k")
+    # bloom sized to the triple count (~10 bits/key, ~1% FP — an
+    # undersized bloom saturates and the prefilter passes everything);
+    # prefilter_right keeps the verify exchange at positive-slice size
+    # instead of shipping every true key
+    n_true = narrow.count()
+    m_bits = 1 << max(23, (10 * max(n_true, 1) - 1).bit_length())
+    kept = bloom_anti_join(cands, true_keys, "__k", m_bits=m_bits,
+                           prefilter_right=True)
     return kept.map_batches(lambda b: b.drop_columns(["__k"]),
                             batch_format="pyarrow", zero_copy_batch=True)
 

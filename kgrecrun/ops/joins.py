@@ -227,14 +227,30 @@ def bloom_semi_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
 
 
 def bloom_anti_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
-                    k: int = 4):
+                    k: int = 4, prefilter_right: bool = False):
     """EXACT anti-join with a map-side bloom prefilter: bloom-NEGATIVE
     rows are definitively absent from the right side (no false
     negatives) and stream straight to the output with zero exchange;
     only the bloom-positive slice needs the exact cogroup anti-join to
-    reject the ~2.5% false positives. NOTE: the two filters are two
+    reject the false positives. NOTE: the two filters are two
     consumers of ``left_ds`` — Ray re-executes the upstream read per
-    consumer (cheap, column-pruned) rather than materializing it."""
+    consumer (cheap, column-pruned) rather than materializing it.
+
+    SIZE ``m_bits`` TO THE RIGHT KEY COUNT: the default 1 MiB bitmap
+    holds ~2^20 keys at ~2.5% FP; at 10M keys it saturates (~97% FP)
+    and the "prefilter" passes nearly everything to the exact verify —
+    measured as exactly this failure before negative_samples sized it.
+    Rule of thumb: m_bits ≈ next_pow2(10 × right_keys), k=4 → ~1% FP.
+
+    ``prefilter_right=True`` adds the symmetric trick for LARGE right
+    sides: the bloom-positive left slice is materialized, a second
+    bloom summarizing ITS keys broadcasts, and the right side is
+    bloom-filtered map-side before the verify cogroup — so the verify
+    exchange carries the (tiny) positive slice plus only right rows
+    that match it, never the full right side. Output is bit-identical
+    either way (a right row wrongly dropped by the second bloom could
+    only have matched a left row that isn't there; any false KEEP is
+    removed by the exact cogroup)."""
     import ray
 
     bloom_ref = ray.put(build_bloom(right_ds, key, m_bits=m_bits, k=k))
@@ -250,7 +266,22 @@ def bloom_anti_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
                                    zero_copy_batch=True)
 
     certain = split(False)
-    checked = _cogroup_exists(split(True), right_ds, key, keep_if_exists=False)
+    positives = split(True)
+    verify_right = right_ds
+    if prefilter_right:
+        positives = positives.materialize()
+        pos_bloom = ray.put(build_bloom(positives, key, m_bits=m_bits, k=k))
+
+        def rfilt(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return batch
+            return batch.filter(
+                pa.array(_bloom_mask(batch, key, ray.get(pos_bloom), k)))
+
+        verify_right = right_ds.map_batches(rfilt, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+    checked = _cogroup_exists(positives, verify_right, key,
+                              keep_if_exists=False)
     return certain.union(checked)
 
 
