@@ -379,6 +379,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.rename_columns(["subj", "pred", "obj", "n_sources"]),
             batch_format="pyarrow")
 
+    def kg_fact_sources(sf_dir: str):
+        """Provenance ledger: per (triple, source-url) mention counts
+        over the per-occurrence canonical rows (the url dimension the
+        triple dedup aggregates away). Oracle: the GENERATOR-planted
+        provenance golden (tools/make_kg_provenance_gold.py) — written
+        from the planted truth only, so matching it proves the pipeline
+        reproduces planted provenance per document, not just per
+        triple."""
+        from kgrecrun.kg.temporal import fact_sources
+
+        return fact_sources(_kg(sf_dir)["canonical"])
+
+    def kg_temporal_facts(sf_dir: str):
+        """Per triple: total support + first/last-seen warc_ts (epoch
+        µs, derived from the corpus url scheme by the same RE2 regex +
+        integer arithmetic the SQL oracle runs). Map-side count/min/max
+        partials, one narrow groupby — urls never cross the exchange.
+        Oracle: provenance golden + regexp arithmetic."""
+        from kgrecrun.corpus.synthgen import BASE_TS
+        from kgrecrun.kg.temporal import temporal_facts
+
+        return temporal_facts(_kg(sf_dir)["canonical"], base_ts=BASE_TS)
+
+    def kg_facts_asof(sf_dir: str):
+        """Snapshot fact resolution at mid-corpus cutoff: per (subj,
+        pred) the fact in force at T — latest last_ts among facts first
+        seen by T, support then smallest-obj tiebreaks (the KG sibling
+        of the CDC time-travel reads). Oracle: ROW_NUMBER SQL over the
+        provenance golden."""
+        from kgrecrun.corpus.synthgen import BASE_TS
+        from kgrecrun.kg.temporal import facts_asof
+
+        n = _n_docs(sf_dir)
+        cutoff = BASE_TS + (n // 2) * 1_000_000
+        return facts_asof(_kg(sf_dir)["canonical"], base_ts=BASE_TS,
+                          cutoff_ts=cutoff)
+
     def kg_founders_birthplaces(sf_dir: str):
         """SPARQL-style basic graph pattern over the materialized KG:
         ?s founded ?org . ?s born_in ?place — predicate filters pushed
@@ -3802,6 +3839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_ingest": kg_incremental_ingest,
         "kg_founders_birthplaces": kg_founders_birthplaces,
         "kg_acquisition_chains": kg_acquisition_chains,
+        "kg_fact_sources": kg_fact_sources,
+        "kg_temporal_facts": kg_temporal_facts,
+        "kg_facts_asof": kg_facts_asof,
         "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,
@@ -4563,6 +4603,47 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, 1, node FROM s1
             UNION ALL SELECT walk_id, 2, node FROM s2
             UNION ALL SELECT walk_id, 3, node FROM s3
+        """,
+        # temporal/provenance family: the GENERATOR-planted provenance
+        # golden (per-(triple, url) mention counts written from the
+        # planted truth only — tools/make_kg_provenance_gold.py);
+        # warc_ts re-derived from the url scheme by the same RE2 regex
+        # + integer arithmetic the engine runs. BASE_TS (2025-01-01
+        # UTC) = 1735689600000000 µs; sf0.01 mid-corpus cutoff =
+        # BASE_TS + 750·10^6.
+        "kg_fact_sources": """
+            SELECT subj, pred, obj, url, n_mentions FROM read_parquet(
+                '/root/repo/tests/goldens/kg_provenance_gold_sf001.parquet')
+        """,
+        "kg_temporal_facts": """
+            WITH p AS (SELECT subj, pred, obj, n_mentions,
+                1735689600000000
+                + CAST(regexp_extract(url, 'art-(\\d+)$', 1) AS BIGINT)
+                  * 1000000 AS ts
+              FROM read_parquet(
+                '/root/repo/tests/goldens/kg_provenance_gold_sf001.parquet'))
+            SELECT subj, pred, obj,
+                   CAST(SUM(n_mentions) AS BIGINT) AS n_sources,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts
+            FROM p GROUP BY 1, 2, 3
+        """,
+        "kg_facts_asof": """
+            WITH p AS (SELECT subj, pred, obj, n_mentions,
+                1735689600000000
+                + CAST(regexp_extract(url, 'art-(\\d+)$', 1) AS BIGINT)
+                  * 1000000 AS ts
+              FROM read_parquet(
+                '/root/repo/tests/goldens/kg_provenance_gold_sf001.parquet')),
+            f AS (SELECT subj, pred, obj,
+                         CAST(SUM(n_mentions) AS BIGINT) AS n_sources,
+                         MIN(ts) AS first_ts, MAX(ts) AS last_ts
+                  FROM p GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, n_sources, first_ts, last_ts FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY subj, pred
+                    ORDER BY last_ts DESC, n_sources DESC, obj) AS rn
+                FROM f WHERE first_ts <= 1735690350000000
+            ) WHERE rn = 1
         """,
         "kg_founders_birthplaces": """
             WITH g AS (SELECT subj, pred, obj FROM read_parquet(

@@ -146,6 +146,7 @@ def bench_main() -> None:
         "kg_negative_samples", "kg_random_walks",
         "kg_verbalization", "kg_ego_networks", "kg_incremental_ingest",
         "kg_founders_birthplaces", "kg_acquisition_chains",
+        "kg_fact_sources", "kg_temporal_facts", "kg_facts_asof",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -144,6 +144,7 @@ def kg_pipeline(pages_ds, entities_table: pa.Table, *, concurrency=None):
         "mentions": mentions,
         "triples_raw": triples_raw,
         "linked": linked,
+        "canonical": canonical,
         "triples": triples,
         "canonical_map": mapping,
     }
