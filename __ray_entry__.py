@@ -379,6 +379,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.rename_columns(["subj", "pred", "obj", "n_sources"]),
             batch_format="pyarrow")
 
+    def kg_host_stats(sf_dir: str):
+        """Per-source-host extraction monitor: document count + total
+        extracted text length per host (same RE2 host regex in engine
+        and SQL). Oracle: regex + groupby SQL over the reference-parity
+        articles golden."""
+        from kgrecrun.extract.stage import extract_articles
+        from kgrecrun.kg.analytics import host_stats
+
+        arts = extract_articles(_synth_pages(sf_dir), emit_html=False)
+        return host_stats(arts.map_batches(
+            lambda b: b.select(["url", "text_length"]),
+            batch_format="pyarrow"))
+
+    def kg_pred_signatures(sf_dir: str):
+        """Schema induction: per (pred, subj_type, obj_type) distinct
+        facts + total support, type = entity id's leading letter.
+        Oracle: substr SQL over the planted golden."""
+        from kgrecrun.kg.analytics import pred_signatures
+
+        return pred_signatures(_kg(sf_dir)["triples"])
+
+    def kg_growth(sf_dir: str):
+        """KG growth curve: new distinct triples first seen per
+        250-doc crawl window (does the crawl still discover facts?).
+        Oracle: min-ts + window SQL over the provenance golden."""
+        from kgrecrun.corpus.synthgen import BASE_TS
+        from kgrecrun.kg.analytics import growth_curve
+
+        return growth_curve(_kg(sf_dir)["canonical"], base_ts=BASE_TS)
+
+    def kg_fact_conflicts(sf_dir: str):
+        """Conflict audit: every (subj, pred) asserting >= 2 distinct
+        objects, with distinct-object count, total support, and top-2
+        supports (the resolution winner's margin) — exact integers via
+        one bucketed lexsort + segment sweep. Oracle: window SQL over
+        the planted golden."""
+        from kgrecrun.kg.analytics import fact_conflicts
+
+        return fact_conflicts(_kg(sf_dir)["triples"])
+
     def kg_fact_sources(sf_dir: str):
         """Provenance ledger: per (triple, source-url) mention counts
         over the per-occurrence canonical rows (the url dimension the
@@ -3842,6 +3882,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_sources": kg_fact_sources,
         "kg_temporal_facts": kg_temporal_facts,
         "kg_facts_asof": kg_facts_asof,
+        "kg_host_stats": kg_host_stats,
+        "kg_pred_signatures": kg_pred_signatures,
+        "kg_growth": kg_growth,
+        "kg_fact_conflicts": kg_fact_conflicts,
         "kg_materialize": kg_materialize,
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,
@@ -4603,6 +4647,52 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, 1, node FROM s1
             UNION ALL SELECT walk_id, 2, node FROM s2
             UNION ALL SELECT walk_id, 3, node FROM s3
+        """,
+        "kg_host_stats": """
+            SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(text_length) AS BIGINT) AS total_text_length
+            FROM read_parquet(
+                '/root/repo/tests/goldens/kg_articles_sf001.parquet')
+            GROUP BY 1
+        """,
+        "kg_pred_signatures": """
+            SELECT pred, substr(subj, 1, 1) AS subj_type,
+                   substr(obj, 1, 1) AS obj_type,
+                   COUNT(*) AS n_facts,
+                   CAST(SUM(n_sources) AS BIGINT) AS n_sources
+            FROM read_parquet(
+                '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
+            GROUP BY 1, 2, 3
+        """,
+        "kg_growth": """
+            WITH p AS (SELECT subj, pred, obj,
+                1735689600000000
+                + CAST(regexp_extract(url, 'art-(\\d+)$', 1) AS BIGINT)
+                  * 1000000 AS ts
+              FROM read_parquet(
+                '/root/repo/tests/goldens/kg_provenance_gold_sf001.parquet')),
+            f AS (SELECT subj, pred, obj, MIN(ts) AS first_ts
+                  FROM p GROUP BY 1, 2, 3)
+            SELECT (first_ts - 1735689600000000) // 250000000 AS window_id,
+                   COUNT(*) AS n_new_facts
+            FROM f GROUP BY 1
+        """,
+        "kg_fact_conflicts": """
+            WITH r AS (SELECT subj, pred, obj, n_sources,
+                    ROW_NUMBER() OVER (PARTITION BY subj, pred
+                        ORDER BY n_sources DESC, obj) AS rn,
+                    COUNT(*) OVER (PARTITION BY subj, pred) AS n_objs,
+                    SUM(n_sources) OVER (PARTITION BY subj, pred) AS tot
+                FROM read_parquet(
+                    '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet'))
+            SELECT a.subj, a.pred, CAST(a.n_objs AS BIGINT) AS n_objs,
+                   CAST(a.tot AS BIGINT) AS total_sources,
+                   a.n_sources AS top_support,
+                   b.n_sources AS second_support
+            FROM r a JOIN r b
+              ON b.subj = a.subj AND b.pred = a.pred AND b.rn = 2
+            WHERE a.rn = 1 AND a.n_objs >= 2
         """,
         # temporal/provenance family: the GENERATOR-planted provenance
         # golden (per-(triple, url) mention counts written from the

@@ -147,6 +147,8 @@ def bench_main() -> None:
         "kg_verbalization", "kg_ego_networks", "kg_incremental_ingest",
         "kg_founders_birthplaces", "kg_acquisition_chains",
         "kg_fact_sources", "kg_temporal_facts", "kg_facts_asof",
+        "kg_host_stats", "kg_pred_signatures", "kg_growth",
+        "kg_fact_conflicts",
     ]
     times: dict[str, float] = {}
     total0 = time.time()
