@@ -148,7 +148,7 @@ def bench_main() -> None:
         "kg_founders_birthplaces", "kg_acquisition_chains",
         "kg_fact_sources", "kg_temporal_facts", "kg_facts_asof",
         "kg_host_stats", "kg_pred_signatures", "kg_growth",
-        "kg_fact_conflicts",
+        "kg_fact_conflicts", "kg_mention_counts", "kg_snapshot_delta",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -93,6 +93,44 @@ def _sum_min_max():
     return (Sum("n_local"), Min("min_local"), Max("max_local"))
 
 
+def snapshot_delta(canonical_ds, *, base_ts: int, cutoff_ts: int):
+    """KG snapshot diff at a crawl cutoff: per triple, support from
+    documents BEFORE the cutoff vs AT/AFTER it, with a status —
+    ``new`` (unseen before), ``static`` (no new support), ``growing``
+    (supported on both sides) — the what-changed view an incremental
+    ingest publishes alongside the merged table.
+
+    Map-side conditional partial sums per block (the ts comparison is
+    one vectorized mask), one narrow groupby-sum, status computed
+    after the reduce. Urls never cross the exchange."""
+    def local(b: pa.Table) -> pa.Table:
+        ts = _url_ts_us(b["url"].combine_chunks(), base_ts)
+        before = pc.cast(pc.less(ts, cutoff_ts), pa.int64())
+        t = pa.table({"subj": b["subj"], "pred": b["pred"], "obj": b["obj"],
+                      "b": before, "a": pc.subtract(1, before)})
+        g = (t.group_by(["subj", "pred", "obj"])
+              .aggregate([("b", "sum"), ("a", "sum")]))
+        return g.rename_columns(["subj", "pred", "obj",
+                                 "b_local", "a_local"])
+
+    agg = (canonical_ds.map_batches(local, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+           .groupby(["subj", "pred", "obj"]).sum(["b_local", "a_local"]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nb = pc.cast(b["sum(b_local)"], pa.int64())
+        na = pc.cast(b["sum(a_local)"], pa.int64())
+        status = pc.if_else(
+            pc.equal(nb, 0), pa.scalar("new"),
+            pc.if_else(pc.equal(na, 0), pa.scalar("static"),
+                       pa.scalar("growing")))
+        return pa.table({"subj": b["subj"], "pred": b["pred"],
+                         "obj": b["obj"], "n_before": nb, "n_after": na,
+                         "status": status})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def facts_asof(canonical_ds, *, base_ts: int, cutoff_ts: int):
     """Snapshot fact resolution: per (subj, pred), among facts FIRST
     SEEN by ``cutoff_ts``, the one with the latest last_ts (support

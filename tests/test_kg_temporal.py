@@ -10,7 +10,8 @@ import pytest
 
 import ray.data
 
-from kgrecrun.kg.temporal import fact_sources, facts_asof, temporal_facts
+from kgrecrun.kg.temporal import (fact_sources, facts_asof, snapshot_delta,
+                                  temporal_facts)
 
 BASE = 1_000_000_000  # synthetic base_ts (µs)
 
@@ -91,3 +92,29 @@ def test_facts_asof_cutoff_and_tiebreaks():
            for r in facts_asof(ray.data.from_arrow(tbl), base_ts=BASE,
                                cutoff_ts=cutoff).take_all()}
     assert got == {"S1": "X", "S2": "Y"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_delta_statuses():
+    tbl = _canonical()
+    cutoff = BASE + 4 * 1_000_000
+    _assert_match(
+        snapshot_delta(ray.data.from_arrow(tbl), base_ts=BASE,
+                       cutoff_ts=cutoff),
+        f"""WITH f AS (SELECT subj, pred, obj,
+                CAST(SUM(CASE WHEN {_TS} < {cutoff} THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_before,
+                CAST(SUM(CASE WHEN {_TS} >= {cutoff} THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_after
+             FROM c GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, n_before, n_after,
+                   CASE WHEN n_before = 0 THEN 'new'
+                        WHEN n_after = 0 THEN 'static'
+                        ELSE 'growing' END AS status FROM f""", tbl)
+    got = {(r["subj"], r["obj"]): r["status"]
+           for r in snapshot_delta(ray.data.from_arrow(tbl), base_ts=BASE,
+                                   cutoff_ts=cutoff).take_all()}
+    # S1/X: docs 1,5 -> growing; S2/Y: docs 2,9 -> growing;
+    # S2/Z: doc 3 only -> static
+    assert got == {("S1", "X"): "growing", ("S2", "Y"): "growing",
+                   ("S2", "Z"): "static"}
