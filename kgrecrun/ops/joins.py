@@ -24,13 +24,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _cogroup_exists(left_ds, right_ds, key: str, *, keep_if_exists: bool):
+def _cogroup_exists(left_ds, right_ds, key: str, *, keep_if_exists: bool,
+                    left_schema=None, right_schema=None):
     """EXISTS/NOT-EXISTS via ONE bucketed cogroup shuffle: keys hash
     into ~256 buckets and a vectorized acero left-semi/left-anti join
     runs inside each bucket — group dispatch stays at n_buckets
     regardless of key cardinality (a per-key ``groupby(key).map_groups``
     would cost one Python call per distinct customer/url). The right
-    side ships only per-batch-distinct keys (the semi-join combiner)."""
+    side ships only per-batch-distinct keys (the semi-join combiner).
+    Pass schemas when a side may arrive all-empty (map_batches over an
+    empty Dataset loses the schema)."""
     from .cogroup import bucket_join
 
     return bucket_join(
@@ -39,6 +42,8 @@ def _cogroup_exists(left_ds, right_ds, key: str, *, keep_if_exists: bool):
         key=key,
         join_type="left semi" if keep_if_exists else "left anti",
         right_distinct=True,
+        left_schema=left_schema,
+        right_schema=right_schema,
     )
 
 
@@ -201,17 +206,26 @@ def _bloom_mask(batch: pa.Table, key: str, bloom: np.ndarray, k: int) -> np.ndar
 
 
 def bloom_semi_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
-                    k: int = 4):
+                    k: int = 4, prefilter_right: bool = False):
     """EXACT semi-join with a map-side bloom prefilter — the
     large-large EXISTS pattern: when the right side's distinct keys are
     too many to broadcast exactly (``broadcast_threshold`` path) but
     left rows mostly DON'T match, a 1 MiB bloom summary of the right
     keys broadcasts once and eliminates most left rows before any
-    exchange; only bloom-positives (true matches + ~2.5% FPs) enter the
+    exchange; only bloom-positives (true matches + FPs) enter the
     exact cogroup semi-join that removes the false positives. Output is
     bit-identical to ``semi_join`` — the bloom affects only how many
     rows reach the verify exchange, e.g. a 1% match rate cuts the
-    left-side shuffle ~97%."""
+    left-side shuffle ~97%.
+
+    SIZE ``m_bits`` TO THE RIGHT KEY COUNT (~10 bits/key; see
+    bloom_anti_join — the 1 MiB default saturates near 10M keys and
+    stops filtering). ``prefilter_right=True`` mirrors the anti-join's
+    two-sided trick: a second bloom over the (materialized) surviving
+    left slice filters the right side map-side before the verify, so
+    neither side ships at corpus order; a right row wrongly kept is
+    removed by the exact cogroup, and one wrongly dropped could only
+    have matched a left row the first bloom already rejected."""
     import ray
 
     bloom_ref = ray.put(build_bloom(right_ds, key, m_bits=m_bits, k=k))
@@ -223,7 +237,26 @@ def bloom_semi_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
 
     survivors = left_ds.map_batches(filt, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    return _cogroup_exists(survivors, right_ds, key, keep_if_exists=True)
+    verify_right = right_ds
+    ls = rs = None
+    if prefilter_right:
+        ls = pa.schema(list(zip(left_ds.schema().names,
+                                left_ds.schema().types)))
+        r_sch = right_ds.schema()
+        rs = pa.schema([(key, dict(zip(r_sch.names, r_sch.types))[key])])
+        survivors = survivors.materialize()
+        pos_bloom = ray.put(build_bloom(survivors, key, m_bits=m_bits, k=k))
+
+        def rfilt(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return batch
+            return batch.filter(
+                pa.array(_bloom_mask(batch, key, ray.get(pos_bloom), k)))
+
+        verify_right = right_ds.map_batches(rfilt, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+    return _cogroup_exists(survivors, verify_right, key, keep_if_exists=True,
+                           left_schema=ls, right_schema=rs)
 
 
 def bloom_anti_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
@@ -268,7 +301,14 @@ def bloom_anti_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
     certain = split(False)
     positives = split(True)
     verify_right = right_ds
+    ls = rs = None
     if prefilter_right:
+        # schemas captured BEFORE filtering: an all-filtered side loses
+        # its schema and the verify cogroup could no longer infer it
+        ls = pa.schema(list(zip(left_ds.schema().names,
+                                left_ds.schema().types)))
+        r_sch = right_ds.schema()
+        rs = pa.schema([(key, dict(zip(r_sch.names, r_sch.types))[key])])
         positives = positives.materialize()
         pos_bloom = ray.put(build_bloom(positives, key, m_bits=m_bits, k=k))
 
@@ -281,7 +321,8 @@ def bloom_anti_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
         verify_right = right_ds.map_batches(rfilt, batch_format="pyarrow",
                                             zero_copy_batch=True)
     checked = _cogroup_exists(positives, verify_right, key,
-                              keep_if_exists=False)
+                              keep_if_exists=False, left_schema=ls,
+                              right_schema=rs)
     return certain.union(checked)
 
 

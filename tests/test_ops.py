@@ -651,6 +651,12 @@ def test_bloom_join_exact_and_prefilter():
         anti_b = rows(bloom_anti_join(lds, rds, "k", m_bits=m_bits))
         assert semi_b == rows(semi_join(lds, rds, "k"))
         assert anti_b == rows(anti_join(lds, rds, "k"))
+        # two-sided variant (right prefiltered by a bloom of the
+        # positive slice) must be bit-identical
+        assert rows(bloom_semi_join(lds, rds, "k", m_bits=m_bits,
+                                    prefilter_right=True)) == semi_b
+        assert rows(bloom_anti_join(lds, rds, "k", m_bits=m_bits,
+                                    prefilter_right=True)) == anti_b
         assert sorted(semi_b + anti_b) == sorted(
             map(tuple, left.to_pandas().itertuples(index=False)))
 
@@ -691,6 +697,11 @@ def test_new_join_ops_empty_sides():
     rds = ray.data.from_arrow(empty)
     assert bloom_semi_join(lds, rds, "k").count() == 0
     assert sorted(r["k"] for r in bloom_anti_join(lds, rds, "k").take_all()) == [1, 2, 3]
+    # two-sided variant with an empty positive slice (disjoint sets):
+    # anti returns the whole left, semi nothing
+    assert bloom_semi_join(lds, rds, "k", prefilter_right=True).count() == 0
+    assert sorted(r["k"] for r in bloom_anti_join(
+        lds, rds, "k", prefilter_right=True).take_all()) == [1, 2, 3]
     assert skew_join(lds, rds, key="k",
                      left_schema=left.schema, right_schema=empty.schema).count() == 0
 
