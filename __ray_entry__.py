@@ -215,6 +215,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def kg_crawl_depths(sf_dir: str):
+        """The iterated pagination crawl's fan-out/stitch structure as
+        a hard signal: (url, n_pages) from kg_crawl_rounds. Oracle: the
+        GENERATOR-planted chain-depth golden (tools/make_kg_crawl_gold
+        — pager presence + chain_depth, planted truth only; premise
+        measured at sf0.01: 1500/1500 urls, zero mismatches)."""
+        from kgrecrun.corpus.synthgen import continuation_pages_dataset
+        from kgrecrun.extract.crawl import crawl_rounds
+
+        n = _n_docs(sf_dir)
+        stitched = crawl_rounds(
+            _synth_pages(sf_dir),
+            continuation_pages_dataset(n, seed=42, max_extra_pages=3),
+            max_rounds=4,
+        )
+        return stitched.map_batches(
+            lambda b: b.select(["url", "n_pages"]), batch_format="pyarrow")
+
     def kg_entity_degrees(sf_dir: str):
         """Graph-shape analytics over the materialized KG: in/out degree
         per canonical entity over DISTINCT triples — map-side partial
@@ -3920,6 +3938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_sources": kg_fact_sources,
         "kg_temporal_facts": kg_temporal_facts,
         "kg_facts_asof": kg_facts_asof,
+        "kg_crawl_depths": kg_crawl_depths,
         "kg_snapshot_delta": kg_snapshot_delta,
         "kg_mention_counts": kg_mention_counts,
         "kg_host_stats": kg_host_stats,
@@ -4687,6 +4706,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, 1, node FROM s1
             UNION ALL SELECT walk_id, 2, node FROM s2
             UNION ALL SELECT walk_id, 3, node FROM s3
+        """,
+        "kg_crawl_depths": """
+            SELECT url, n_pages FROM read_parquet(
+                '/root/repo/tests/goldens/kg_crawl_gold_sf001.parquet')
         """,
         "kg_snapshot_delta": """
             WITH p AS (SELECT subj, pred, obj, n_mentions,
