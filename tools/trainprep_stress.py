@@ -22,8 +22,10 @@ md5 per (row, field), the memory-lesson-safe construction): subj/obj
 drawn from an n_entities catalog; a fraction ``hub_frac`` of objects
 redirect to one of ``n_hubs`` hub entities.
 
-Usage: python tools/trainprep_stress.py [n_triples] [n_entities] [num_cpus]
-Defaults: 10,000,000 triples, 100,000 entities, 32 cpus. Prints one JSON.
+Usage: python tools/trainprep_stress.py [n_triples] [n_entities] [num_cpus] [ops]
+Defaults: 10,000,000 triples, 100,000 entities, 32 cpus, all four ops;
+``ops`` is a comma list from {two_hop,fact_resolution,neg,walks} for
+capstone cells that exercise a subset. Prints one JSON.
 """
 
 from __future__ import annotations
@@ -104,6 +106,8 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_entities = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    ops = set((sys.argv[4] if len(sys.argv) > 4
+               else "two_hop,fact_resolution,neg,walks").split(","))
 
     import ray
 
@@ -119,37 +123,41 @@ def main() -> None:
     triples = synth_triples(n, n_entities).materialize()
     res["gen_s"] = round(time.time() - t0, 2)
 
-    t0 = time.time()
-    th = tp.metapath_two_hop(triples).take_all()
-    res["two_hop_s"] = round(time.time() - t0, 2)
-    res["two_hop_rows"] = len(th)
-    res["two_hop_n_paths"] = int(sum(r["n_paths"] for r in th))
-    res["two_hop_checksum"] = _xor_checksum_rows(th)
+    if "two_hop" in ops:
+        t0 = time.time()
+        th = tp.metapath_two_hop(triples).take_all()
+        res["two_hop_s"] = round(time.time() - t0, 2)
+        res["two_hop_rows"] = len(th)
+        res["two_hop_n_paths"] = int(sum(r["n_paths"] for r in th))
+        res["two_hop_checksum"] = _xor_checksum_rows(th)
 
-    t0 = time.time()
-    fr = tp.fact_resolution(triples)
-    c, nr = _xor_checksum(fr, ["subj", "pred", "obj", "n_sources"])
-    res["fact_resolution_s"] = round(time.time() - t0, 2)
-    res["fact_resolution_rows"] = nr
-    res["fact_resolution_checksum"] = c
+    if "fact_resolution" in ops:
+        t0 = time.time()
+        fr = tp.fact_resolution(triples)
+        c, nr = _xor_checksum(fr, ["subj", "pred", "obj", "n_sources"])
+        res["fact_resolution_s"] = round(time.time() - t0, 2)
+        res["fact_resolution_rows"] = nr
+        res["fact_resolution_checksum"] = c
 
-    t0 = time.time()
-    ns = tp.negative_samples(triples)
-    c, nr = _xor_checksum(ns, ["subj", "pred", "obj", "neg_idx", "neg_obj"])
-    res["neg_samples_s"] = round(time.time() - t0, 2)
-    res["neg_samples_rows"] = nr
-    res["neg_samples_checksum"] = c
+    if "neg" in ops:
+        t0 = time.time()
+        ns = tp.negative_samples(triples)
+        c, nr = _xor_checksum(ns, ["subj", "pred", "obj", "neg_idx",
+                                   "neg_obj"])
+        res["neg_samples_s"] = round(time.time() - t0, 2)
+        res["neg_samples_rows"] = nr
+        res["neg_samples_checksum"] = c
 
-    t0 = time.time()
-    rw = tp.random_walks(triples)
-    c, nr = _xor_checksum(rw, ["walk_id", "step", "node"])
-    res["walks_s"] = round(time.time() - t0, 2)
-    res["walks_rows"] = nr
-    res["walks_checksum"] = c
+    if "walks" in ops:
+        t0 = time.time()
+        rw = tp.random_walks(triples)
+        c, nr = _xor_checksum(rw, ["walk_id", "step", "node"])
+        res["walks_s"] = round(time.time() - t0, 2)
+        res["walks_rows"] = nr
+        res["walks_checksum"] = c
 
-    res["total_s"] = round(res["gen_s"] + res["two_hop_s"]
-                           + res["fact_resolution_s"] + res["neg_samples_s"]
-                           + res["walks_s"], 2)
+    res["total_s"] = round(sum(v for k, v in res.items()
+                               if isinstance(v, float) and k.endswith("_s")), 2)
     print(json.dumps(res))
     ray.shutdown()
 
