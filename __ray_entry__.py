@@ -215,6 +215,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def kg_corpus_pack(sf_dir: str):
+        """End-to-end KG→LM-training-data composition: canonical
+        triples → template verbalization → whitespace token counts
+        (the shared ``_ws_token_counts`` kernel) → deterministic
+        token-budget packing into 128-token shards via the distributed
+        prefix sum (ops/pack.py). fact_id is the 62-bit md5 of
+        subj|pred|obj (the pagerank h62 convention) so the pack order
+        is content-addressed and reshard-stable; range_size is 2^51 —
+        ids are uniform over 2^62, so the pack's driver-side range
+        totals stay ≤ 2048 entries (the epoch-µs range-width lesson).
+        Oracle: CASE-template + regexp-split + SUM OVER window SQL."""
+        from kgrecrun.kg.trainprep import _md5_u64, verbalize
+        from kgrecrun.ops.pack import pack_by_token_budget
+        from kgrecrun.ops.text import _ws_token_counts
+
+        verb = verbalize(_kg(sf_dir)["triples"])
+        mod62 = np.uint64(1) << np.uint64(62)
+
+        def tok(b: pa.Table) -> pa.Table:
+            keys = [f"{s}|{p}|{o}" for s, p, o in
+                    zip(b["subj"].to_pylist(), b["pred"].to_pylist(),
+                        b["obj"].to_pylist())]
+            fid = (_md5_u64(keys) % mod62).astype(np.int64)
+            return pa.table({
+                "fact_id": pa.array(fid, pa.int64()),
+                "n_tokens": _ws_token_counts(b["sentence"]),
+            })
+
+        tokens = verb.map_batches(tok, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        return pack_by_token_budget(tokens, budget=128,
+                                    range_size=1 << 51,
+                                    id_col="fact_id",
+                                    tokens_col="n_tokens")
+
     def kg_crawl_depths(sf_dir: str):
         """The iterated pagination crawl's fan-out/stitch structure as
         a hard signal: (url, n_pages) from kg_crawl_rounds. Oracle: the
@@ -3938,6 +3973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fact_sources": kg_fact_sources,
         "kg_temporal_facts": kg_temporal_facts,
         "kg_facts_asof": kg_facts_asof,
+        "kg_corpus_pack": kg_corpus_pack,
         "kg_crawl_depths": kg_crawl_depths,
         "kg_snapshot_delta": kg_snapshot_delta,
         "kg_mention_counts": kg_mention_counts,
@@ -4706,6 +4742,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT walk_id, 1, node FROM s1
             UNION ALL SELECT walk_id, 2, node FROM s2
             UNION ALL SELECT walk_id, 3, node FROM s3
+        """,
+        "kg_corpus_pack": """
+            WITH v AS (SELECT subj, pred, obj,
+                   subj || CASE pred
+                       WHEN 'born_in' THEN ' was born in '
+                       WHEN 'works_for' THEN ' works for '
+                       WHEN 'acquired' THEN ' acquired '
+                       WHEN 'located_in' THEN ' is located in '
+                       WHEN 'founded' THEN ' founded '
+                       WHEN 'ceo_of' THEN ' is the CEO of '
+                       WHEN 'headquartered_in' THEN ' is headquartered in '
+                       WHEN 'partnered_with' THEN ' partnered with '
+                       ELSE ' ' || pred || ' ' END
+                   || obj || '.' AS sentence
+              FROM read_parquet(
+                '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')),
+            t AS (SELECT
+                CAST(md5_number_upper(subj || '|' || pred || '|' || obj)
+                     % (CAST(1 AS HUGEINT) << 62) AS BIGINT) AS fact_id,
+                CASE WHEN length(trim(sentence)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(sentence), '\\s+'))
+                END AS n_tokens
+              FROM v),
+            s AS (SELECT fact_id, n_tokens,
+                CAST(SUM(n_tokens) OVER (ORDER BY fact_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens AS BIGINT) AS prior
+              FROM t)
+            SELECT fact_id, n_tokens, prior // 128 AS shard_id FROM s
         """,
         "kg_crawl_depths": """
             SELECT url, n_pages FROM read_parquet(

@@ -149,7 +149,7 @@ def bench_main() -> None:
         "kg_fact_sources", "kg_temporal_facts", "kg_facts_asof",
         "kg_host_stats", "kg_pred_signatures", "kg_growth",
         "kg_fact_conflicts", "kg_mention_counts", "kg_snapshot_delta",
-        "kg_crawl_depths",
+        "kg_crawl_depths", "kg_corpus_pack",
     ]
     times: dict[str, float] = {}
     total0 = time.time()
