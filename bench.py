@@ -176,14 +176,43 @@ def bench_main() -> None:
 
     total = round(time.time() - total0, 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    # The driver tail-captures stdout, so the contract line must stay
+    # compact (BENCH_r03 was parsed:null because the 177-entry per-query
+    # dict overflowed the capture).  Per-query times go to stderr and to
+    # BENCH/bench_queries_last.json; stdout carries only the headline
+    # metrics.  kg_docs_per_sec is derived from the isolated sustained
+    # run, not per-query suite times, so it tracks the code rather than
+    # suite length/contention.
+    detail = {
+        "queries": times,
+        "n_queries": len(times),
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "kg_flagship_docs": kg_docs,
+    }
+    print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr)
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_queries_last.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    headline = [
+        "kg_articles", "kg_triples", "kg_crawl_depths", "exact_dedup",
+        "minhash_dedup", "ann_topk", "q1_pricing_summary", "graph_pagerank",
+        "token_packing" if "token_packing" in times else "doc_quality",
+        "bm25_topk",
+    ]
     print(json.dumps({
         "metric": "bench_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": {k: times[k] for k in headline if k in times},
         "sf": sf,
         "num_cpus": NUM_CPUS,
-        "kg_docs_per_sec": round(kg_docs / (times["kg_articles"] + times["kg_triples"]), 2),
+        "n_queries": len(times),
+        "kg_docs_per_sec": sustained_dps,
         "kg_sustained_docs": SUSTAINED_DOCS,
         "kg_sustained_sec": sustained_sec,
         "kg_sustained_docs_per_sec": sustained_dps,
