@@ -10,6 +10,18 @@ rather than returning wrong labels).
 
 from __future__ import annotations
 
+# The string path's hash MUST be the same implementation in every
+# process of a run: the two sides of a bucketed cogroup hash
+# independently, and a worker that silently fell back to a different
+# hash would bucket the same key differently and DROP join matches with
+# no error (ADVICE r3). So: no per-call fallback — polars is a hard
+# dependency of the string path, probed once at import and raised
+# loudly where absent, never papered over with a different hash.
+try:
+    import polars as _pl  # noqa: N813
+except ImportError:  # pragma: no cover - polars is baked into this env
+    _pl = None
+
 
 def hash_bucket(arr, n_buckets: int):
     """Deterministic hash bucket per value (vectorized splitmix64 finalizer
@@ -26,11 +38,10 @@ def hash_bucket(arr, n_buckets: int):
     The string path needs only WITHIN-RUN consistency (bucket ids are
     internal grouping keys — every consumer processes whole buckets, so
     outputs never depend on the assignment; same contract as the bloom
-    hashes in ops/joins). The previous per-row crc32 loop cost ~4 µs/row
-    — pure Python in what is otherwise the hot path of every
-    string-keyed cogroup — so strings now go through polars' xxhash
-    (one vectorized call per batch), with crc32 kept as the no-polars
-    fallback."""
+    hashes in ops/joins) — but within-run consistency must hold ACROSS
+    processes, so the implementation is fixed (polars' vectorized
+    xxhash; a missing polars raises rather than falling back to a
+    different hash some workers might not share)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -44,23 +55,18 @@ def hash_bucket(arr, n_buckets: int):
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         x = x ^ (x >> np.uint64(31))
         return pa.array((x & np.uint64(n_buckets - 1)).astype(np.int32), pa.int32())
-    try:
-        import polars as pl
-
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        h = pl.Series(arr.cast(pa.string())).hash(seed=0).to_numpy() \
-            .astype(np.uint64)
-        return pa.array((h & np.uint64(n_buckets - 1)).astype(np.int32),
-                        pa.int32())
-    except ImportError:
-        import zlib
-
-        return pa.array(
-            [zlib.crc32(str(v).encode()) & (n_buckets - 1)
-             for v in arr.to_pylist()],
-            pa.int32(),
-        )
+    if _pl is None:  # pragma: no cover - polars is baked into this env
+        raise RuntimeError(
+            "hash_bucket: polars is required for string keys — a silent "
+            "per-worker fallback to a different hash would bucket the "
+            "same key differently across processes and drop cogroup "
+            "matches; install polars on every node")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    h = _pl.Series(arr.cast(pa.string())).hash(seed=0).to_numpy() \
+        .astype(np.uint64)
+    return pa.array((h & np.uint64(n_buckets - 1)).astype(np.int32),
+                    pa.int32())
 
 
 class UnionFind:
@@ -93,6 +99,145 @@ class UnionFind:
     def components(self) -> dict:
         """member → smallest member of its component."""
         return {x: self.find(x) for x in list(self.parent)}
+
+
+def connected_components_broadcast(edges_ds, *, max_rounds: int = 50):
+    """Min-label connected components for INTEGER node ids whose node
+    vector fits driver/worker memory (the ``kcore``/``_pagerank_broadcast``
+    regime — catalog-order node domains over arbitrarily large edge
+    sets). Same output contract as
+    :func:`connected_components_distributed`: (node, label), label =
+    smallest member of the component; non-convergence RAISES.
+
+    Execution shape (the repo's documented escape hatch for
+    serially-dependent rounds, see kcore's docstring — ~10 s of Dataset
+    executor startup per round vs milliseconds of numpy work): the
+    materialized edge blocks are cached ONCE as Arrow object refs; each
+    round maps one plain ``ray.remote`` task per block that relaxes
+    edges against the broadcast label vector and returns only the
+    (node-index, smaller-label) candidates it found; the driver folds
+    candidates with ``np.minimum.at`` and then path-compresses the whole
+    label vector to the current roots (pure numpy, O(n) per doubling).
+    Full per-round compression makes convergence O(log n) hookings, and
+    edges never move after the initial cache. Driver state is two
+    int64 vectors of node-domain length — callers with corpus-order
+    node domains use the distributed path (the
+    :func:`connected_components` dispatcher enforces this).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    edges = edges_ds.materialize()
+    # groupby-produced inputs arrive as ~256 tiny blocks; per-round task
+    # count scales with block count, so compact to ~200k edges/block
+    n_edges = edges.count()
+    n_blocks = max(1, min(edges.num_blocks(), n_edges // 200_000 + 1))
+    if n_blocks < edges.num_blocks():
+        edges = edges.repartition(n_blocks).materialize()
+    block_refs = list(edges.to_arrow_refs())
+    sch = edges.schema()  # ray Schema wrapper: .names / .types
+    node_type = sch.types[sch.names.index("src")]
+
+    @ray.remote
+    def uniq(block: pa.Table):
+        s = block["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = block["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        return np.unique(np.concatenate([s, d])).astype(np.int64)
+
+    parts = [p for p in ray.get([uniq.remote(br) for br in block_refs])
+             if len(p)]
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], node_type), "label": pa.array([], node_type),
+        }))
+    nodes = np.unique(np.concatenate(parts))
+    labels = nodes.copy()
+    nodes_ref = ray.put(nodes)
+
+    @ray.remote
+    def relax(block: pa.Table, nv: np.ndarray, lv: np.ndarray):
+        s = block["src"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = block["dst"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        i_s = np.searchsorted(nv, s)
+        i_d = np.searchsorted(nv, d)
+        idx = np.concatenate([i_s, i_d])
+        val = np.concatenate([lv[i_d], lv[i_s]])
+        u, inv = np.unique(idx, return_inverse=True)
+        m = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m, inv, val)
+        keep = m < lv[u]
+        return u[keep], m[keep]
+
+    for _ in range(max_rounds):
+        lab_ref = ray.put(labels)
+        parts = ray.get([relax.remote(br, nodes_ref, lab_ref)
+                         for br in block_refs])
+        if not any(len(u) for u, _ in parts):
+            break
+        for u, m in parts:
+            if len(u):
+                np.minimum.at(labels, u, m)
+        # full path compression: label <- label[label] to fixpoint.
+        # Invariant: a label is always a member of its node's component
+        # that is <= the node and labels only decrease, so the fixpoint
+        # (component min) is identical to the distributed path's.
+        while True:
+            nl = labels[np.searchsorted(nodes, labels)]
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+    else:
+        raise RuntimeError(
+            f"connected_components_broadcast did not converge within "
+            f"{max_rounds} rounds — cluster labels would be WRONG; "
+            f"raise max_rounds (hooking with full compression needs "
+            f"~log2(n) rounds)")
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()).cast(node_type),
+        "label": pa.array(labels, pa.int64()).cast(node_type),
+    }))
+
+
+def connected_components(edges_ds, *, max_iters: int = 50,
+                         broadcast_max_nodes: int = 50_000_000):
+    """Dispatch: integer node ids take the broadcast raw-task path
+    (zero per-round exchange, O(log n) rounds; the kcore pattern) when
+    the node domain fits ``broadcast_max_nodes``; strings or oversized
+    node sets take the fully distributed min-label-propagation path.
+    Both produce identical labels (root = smallest member)."""
+    import pyarrow as pa
+
+    sch = edges_ds.schema()  # ray Schema wrapper: .names / .types
+    if pa.types.is_integer(sch.types[sch.names.index("src")]):
+        import ray
+
+        edges = edges_ds.materialize()
+        # conservative pre-check without computing the exact node count:
+        # nodes <= 2 * edges, so small edge sets always qualify
+        if 2 * edges.count() <= broadcast_max_nodes:
+            return connected_components_broadcast(edges, max_rounds=max_iters)
+        # conservative upper bound on the node-domain size from per-block
+        # unique COUNTS only (never ships the arrays to the driver, so
+        # the gate itself is safe at any scale; block overlap can only
+        # overcount, i.e. only ever demote to the distributed path)
+        import numpy as np
+
+        @ray.remote
+        def nuniq(block: pa.Table) -> int:
+            s = block["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = block["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            return len(np.unique(np.concatenate([s, d])))
+
+        upper = sum(ray.get([nuniq.remote(br)
+                             for br in edges.to_arrow_refs()]))
+        if upper <= broadcast_max_nodes:
+            return connected_components_broadcast(edges, max_rounds=max_iters)
+        return connected_components_distributed(edges, max_iters=max_iters)
+    return connected_components_distributed(edges_ds, max_iters=max_iters)
 
 
 def connected_components_distributed(edges_ds, *, max_iters: int = 50):

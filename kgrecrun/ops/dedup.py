@@ -130,9 +130,9 @@ def _cluster_and_apply(docs_ds, edges_ds, id_col: str = "doc_id", *,
     edges = edges_ds.materialize()  # verified pairs ≪ corpus; reused twice
     if edges.count() <= edge_threshold:
         return _apply_mapping(docs_ds, _edges_to_mapping(edges), id_col)
-    from ..kg.unionfind import connected_components_distributed
+    from ..kg.unionfind import connected_components
 
-    labels = connected_components_distributed(edges)
+    labels = connected_components(edges)
     return _apply_labels(docs_ds, labels, id_col)
 
 

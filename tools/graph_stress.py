@@ -172,6 +172,35 @@ def main() -> None:
         ray.shutdown()
         return
 
+    if "--cc" in sys.argv:
+        from kgrecrun.kg.unionfind import (
+            connected_components_broadcast,
+            connected_components_distributed,
+        )
+
+        edges = synth_distinct_edges(n_rows, n_nodes).materialize()
+        m = edges.count()
+        rec = {"mode": "cc", "n_edges": m, "n_nodes": n_nodes,
+               "num_cpus": num_cpus}
+        t0 = time.time()
+        bc = connected_components_broadcast(edges).materialize()
+        rec["broadcast_sec"] = round(time.time() - t0, 2)
+        cs_bc = _checksum(bc, "node", "label")
+        rec["checksum_broadcast"] = cs_bc
+        rec["n_labeled"] = cs_bc[0]
+        if not skip_exchange:
+            t0 = time.time()
+            ex = connected_components_distributed(edges).materialize()
+            rec["exchange_sec"] = round(time.time() - t0, 2)
+            cs_ex = _checksum(ex, "node", "label")
+            rec["checksum_exchange"] = cs_ex
+            rec["paths_identical"] = cs_ex == cs_bc
+            assert rec["paths_identical"], "broadcast != distributed cc"
+        rec["broadcast_edges_per_sec"] = round(m / rec["broadcast_sec"], 0)
+        print(json.dumps(rec))
+        ray.shutdown()
+        return
+
     if "--kcore" in sys.argv:
         from kgrecrun.ops.graph import kcore
 
