@@ -163,7 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: pa.table(
                 {
                     "url": b["url"],
-                    "n_clean_chars": pc.cast(pc.utf8_length(b["clean_html"]), pa.int64()),
+                    "clean_html": pc.cast(b["clean_html"], pa.string()),
                 }
             ),
             batch_format="pyarrow",
@@ -4632,6 +4632,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_text_nodes": """
             SELECT url, node_idx, node_text
             FROM read_parquet('/root/repo/tests/goldens/kg_text_nodes_sf001.parquet')
+        """,
+        # Sanitizer golden: reference output END-TO-END (page events ->
+        # unmodified readabilitySAX kernel -> article html -> unmodified
+        # iframe.js:91-254 sanitizer + figure-wrap block under Node,
+        # serialized with the engine's documented encoding; see
+        # tools/make_kg_clean_gold.py). Byte parity per url at sf0.01.
+        "kg_clean_html": """
+            SELECT url, clean_html
+            FROM read_parquet('/root/repo/tests/goldens/kg_clean_html_sf001.parquet')
         """,
         # Full-pipeline golden: the generator's PLANTED canonical triples
         # (written before the engine runs — independent intent, like the

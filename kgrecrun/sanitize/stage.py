@@ -199,6 +199,12 @@ def sanitize_html(html: str, base_uri: str = "", *, media: bool = True,
         # for the first probe and caps the walk at exactly 10 ancestors
         if not _within_ancestors(img, frozenset(["figure", "a"]), 10):
             parent = img.parent
+            if parent is None or parent.tag is None:
+                # reference quirk: wrapNode reads inner.parentElement,
+                # which is null for direct children of the
+                # DocumentFragment (a fragment is not an Element), so
+                # fragment-level imgs are left unwrapped (iframe.js:231)
+                continue
             fig = _Node("figure", [], parent)
             idx = parent.children.index(img)
             parent.children[idx] = fig

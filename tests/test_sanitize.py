@@ -249,3 +249,35 @@ def test_crawl_rounds_follows_deep_chains():
     # articles without a pager stay single-page
     single = one_round[one_round.n_pages == 1].index
     assert (got.loc[single, "n_pages"] == 1).all()
+
+
+def test_sanitize_reference_golden_parity(pytestconfig):
+    """Byte parity vs the UNMODIFIED reference sanitizer
+    (iframe.js:91-254 + figure-wrap block run under Node by
+    tools/sanitize_golden_gen.mjs over reference-produced article html;
+    golden written by tools/make_kg_clean_gold.py). Sample of the
+    sf0.01 corpus; the full 1500 docs are the kg_clean_html driver
+    oracle."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from kgrecrun.corpus import synthgen, world
+    from kgrecrun.extract.events import html_to_events
+    from kgrecrun.extract.kernel import Kernel
+
+    gold_path = (
+        pathlib.Path(__file__).parent / "goldens" / "kg_clean_html_sf001.parquet"
+    )
+    gold = {
+        u: h
+        for u, h in zip(*(pq.read_table(gold_path).column(c).to_pylist()
+                          for c in ("url", "clean_html")))
+    }
+    w = world.build_world(42)
+    kernel = Kernel()
+    for doc_id in range(120):
+        row, _ = synthgen.gen_page_row(42, doc_id, w)
+        article = kernel.get_article(html_to_events(row["html"]))
+        got = sanitize_html(article["html"], row["url"])
+        assert got == gold[row["url"]], f"{row['url']}: sanitizer bytes differ"
