@@ -151,7 +151,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def kg_mentions(sf_dir: str):
-        return _kg(sf_dir)["mentions"]
+        # driver surface: the per-occurrence mention multiset. `begin`
+        # offsets are projected away because they are not
+        # generator-known (they live in the post-extraction text
+        # layout) — offset correctness is covered by the hash-exact
+        # triple goldens downstream, which consume offsets for pairing.
+        return _kg(sf_dir)["mentions"].map_batches(
+            lambda b: b.select(["url", "surface", "norm", "etype"]),
+            batch_format="pyarrow",
+        )
 
     def kg_clean_html(sf_dir: str):
         from kgrecrun.extract.stage import extract_articles
@@ -4641,6 +4649,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_clean_html": """
             SELECT url, clean_html
             FROM read_parquet('/root/repo/tests/goldens/kg_clean_html_sf001.parquet')
+        """,
+        # Mentions golden: the GENERATOR's planted per-occurrence
+        # mention multiset (tools/make_kg_mentions_gold.py; measured
+        # premise: engine multiset == planted multiset exactly at
+        # sf0.01). One row per planted subject/object occurrence.
+        "kg_mentions": """
+            SELECT url, surface, norm, etype
+            FROM read_parquet('/root/repo/tests/goldens/kg_mentions_rows_gold_sf001.parquet')
         """,
         # Full-pipeline golden: the generator's PLANTED canonical triples
         # (written before the engine runs — independent intent, like the

@@ -13,6 +13,17 @@ methodology as make_kg_triples_gold.py / make_kg_provenance_gold.py
 
 Writes tests/goldens/kg_mentions_gold_sf001.parquet
   (url:string, surface:string, n_mentions:int64)
+and tests/goldens/kg_mentions_rows_gold_sf001.parquet — the
+per-OCCURRENCE mention multiset (url, surface, norm, etype), one row
+per planted subject/object occurrence (17,972 at sf0.01; the measured
+premise above says the engine's mention multiset equals it exactly).
+norm is the lowercased surface; etype comes from the world's alias
+dictionary (single candidate type, else 'mixed' — the linking spec's
+ambiguity rule). Character offsets (`begin`) are NOT generator-known
+(they live in the post-extraction text layout), so the driver surface
+for kg_mentions projects them away; offset correctness is covered
+downstream by the hash-exact triple goldens, which consume offsets to
+pair mentions.
 
 Valid at sf0.01 only. Usage: python tools/make_kg_mentions_gold.py [n_docs]
 """
@@ -52,6 +63,28 @@ def main() -> None:
     pq.write_table(out, str(dest))
     print(f"wrote {dest}: {out.num_rows} (url, surface) mention rows "
           f"from {n_docs} docs")
+
+    # per-occurrence multiset (url, surface, norm, etype)
+    alias = world.alias_dictionary()
+    etype = {e.entity_id: e.etype for e in world.entities}
+
+    def _etype(surface: str) -> str:
+        types = {etype[c] for c in alias[surface.lower()]}
+        return types.pop() if len(types) == 1 else "mixed"
+
+    occ_url, occ_surface = [], []
+    for r in truth.to_pylist():
+        occ_url += [r["url"], r["url"]]
+        occ_surface += [r["subj_surface"], r["obj_surface"]]
+    rows_out = pa.table({
+        "url": pa.array(occ_url, pa.string()),
+        "surface": pa.array(occ_surface, pa.string()),
+        "norm": pa.array([s.lower() for s in occ_surface], pa.string()),
+        "etype": pa.array([_etype(s) for s in occ_surface], pa.string()),
+    })
+    dest_rows = ROOT / "tests" / "goldens" / "kg_mentions_rows_gold_sf001.parquet"
+    pq.write_table(rows_out, str(dest_rows))
+    print(f"wrote {dest_rows}: {rows_out.num_rows} occurrence rows")
 
 
 if __name__ == "__main__":
