@@ -2802,7 +2802,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "media_id": b["media_id"],
                     "out_width": b["out_width"],
                     "out_height": b["out_height"],
-                    "n_bytes": pc.cast(pc.binary_length(b["payload"]), pa.int64()),
+                    # coalesce error-row nulls to 0 so the column stays
+                    # int64 through the driver's pandas compare
+                    "n_bytes": pc.fill_null(
+                        pc.cast(pc.binary_length(b["payload"]), pa.int64()), 0),
                     "ok": pc.is_null(b["error"]),
                 }
             ),
@@ -4657,6 +4660,27 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": """
             SELECT url, surface, norm, etype
             FROM read_parquet('/root/repo/tests/goldens/kg_mentions_rows_gold_sf001.parquet')
+        """,
+        # Media goldens: planted generator truth (container kind by id,
+        # payload md5, format-constant output sizes, generator signal
+        # lengths, planted duplicate-group labels) — written by
+        # tools/make_media_gold.py, which measures the premise and
+        # refuses to write on any engine mismatch. Valid at sf0.01.
+        "media_features": """
+            SELECT media_id, kind, checksum, n_features
+            FROM read_parquet('/root/repo/tests/goldens/media_features_gold_sf001.parquet')
+        """,
+        "media_resize": """
+            SELECT media_id, out_width, out_height, n_bytes, ok
+            FROM read_parquet('/root/repo/tests/goldens/media_resize_gold_sf001.parquet')
+        """,
+        "media_frames": """
+            SELECT media_id, sample_rate, n_frames, ok
+            FROM read_parquet('/root/repo/tests/goldens/media_frames_gold_sf001.parquet')
+        """,
+        "media_phash_dedup": """
+            SELECT media_id, root_id
+            FROM read_parquet('/root/repo/tests/goldens/media_phash_gold_sf001.parquet')
         """,
         # Full-pipeline golden: the generator's PLANTED canonical triples
         # (written before the engine runs — independent intent, like the
