@@ -163,3 +163,47 @@ def test_distributed_cc_matches_unionfind():
     got_df = connected_components_distributed(ds).to_pandas()
     got = dict(zip(got_df["node"], got_df["label"]))
     assert got == want, (got, want)
+
+
+def test_ac_matcher_crossover_vs_regex():
+    """The Aho-Corasick path must be BIT-IDENTICAL to the regex
+    alternation on the sf0.01 corpus texts (and on adversarial edge
+    cases: overlapping surfaces, shared prefixes, boundary rejections,
+    case folds, resume-at-match-end)."""
+    from kgrecrun.corpus import synthgen, world
+    from kgrecrun.extract.events import html_to_events
+    from kgrecrun.extract.kernel import Kernel
+    from kgrecrun.kg.ner import ACMatcher, build_matcher
+
+    # adversarial gazetteer: prefixes of each other, multi-word,
+    # digit boundaries, case variants
+    surfaces = ["Ann", "Ann Arbor", "Ann Arbor MI", "arbor", "BOR",
+                "x9", "x99", "Meridian", "Meridian Systems", "n A"]
+    rx = build_matcher(surfaces)
+    ac = ACMatcher(surfaces)
+    cases = [
+        "Ann Arbor MI is in Ann Arbor; an arbor, annarbor, ANN ARBOR.",
+        "x9 x99 x999 ax9 meridian systems at Meridian. n a? n A!",
+        "",
+        "arborarbor arbor ARBOR9 (arbor)",
+        "Ann Arbor M",  # longest fails only at the very end
+    ]
+    for text in cases:
+        want = [m.span() for m in rx.finditer(text)]
+        got = ac.finditer(text)
+        assert got == want, f"{text!r}: {got} != {want}"
+
+    # corpus crossover: 150 extracted article texts, full gazetteer
+    w = world.build_world(42)
+    gaz = list(w.alias_dictionary().keys())
+    rx = build_matcher(gaz)
+    ac = ACMatcher(gaz)
+    kernel = Kernel()
+    n_matches = 0
+    for doc_id in range(150):
+        row, _ = synthgen.gen_page_row(42, doc_id, w)
+        text = kernel.get_article(html_to_events(row["html"]))["text"]
+        want = [m.span() for m in rx.finditer(text)]
+        assert ac.finditer(text) == want, f"doc {doc_id} diverged"
+        n_matches += len(want)
+    assert n_matches > 500  # the corpus actually exercises the matcher
