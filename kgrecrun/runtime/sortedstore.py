@@ -220,18 +220,22 @@ FPRINTS = "_fingerprints.json"
 
 
 def _mix_rows(tbl: pa.Table, key: str, columns: list[str]) -> int:
-    """Order-free 64-bit content hash of (key, *columns) rows — md5 per
-    row tuple XOR-folded, so two stores' ranges hash equal iff the row
-    multisets are equal regardless of file layout."""
-    import hashlib
+    """Order-free 64-bit content hash of (key, *columns) rows —
+    vectorized per-row xxhash (polars ``hash_rows``, the same kernel as
+    kg/unionfind.hash_bucket's string path) XOR-folded, so two stores'
+    ranges hash equal iff the row multisets are equal regardless of
+    file layout. polars' row hash is not stable across library
+    versions, so ``_FP_VERSION`` (embedded in every fingerprint
+    sidecar's grid id) carries the polars version: a cache written
+    under a different implementation is recomputed, never compared."""
+    import numpy as np
+    import polars as pl
 
-    cols = [tbl[key]] + [tbl[c] for c in columns]
-    lists = [c.to_pylist() for c in cols]
-    acc = 0
-    for row in zip(*lists):
-        h = hashlib.md5("\x1f".join(map(repr, row)).encode()).digest()
-        acc ^= int.from_bytes(h[:8], "little")
-    return acc
+    h = pl.from_arrow(tbl.select([key, *columns])) \
+        .hash_rows(seed=0).to_numpy().astype(np.uint64)
+    if len(h) == 0:
+        return 0
+    return int(np.bitwise_xor.reduce(h))
 
 
 def store_fingerprints(store_dir: str, bounds: list, *, key: str,
@@ -247,7 +251,10 @@ def store_fingerprints(store_dir: str, bounds: list, *, key: str,
 
     import ray
 
-    grid_id = hashlib.md5(repr((bounds, key, columns)).encode()) \
+    import polars as _pl
+
+    fp_version = f"xxh-rows-{_pl.__version__}"
+    grid_id = hashlib.md5(repr((bounds, key, columns, fp_version)).encode()) \
         .hexdigest()[:16]
     fpath = os.path.join(store_dir, FPRINTS)
     cache = {}
