@@ -25,8 +25,12 @@ def host_stats(articles_ds):
     parsed by the same RE2 regex the SQL oracle runs; map-side partial
     (host, n, len) rows, one narrow groupby-sum."""
     def local(b: pa.Table) -> pa.Table:
-        host = pc.struct_field(
-            pc.extract_regex(b["url"].combine_chunks(), _HOST_RE), "host")
+        # non-matching urls: extract_regex yields null but DuckDB's
+        # regexp_extract yields '' — fill to '' so engine and oracle
+        # group such rows identically (ADVICE r3; not triggered by the
+        # current corpus, where every url matches)
+        host = pc.fill_null(pc.struct_field(
+            pc.extract_regex(b["url"].combine_chunks(), _HOST_RE), "host"), "")
         t = pa.table({"host": host, "text_length": b["text_length"]})
         g = t.group_by("host").aggregate([([], "count_all"),
                                           ("text_length", "sum")])

@@ -262,7 +262,8 @@ def dedup_triples(canonical_ds, num_partitions: int | None = None):
 
     def local_agg(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["subj", "pred", "obj"]).aggregate([("url", "count")])
-        return g.rename_columns(["subj", "pred", "obj", "n_local"])
+        return (g.select(["subj", "pred", "obj", "url_count"])
+                 .rename_columns(["subj", "pred", "obj", "n_local"]))
 
     pre = canonical_ds.map_batches(local_agg, batch_format="pyarrow")
     agg = pre.groupby(["subj", "pred", "obj"]).sum("n_local")

@@ -35,7 +35,10 @@ def fact_sources(canonical_ds):
     def local(b: pa.Table) -> pa.Table:
         g = (b.group_by(["subj", "pred", "obj", "url"])
               .aggregate([([], "count_all")]))
-        return g.rename_columns(["subj", "pred", "obj", "url", "n_local"])
+        # select by GENERATED aggregate name: key/aggregate column order
+        # out of pyarrow group_by is an implementation detail
+        return (g.select(["subj", "pred", "obj", "url", "count_all"])
+                 .rename_columns(["subj", "pred", "obj", "url", "n_local"]))
 
     return (canonical_ds.map_batches(local, batch_format="pyarrow",
                                      zero_copy_batch=True)
@@ -68,8 +71,10 @@ def temporal_facts(canonical_ds, *, base_ts: int):
         g = (t.group_by(["subj", "pred", "obj"])
               .aggregate([("__ts", "count"), ("__ts", "min"),
                           ("__ts", "max")]))
-        return g.rename_columns(
-            ["subj", "pred", "obj", "n_local", "min_local", "max_local"])
+        return (g.select(["subj", "pred", "obj",
+                          "__ts_count", "__ts_min", "__ts_max"])
+                 .rename_columns(["subj", "pred", "obj",
+                                  "n_local", "min_local", "max_local"]))
 
     agg = (canonical_ds.map_batches(local, batch_format="pyarrow",
                                     zero_copy_batch=True)
@@ -110,8 +115,9 @@ def snapshot_delta(canonical_ds, *, base_ts: int, cutoff_ts: int):
                       "b": before, "a": pc.subtract(1, before)})
         g = (t.group_by(["subj", "pred", "obj"])
               .aggregate([("b", "sum"), ("a", "sum")]))
-        return g.rename_columns(["subj", "pred", "obj",
-                                 "b_local", "a_local"])
+        return (g.select(["subj", "pred", "obj", "b_sum", "a_sum"])
+                 .rename_columns(["subj", "pred", "obj",
+                                  "b_local", "a_local"]))
 
     agg = (canonical_ds.map_batches(local, batch_format="pyarrow",
                                     zero_copy_batch=True)

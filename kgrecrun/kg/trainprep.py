@@ -128,9 +128,11 @@ def metapath_two_hop(triples_ds, *, n_buckets: int = N_BUCKETS):
                              "n_bridges": pa.array([], pa.int64())})
         a = (left.select(["entity", "pred", "cnt"])
                  .group_by(["entity", "pred"]).aggregate([("cnt", "sum")])
+                 .select(["entity", "pred", "cnt_sum"])
                  .rename_columns(["entity", "p1", "c1"]))
         bb = (right.select(["entity", "pred", "cnt"])
                    .group_by(["entity", "pred"]).aggregate([("cnt", "sum")])
+                   .select(["entity", "pred", "cnt_sum"])
                    .rename_columns(["entity", "p2", "c2"]))
         j = a.join(bb, keys="entity", join_type="inner")
         if j.num_rows == 0:

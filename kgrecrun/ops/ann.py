@@ -302,7 +302,8 @@ def knn_label_confusion(embeds_ds, *, vec_col: str = "embedding",
             "one": pa.nulls(len(ids), pa.int64()).fill_null(1),
         })
         agg = t.group_by(["label", "pred_label"]).aggregate([("one", "sum")])
-        return agg.rename_columns(["label", "pred_label", "n_p"])
+        return (agg.select(["label", "pred_label", "one_sum"])
+                   .rename_columns(["label", "pred_label", "n_p"]))
 
     return (
         embeds_ds.map_batches(confuse, batch_format="pyarrow",

@@ -205,6 +205,20 @@ def _bloom_mask(batch: pa.Table, key: str, bloom: np.ndarray, k: int) -> np.ndar
     return hit.all(axis=1)
 
 
+def _sized_m_bits(n_rows: int) -> int:
+    """next_pow2(10 × rows), floor 2^13 — ~1% FP at k=4. Row count is
+    an upper bound on distinct keys, so FP can only come out better.
+    Used for the SECOND (positive-slice) bloom in the two-sided
+    prefilter joins: callers size the primary ``m_bits`` to the RIGHT
+    key count, so reusing it for the left slice saturates whenever the
+    slice is larger — exactness survives but the advertised shuffle
+    reduction silently disappears (ADVICE r3). The slice is
+    materialized, so its size is known and free."""
+    import math
+
+    return 1 << max(13, math.ceil(math.log2(10 * max(n_rows, 1))))
+
+
 def bloom_semi_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
                     k: int = 4, prefilter_right: bool = False):
     """EXACT semi-join with a map-side bloom prefilter — the
@@ -245,7 +259,8 @@ def bloom_semi_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
         r_sch = right_ds.schema()
         rs = pa.schema([(key, dict(zip(r_sch.names, r_sch.types))[key])])
         survivors = survivors.materialize()
-        pos_bloom = ray.put(build_bloom(survivors, key, m_bits=m_bits, k=k))
+        pos_bloom = ray.put(build_bloom(
+            survivors, key, m_bits=_sized_m_bits(survivors.count()), k=k))
 
         def rfilt(batch: pa.Table) -> pa.Table:
             if not batch.num_rows:
@@ -310,7 +325,8 @@ def bloom_anti_join(left_ds, right_ds, key: str, *, m_bits: int = 1 << 23,
         r_sch = right_ds.schema()
         rs = pa.schema([(key, dict(zip(r_sch.names, r_sch.types))[key])])
         positives = positives.materialize()
-        pos_bloom = ray.put(build_bloom(positives, key, m_bits=m_bits, k=k))
+        pos_bloom = ray.put(build_bloom(
+            positives, key, m_bits=_sized_m_bits(positives.count()), k=k))
 
         def rfilt(batch: pa.Table) -> pa.Table:
             if not batch.num_rows:
