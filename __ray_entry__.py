@@ -2893,6 +2893,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return graph_components(supplier_part_edges(sf_dir, max_quantity=2))
 
+    def graph_pagerank_prepartitioned(sf_dir: str):
+        """The SAME bit-exact ranks as graph_pagerank, computed over a
+        hash-bucketed edge STORE written once (ops/graphstore.py — the
+        asof_join_prepartitioned pattern applied to the Pregel loop):
+        per round, one task per bucket over its cached edge block plus
+        a routed combined-partials fold; edges never move after the
+        one-off partitioned write. Oracle: the identical chained-CTE
+        SQL, so the driver hash proves prep == exchange."""
+        import hashlib
+        import os
+
+        import pyarrow.parquet as _pq
+
+        from kgrecrun.ops.graph import supplier_part_edges
+        from kgrecrun.ops.graphstore import (
+            pagerank_prepartitioned,
+            write_edge_store,
+        )
+
+        # store keyed by corpus identity (sf name + lineitem row count)
+        # + layout; a different corpus can never reuse a stale store
+        n_rows = _pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+        tag = hashlib.md5(
+            f"{os.path.basename(os.path.normpath(sf_dir))}:{n_rows}:b16"
+            .encode()).hexdigest()[:12]
+        store = f"/tmp/kgrecrun_edgestore_{tag}"
+        write_edge_store(supplier_part_edges(sf_dir), store,
+                         n_buckets=16, symmetric=True)
+        return pagerank_prepartitioned(store, iters=3)
+
     def part_copurchase_triangles(sf_dir: str):
         """Per-part triangle counts of the co-purchase graph (parts
         sharing an order) — degree-oriented wedge counting: orientation
@@ -4127,6 +4157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- graph analytics over the materialized adjacency (SQL-checkable) ---
         "graph_degrees": graph_degrees,
         "graph_pagerank": graph_pagerank,
+        "graph_pagerank_prepartitioned": graph_pagerank_prepartitioned,
         "graph_components": graph_components_q,
         "part_copurchase_triangles": part_copurchase_triangles,
         "graph_bfs": graph_bfs,
@@ -5267,6 +5298,9 @@ def oracle_sql() -> dict[str, str]:
             FROM deg GROUP BY degree
         """,
         "graph_pagerank": _pagerank_sql(iters=3),
+        # identical ranks by construction: the prepartitioned path must
+        # reproduce the exchange path bit-for-bit (ops/graphstore.py)
+        "graph_pagerank_prepartitioned": _pagerank_sql(iters=3),
         "graph_components": _cc_sql(
             """pairs AS (
                 SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS u,

@@ -552,3 +552,57 @@ def test_pagerank_broadcast_directed_identical(ray_session):
     key = lambda r: r["node"]  # noqa: E731
     assert sorted(exchange, key=key) == sorted(broadcast, key=key)
     assert {r["node"] for r in broadcast} == {1, 2, 3, 4, 5}
+
+
+def test_prepartitioned_store_paths_identical(ray_session, tmp_path):
+    """write_edge_store + pagerank_prepartitioned /
+    components_prepartitioned: bit-identical to the exchange paths;
+    the store is idempotent and a mismatched layout raises."""
+    import numpy as np
+    import pytest
+
+    from kgrecrun.kg.unionfind import connected_components_distributed
+    from kgrecrun.ops.graph import pagerank_fixedpoint
+    from kgrecrun.ops.graphstore import (
+        components_prepartitioned,
+        pagerank_prepartitioned,
+        write_edge_store,
+    )
+
+    rng = np.random.RandomState(3)
+    u = rng.randint(0, 400, 3000).astype(np.int64)
+    v = rng.randint(0, 400, 3000).astype(np.int64)
+    keep = u != v
+    pairs = list(zip(u[keep].tolist(), v[keep].tolist()))
+    edges = _edges_ds(ray_session, pairs)
+    store = str(tmp_path / "edge_store")
+    meta = write_edge_store(edges, store, n_buckets=4, symmetric=True)
+    assert meta["n_edges"] == 2 * len(pairs)
+    # idempotent reuse; layout mismatch raises
+    assert write_edge_store(edges, store, n_buckets=4, symmetric=True) == meta
+    with pytest.raises(ValueError):
+        write_edge_store(edges, store, n_buckets=8, symmetric=True)
+
+    key = lambda r: r["node"]  # noqa: E731
+    pr_pre = sorted(pagerank_prepartitioned(store, iters=3).take_all(), key=key)
+    pr_ex = sorted(
+        pagerank_fixedpoint(edges, iters=3, symmetric=True).take_all(), key=key)
+    assert pr_pre == pr_ex
+
+    cc_pre = sorted(components_prepartitioned(store).take_all(), key=key)
+    cc_ex = sorted(connected_components_distributed(edges).take_all(), key=key)
+    assert cc_pre == cc_ex
+
+
+def test_prepartitioned_components_requires_symmetric(ray_session, tmp_path):
+    from kgrecrun.ops.graphstore import (
+        components_prepartitioned,
+        write_edge_store,
+    )
+    import pytest
+
+    edges = _edges_ds(ray_session, [(1, 2)])
+    store = str(tmp_path / "asym_store")
+    write_edge_store(edges, store, n_buckets=2, symmetric=False)
+    with pytest.raises(ValueError):
+        components_prepartitioned(store)

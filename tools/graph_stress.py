@@ -172,6 +172,49 @@ def main() -> None:
         ray.shutdown()
         return
 
+    if "--prep" in sys.argv:
+        # prepartitioned edge store: one-off bucketed write, then
+        # pagerank rounds with ZERO edge movement (ops/graphstore.py)
+        # vs the shuffling exchange path — ranks must be bit-identical
+        import shutil
+
+        from kgrecrun.ops.graphstore import (
+            pagerank_prepartitioned,
+            write_edge_store,
+        )
+
+        # synth_edges emits BOTH directions (symmetric multigraph) —
+        # required by symmetric=True on both compared paths
+        edges = synth_edges(n_rows, n_nodes).materialize()
+        m = edges.count()
+        rec = {"mode": "prep", "n_edges": m, "n_nodes": n_nodes,
+               "num_cpus": num_cpus}
+        store = f"/tmp/graph_prep_store_{n_rows}_{n_nodes}"
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(store + ".stage", ignore_errors=True)
+        t0 = time.time()
+        write_edge_store(edges, store, n_buckets=64, symmetric=True)
+        rec["store_write_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        pre = pagerank_prepartitioned(store, iters=3).materialize()
+        rec["prep_pagerank_sec"] = round(time.time() - t0, 2)
+        cs_pre = _checksum(pre)
+        rec["checksum_prep"] = cs_pre
+        rec["prep_edge_rounds_per_sec"] = round(
+            3 * m / rec["prep_pagerank_sec"], 0)
+        if not skip_exchange:
+            t0 = time.time()
+            ex = pagerank_fixedpoint(edges, iters=3, symmetric=True) \
+                .materialize()
+            rec["exchange_pagerank_sec"] = round(time.time() - t0, 2)
+            cs_ex = _checksum(ex)
+            rec["checksum_exchange"] = cs_ex
+            rec["ranks_identical"] = cs_ex == cs_pre
+            assert rec["ranks_identical"], "prep != exchange pagerank"
+        print(json.dumps(rec))
+        ray.shutdown()
+        return
+
     if "--cc" in sys.argv:
         from kgrecrun.kg.unionfind import (
             connected_components_broadcast,
