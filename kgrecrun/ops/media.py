@@ -1,14 +1,16 @@
 """Multimodal columns: image/audio payloads as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-REAL codecs, stdlib-only: uncompressed 24-bit **BMP** images (struct
-header parse, bottom-up rows, 4-byte row padding) and PCM-16 mono
-**WAV** audio (``wave`` module) decode genuinely — no PIL/ffmpeg in
-this container, but these two container formats need none. The legacy
-deterministic synthetic formats (``FAKEIMG``/``FAKEAUD``) still decode,
-and anything else (JPEG/PNG/MP3/…) raises ``NotImplementedError`` into
-the per-row ``error`` column — the documented seam where a production
-deployment plugs PIL/ffmpeg.
+REAL codecs, stdlib/numpy-only: uncompressed 24-bit **BMP** images
+(struct header parse, bottom-up rows, 4-byte row padding), 8-bit
+grayscale **PNG** (zlib inflate + all five filter types), baseline
+**JPEG** (ops/jpeg.py: Huffman + dequant + vectorized IDCT; luma plane
+out — the dominant web image format) and PCM-16 mono **WAV** audio
+(``wave`` module) decode genuinely — no PIL/ffmpeg in this container.
+The legacy deterministic synthetic formats (``FAKEIMG``/``FAKEAUD``)
+still decode, and anything else (progressive JPEG, MP3, …) raises
+``NotImplementedError`` into the per-row ``error`` column — the
+documented seam where a production deployment plugs PIL/ffmpeg.
 
 media schema: (media_id int64, kind string, payload binary,
                width int32, height int32, sample_rate int32, url string)
@@ -303,6 +305,10 @@ def _decode_payload(payload: bytes):
     raise into the error column."""
     if payload[:2] == b"BM":
         return "image", decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return "image", decode_jpeg(payload)
     if payload[:8] == _PNG_MAGIC:
         return "image", decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -315,9 +321,9 @@ def _decode_payload(payload: bytes):
         n = int.from_bytes(payload[12:16], "little")
         return "audio", np.frombuffer(payload[16:16 + 2 * n], dtype=np.int16)
     raise NotImplementedError(
-        "no codec for this container (BMP, 8-bit PNG and PCM WAV decode "
-        "natively; JPEG/MP3 need PIL/ffmpeg — plug them in here in "
-        "production)"
+        "no codec for this container (BMP, 8-bit PNG, baseline JPEG and "
+        "PCM WAV decode natively; progressive JPEG / MP3 need PIL/ffmpeg "
+        "— plug them in here in production)"
     )
 
 

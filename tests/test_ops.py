@@ -159,24 +159,26 @@ def test_media_stage():
     assert out["error"].isna().all()
     assert set(out["kind"]) == {"image", "audio"}
     assert all(len(f) == 64 for f in out["features"])
-    # a codec-less container (JPEG) is a clearly-marked seam, and a
-    # corrupt PNG errors per-row — neither crashes the stage
+    # a codec-less container (GIF) is a clearly-marked seam; a truncated
+    # JPEG and a corrupt PNG error per-row — none crashes the stage
     bad = pa.table(
         {
-            "media_id": pa.array([99, 100], pa.int64()),
-            "kind": pa.array(["image", "image"], pa.string()),
+            "media_id": pa.array([99, 100, 101], pa.int64()),
+            "kind": pa.array(["image", "image", "image"], pa.string()),
             "payload": pa.array(
-                [b"\xff\xd8\xff\xe0....jpeg", b"\x89PNG\r\n\x1a\n....."],
+                [b"GIF89a......gif", b"\x89PNG\r\n\x1a\n.....",
+                 b"\xff\xd8\xff\xe0....jpeg"],
                 pa.large_binary()),
-            "width": pa.array([0, 0], pa.int32()),
-            "height": pa.array([0, 0], pa.int32()),
-            "sample_rate": pa.array([0, 0], pa.int32()),
-            "url": pa.array(["x", "y"], pa.string()),
+            "width": pa.array([0, 0, 0], pa.int32()),
+            "height": pa.array([0, 0, 0], pa.int32()),
+            "sample_rate": pa.array([0, 0, 0], pa.int32()),
+            "url": pa.array(["x", "y", "z"], pa.string()),
         }
     )
     out_bad = media.decode_media(ray.data.from_arrow(bad)).to_pandas()
     assert "codec" in out_bad["error"].iloc[0]
     assert out_bad["error"].iloc[1] is not None
+    assert out_bad["error"].iloc[2] is not None  # malformed JPEG, per-row
 
 
 @pytest.mark.usefixtures("ray_session")
