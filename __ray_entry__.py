@@ -1284,8 +1284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         BMP/PNG codecs) → 64-bit average-hash → pigeonhole hamming
         banding → CC labels. Planted duplicate groups (container swap
         / brightness shift / 2× upscale) cluster to their base id; the
-        pytest gate checks planted P=R=1. Rows-only (binary payloads
-        are not derivable from SQL views)."""
+        pytest gate checks planted P=R=1; hash-exact at the driver vs
+        the planted generator-truth golden (tools/make_media_gold.py)."""
         import ray.data
 
         from kgrecrun.ops.media import phash_dedup, synth_image_corpus
@@ -2040,8 +2040,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Similar-image SEARCH: brute-force hamming top-k over the
         64-bit perceptual hashes — probes broadcast, one vectorized
         XOR+popcount per batch, local top-k, single-task global elect
-        (the image twin of ann_topk). Rows-only; the planted pytest
-        pins top-1 = the probe's duplicate-group base at distance 0."""
+        (the image twin of ann_topk). Hash-exact vs an INDEPENDENT
+        golden (tools/make_media_topk_gold.py): pixel truth restated
+        from the generator recipe (bypassing the codecs), aHash
+        recomputed by an independent reshape-mean implementation, and
+        the top-k elected by a brute-force numpy pass; premise measured
+        (20/20 rows exact) before the golden is written."""
         import ray.data
 
         from kgrecrun.ops.media import phash_topk, synth_image_corpus
@@ -2817,7 +2821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_resize(sf_dir: str):
         """Actor-pool image resize (decode → area-mean 16×16 → real BMP
         re-encode); audio rows land in the error column, row preserved.
-        Rows-only (binary payloads are not derivable from SQL views)."""
+        Hash-exact vs the planted generator-truth golden
+        (tools/make_media_gold.py)."""
         from kgrecrun.ops.media import ResizeMedia
 
         resized = _synth_media(sf_dir).map_batches(
@@ -2842,7 +2847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def media_frames(sf_dir: str):
         """Actor-pool audio frame sampling (25 ms window / 10 ms hop →
-        per-frame RMS). Rows-only."""
+        per-frame RMS). Hash-exact vs the planted generator-truth
+        golden (tools/make_media_gold.py)."""
         from kgrecrun.ops.media import FrameSampleAudio
 
         framed = _synth_media(sf_dir).map_batches(
@@ -4078,7 +4084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
         "embedding_clusters": embedding_clusters,
-        # --- multimodal plumbing (stub codecs; rows-only) ---
+        # --- multimodal plumbing (real stdlib BMP/PNG/WAV + baseline JPEG codecs; golden-backed) ---
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frames": media_frames,
@@ -4740,6 +4746,15 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_dedup": """
             SELECT media_id, root_id
             FROM read_parquet('/root/repo/tests/goldens/media_phash_gold_sf001.parquet')
+        """,
+        # Similar-image search golden: generator pixel truth + an
+        # INDEPENDENT aHash implementation + brute-force top-k
+        # (tools/make_media_topk_gold.py; premise measured, engine ==
+        # golden row-exact). Codecs verified end-to-end because the
+        # golden never touches the containers.
+        "media_phash_topk": """
+            SELECT probe_id, media_id, hamming, rank
+            FROM read_parquet('/root/repo/tests/goldens/media_topk_gold_sf001.parquet')
         """,
         # Full-pipeline golden: the generator's PLANTED canonical triples
         # (written before the engine runs — independent intent, like the
