@@ -2890,6 +2890,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             broadcast_ranks=50_000_000,
         )
 
+    def graph_hits(sf_dir: str):
+        """Integer fixed-point HITS (2 iterations, max-normalized int64
+        floor arithmetic) over the DIRECTED supplier→part bipartite
+        graph — suppliers rank as hubs, parts as authorities; bit-exact
+        vs the chained-CTE SQL oracle for the same reason as
+        graph_pagerank (float HITS would be summation-order-dependent).
+        Broadcast raw-task half-rounds over once-cached edge blocks;
+        edges never shuffle (ops/graph.py hits_fixedpoint)."""
+        from kgrecrun.ops.graph import hits_fixedpoint, supplier_part_edges
+
+        return hits_fixedpoint(
+            supplier_part_edges(sf_dir, directed=True), iters=2,
+            broadcast_nodes=50_000_000,
+        )
+
     def graph_components_q(sf_dir: str):
         """Connected components of the sparse (l_quantity<=2) subgraph
         via the distributed min-label propagation + pointer doubling
@@ -4163,6 +4178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- graph analytics over the materialized adjacency (SQL-checkable) ---
         "graph_degrees": graph_degrees,
         "graph_pagerank": graph_pagerank,
+        "graph_hits": graph_hits,
         "graph_pagerank_prepartitioned": graph_pagerank_prepartitioned,
         "graph_components": graph_components_q,
         "part_copurchase_triangles": part_copurchase_triangles,
@@ -4430,6 +4446,57 @@ def _pagerank_sql(iters: int = 3, scale: int = 10**12, d_num: int = 85,
         )""")
     return ("WITH " + ",\n        ".join(parts)
             + f"\n        SELECT node, rank AS rank_fp FROM r{iters}")
+
+
+_HITS_EDGES_SQL = """edges AS (
+            SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 + 1 AS src,
+                   CAST(l_partkey AS BIGINT) * 2 AS dst
+            FROM lineitem
+        )"""
+
+
+def _hits_sql(iters: int = 2, scale: int = 10**6,
+              edges_sql: str | None = None) -> str:
+    """Chained-CTE mirror of ops/graph.hits_fixedpoint: per iteration
+    one authority half-round (in-sum of hub scores grouped by dst) and
+    one hub half-round (out-sum of authority scores grouped by src),
+    each max-normalized with all-integer floor arithmetic (every
+    operand nonnegative, so ``//`` agrees between numpy and DuckDB;
+    DuckDB's HUGEINT sums re-enter int64 range after the rescale, which
+    the engine asserts). Bit-equal (node, hub_fp, auth_fp)."""
+    parts = [
+        edges_sql or _HITS_EDGES_SQL,
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i}r AS (
+            SELECT e.dst AS node, SUM(h.v) AS s
+            FROM edges e JOIN h{i - 1} h ON e.src = h.node
+            GROUP BY e.dst
+        )""")
+        parts.append(f"""a{i} AS (
+            SELECT n.node,
+                   CAST(COALESCE((r.s * {scale}) //
+                        (SELECT MAX(s) FROM a{i}r), 0) AS BIGINT) AS v
+            FROM nodes n LEFT JOIN a{i}r r ON n.node = r.node
+        )""")
+        parts.append(f"""h{i}r AS (
+            SELECT e.src AS node, SUM(a.v) AS s
+            FROM edges e JOIN a{i} a ON e.dst = a.node
+            GROUP BY e.src
+        )""")
+        parts.append(f"""h{i} AS (
+            SELECT n.node,
+                   CAST(COALESCE((r.s * {scale}) //
+                        (SELECT MAX(s) FROM h{i}r), 0) AS BIGINT) AS v
+            FROM nodes n LEFT JOIN h{i}r r ON n.node = r.node
+        )""")
+    return ("WITH " + ",\n        ".join(parts)
+            + f"""
+        SELECT h.node AS node, h.v AS hub_fp, a.v AS auth_fp
+        FROM h{iters} h JOIN a{iters} a ON h.node = a.node""")
 
 
 def _ngram_jaccard_sql(k: int = 4, threshold: float = 0.7) -> str:
@@ -5313,6 +5380,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg GROUP BY degree
         """,
         "graph_pagerank": _pagerank_sql(iters=3),
+        "graph_hits": _hits_sql(iters=2),
         # identical ranks by construction: the prepartitioned path must
         # reproduce the exchange path bit-for-bit (ops/graphstore.py)
         "graph_pagerank_prepartitioned": _pagerank_sql(iters=3),

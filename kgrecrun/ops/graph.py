@@ -53,12 +53,16 @@ def _i64(name: str) -> pa.Field:
 EDGE_SCHEMA = pa.schema([_i64("src"), _i64("dst")])
 
 
-def supplier_part_edges(sf_dir: str, *, max_quantity: int | None = None):
+def supplier_part_edges(sf_dir: str, *, max_quantity: int | None = None,
+                        directed: bool = False):
     """Distinct symmetric supplier–part edges from lineitem.
 
     ``max_quantity`` keeps only lineitems with ``l_quantity <=
     max_quantity`` — a sparser subgraph that splits into multiple
     components (used by :func:`graph_components`); ``None`` keeps all.
+    ``directed=True`` emits only supplier→part edges (no reverse
+    direction) — the bipartite DIRECTED graph :func:`hits_fixedpoint`
+    ranks (suppliers are hub candidates, parts authority candidates).
     """
     import ray.data
 
@@ -85,8 +89,11 @@ def supplier_part_edges(sf_dir: str, *, max_quantity: int | None = None):
         # np.uniques inside, instead of a full high-cardinality
         # (src,dst) sort (measured 13.2 s → bucketed sweep ~2 s at 1.2M
         # edges: Ray's sort cost is driven by key cardinality/width)
-        src = np.concatenate([a, b])
-        dst = np.concatenate([b, a])
+        if directed:
+            src, dst = b, a
+        else:
+            src = np.concatenate([a, b])
+            dst = np.concatenate([b, a])
         k = np.unique((src << np.int64(32)) | dst)
         return pa.table({"k": pa.array(k, pa.int64())})
 
@@ -471,6 +478,115 @@ def _pagerank_broadcast(edges, node_np, od_np, *, iters, r_init, base,
             "rank_fp": pa.array(rank_np, pa.int64()),
         })
     )
+
+
+HITS_SCALE = 10**6
+
+
+def hits_fixedpoint(
+    edges_ds,
+    *,
+    iters: int = 2,
+    scale: int = HITS_SCALE,
+    broadcast_nodes: int = 50_000_000,
+):
+    """Deterministic integer fixed-point HITS (hubs & authorities,
+    Kleinberg) over a DIRECTED (src, dst) edge Dataset
+    → Dataset (node, hub_fp:int64, auth_fp:int64).
+
+    Per iteration, both steps in exact integer arithmetic:
+
+        a_raw(v) = Σ_{u→v} h(u);   a(v) = (a_raw(v) · scale) // max(a_raw)
+        h_raw(u) = Σ_{u→v} a(v);   h(u) = (h_raw(u) · scale) // max(h_raw)
+
+    with h₀ ≡ scale. Max-normalization (instead of the textbook L2
+    norm) keeps every value a nonnegative int64, so sums are
+    order-free and the output is bit-equal to the chained-CTE DuckDB
+    oracle AND run-to-run — the same determinism-over-ulps trade as
+    ``pagerank_fixedpoint``. ``scale`` is 10⁶ (not pagerank's 10¹²)
+    because the rescale multiplies a raw in-sum (≤ scale·max_deg) by
+    ``scale`` — the guard asserts the product fits int64.
+
+    Execution mirrors ``_pagerank_broadcast``: the sorted node vector
+    broadcasts once, the hub/authority vectors once per half-round;
+    edge blocks are cached ONCE as Arrow refs and every half-round is
+    one wave of plain ``ray.remote`` tasks returning per-block
+    (node, partial-sum) combiner rows — edges never shuffle. Node set
+    must be catalog-order (≤ ``broadcast_nodes``; raises beyond —
+    corpus-order graphs want a prepartitioned two-copy edge store,
+    see ops/graphstore.py).
+    """
+    import ray
+    import ray.data
+
+    edges = edges_ds.materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b["src"].combine_chunks().to_numpy(zero_copy_only=False),
+            b["dst"].combine_chunks().to_numpy(zero_copy_only=False),
+        ]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    node_tbl = _collect(edges.map_batches(node_partial,
+                                          batch_format="pyarrow"))
+    if node_tbl.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "hub_fp": pa.array([], pa.int64()),
+            "auth_fp": pa.array([], pa.int64()),
+        }))
+    node_np = np.unique(
+        node_tbl["node"].combine_chunks().to_numpy(zero_copy_only=False))
+    n_nodes = len(node_np)
+    if n_nodes > broadcast_nodes:
+        raise ValueError(
+            f"node set ({n_nodes}) exceeds the caller's broadcast bound "
+            f"({broadcast_nodes}) — use a prepartitioned edge store")
+
+    block_refs = list(edges.to_arrow_refs())
+    node_ref = ray.put(node_np)
+
+    @ray.remote
+    def half_round(block: pa.Table, nv: np.ndarray, vec: np.ndarray,
+                   from_col: str, to_col: str):
+        s = block[from_col].combine_chunks().to_numpy(zero_copy_only=False)
+        d = block[to_col].combine_chunks().to_numpy(zero_copy_only=False)
+        c = vec[np.searchsorted(nv, s)]
+        targets, inv = np.unique(d, return_inverse=True)
+        sums = np.zeros(len(targets), dtype=np.int64)
+        np.add.at(sums, inv, c)  # integer segment sum — order-free
+        return targets, sums
+
+    def sweep(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        vec_ref = ray.put(vec)
+        parts = ray.get([
+            half_round.remote(br, node_ref, vec_ref, from_col, to_col)
+            for br in block_refs])
+        raw = np.zeros(n_nodes, dtype=np.int64)
+        for targets, sums in parts:
+            if len(targets):
+                np.add.at(raw, np.searchsorted(node_np, targets), sums)
+        m = int(raw.max())
+        if m == 0:
+            return raw  # no edges in this direction — all-zero scores
+        if m > (2**63 - 1) // scale:
+            raise OverflowError(
+                f"HITS rescale overflow: max raw sum {m} · scale {scale} "
+                "exceeds int64 — lower scale or split the graph")
+        return (raw * scale) // m
+
+    hub = np.full(n_nodes, scale, dtype=np.int64)
+    auth = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        auth = sweep(hub, "src", "dst")
+        hub = sweep(auth, "dst", "src")
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(node_np, pa.int64()),
+        "hub_fp": pa.array(hub, pa.int64()),
+        "auth_fp": pa.array(auth, pa.int64()),
+    }))
 
 
 def graph_components(edges_ds):

@@ -606,3 +606,75 @@ def test_prepartitioned_components_requires_symmetric(ray_session, tmp_path):
     write_edge_store(edges, store, n_buckets=2, symmetric=False)
     with pytest.raises(ValueError):
         components_prepartitioned(store)
+
+
+# ------------------------------------------------------------- HITS
+
+DIRECTED_PAIRS = [(1, 10), (1, 11), (2, 10), (2, 12), (3, 10),
+                  (3, 11), (3, 12), (3, 13), (4, 13), (10, 1)]
+
+
+def _directed_ds(ray, pairs, shards=1):
+    return ray.data.from_arrow(
+        pa.table({"src": pa.array([u for u, _ in pairs], pa.int64()),
+                  "dst": pa.array([v for _, v in pairs], pa.int64())})
+    ).repartition(shards)
+
+
+def _hits_ref(pairs, iters, scale=10**6):
+    """Driver-side mirror of the integer fixed-point HITS recurrence."""
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+
+    def half(vec, flip):
+        raw = {n: 0 for n in nodes}
+        for u, v in pairs:
+            if flip:
+                raw[u] += vec[v]
+            else:
+                raw[v] += vec[u]
+        m = max(raw.values())
+        if m == 0:
+            return raw
+        return {n: (raw[n] * scale) // m for n in nodes}
+
+    for _ in range(iters):
+        a = half(h, flip=False)
+        h = half(a, flip=True)
+    return h, a
+
+
+def test_hits_matches_reference_recurrence(ray_session):
+    from kgrecrun.ops.graph import hits_fixedpoint
+
+    h_ref, a_ref = _hits_ref(DIRECTED_PAIRS, iters=2)
+    rows = hits_fixedpoint(
+        _directed_ds(ray_session, DIRECTED_PAIRS), iters=2).take_all()
+    assert {r["node"]: r["hub_fp"] for r in rows} == h_ref
+    assert {r["node"]: r["auth_fp"] for r in rows} == a_ref
+    # node 3 points at every authority -> top hub at full scale;
+    # node 10 has the most in-links -> top authority at full scale
+    assert h_ref[3] == 10**6 and a_ref[10] == 10**6
+
+
+def test_hits_shard_invariant(ray_session):
+    from kgrecrun.ops.graph import hits_fixedpoint
+
+    base = sorted(
+        tuple(r.values()) for r in hits_fixedpoint(
+            _directed_ds(ray_session, DIRECTED_PAIRS, shards=1),
+            iters=3).take_all())
+    sharded = sorted(
+        tuple(r.values()) for r in hits_fixedpoint(
+            _directed_ds(ray_session, DIRECTED_PAIRS, shards=5),
+            iters=3).take_all())
+    assert base == sharded
+
+
+def test_hits_broadcast_bound_enforced(ray_session):
+    from kgrecrun.ops.graph import hits_fixedpoint
+
+    with pytest.raises(ValueError, match="broadcast bound"):
+        hits_fixedpoint(_directed_ds(ray_session, DIRECTED_PAIRS),
+                        iters=1, broadcast_nodes=3).take_all()
