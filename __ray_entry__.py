@@ -481,6 +481,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return snapshot_delta(_kg(sf_dir)["canonical"], base_ts=BASE_TS,
                               cutoff_ts=cutoff)
 
+    def kg_anchor_texts(sf_dir: str):
+        """The web-graph LINK layer: per (resolved target url, anchor
+        text), occurrence count and distinct source-page count over the
+        raw page corpus — the classic anchor-text IR signal
+        (extract/links.py: SAX-event anchor walk + iframe.js URL
+        resolution, map-side per-page combiner, ONE 256-bucket
+        exchange). Oracle: an INDEPENDENT golden — a regex+html.unescape
+        extractor over the generator's html with stdlib urljoin
+        resolution (tools/make_kg_anchor_gold.py; premise measured:
+        engine == golden row-exact at sf0.01)."""
+        from kgrecrun.extract.links import anchor_text_table
+
+        return anchor_text_table(_synth_pages(sf_dir))
+
     def kg_mention_counts(sf_dir: str):
         """Per-(url, surface) mention counts from the NER gazetteer
         stage — map-side combiner + one narrow groupby. Oracle: the
@@ -4067,6 +4081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_crawl_depths": kg_crawl_depths,
         "kg_snapshot_delta": kg_snapshot_delta,
         "kg_mention_counts": kg_mention_counts,
+        "kg_anchor_texts": kg_anchor_texts,
         "kg_host_stats": kg_host_stats,
         "kg_pred_signatures": kg_pred_signatures,
         "kg_growth": kg_growth,
@@ -4792,6 +4807,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": """
             SELECT url, surface, norm, etype
             FROM read_parquet('/root/repo/tests/goldens/kg_mentions_rows_gold_sf001.parquet')
+        """,
+        # Anchor-text golden: INDEPENDENT extractor+resolver stack
+        # (regex + html.unescape + stdlib urljoin over the generator's
+        # html vs the engine's SAX-event walk + iframe.js resolution;
+        # tools/make_kg_anchor_gold.py — premise measured, 4519 rows
+        # exact at sf0.01).
+        "kg_anchor_texts": """
+            SELECT target, anchor, n_links, n_pages
+            FROM read_parquet('/root/repo/tests/goldens/kg_anchor_gold_sf001.parquet')
         """,
         # Media goldens: planted generator truth (container kind by id,
         # payload md5, format-constant output sizes, generator signal

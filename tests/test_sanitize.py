@@ -281,3 +281,50 @@ def test_sanitize_reference_golden_parity(pytestconfig):
         article = kernel.get_article(html_to_events(row["html"]))
         got = sanitize_html(article["html"], row["url"])
         assert got == gold[row["url"]], f"{row['url']}: sanitizer bytes differ"
+
+
+# ---------------------------------------------------- anchor extraction
+
+def test_page_anchors_walk():
+    from kgrecrun.extract.links import page_anchors
+
+    html = (
+        '<html><body>'
+        '<a href="/about">About  us</a>'
+        '<a href="/b"><b>Bold</b> link</a>'
+        '<a name="no-href">skip me</a>'
+        '<a href="page-2">Next &gt;</a>'
+        '<a href="https://other.example/x">Abs</a>'
+        '<a href="/empty"></a>'
+        '</body></html>'
+    )
+    got = page_anchors("https://site.example/news/art-1", html)
+    assert got == [
+        ("https://site.example/about", "About us"),
+        ("https://site.example/b", "Bold link"),
+        ("https://site.example/news/page-2", "Next >"),
+        ("https://other.example/x", "Abs"),
+        ("https://site.example/empty", ""),
+    ]
+
+
+def test_anchor_text_table_counts(ray_session):
+    import pyarrow as pa
+
+    from kgrecrun.extract.links import anchor_text_table
+
+    pages = pa.table({
+        "url": ["https://s.example/p1", "https://s.example/p2"],
+        "html": [
+            '<a href="/t">go</a><a href="/t">go</a><a href="/t">there</a>',
+            '<a href="/t">go</a>',
+        ],
+    })
+    rows = sorted(
+        tuple(r.values())
+        for r in anchor_text_table(
+            ray_session.data.from_arrow(pages).repartition(2)).take_all())
+    assert rows == [
+        ("https://s.example/t", "go", 3, 2),
+        ("https://s.example/t", "there", 1, 1),
+    ]
