@@ -240,7 +240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_multipage(sf_dir: str):
         """Multi-page crawl round: discover next-page links, anti-join
-        seen urls, fetch + extract continuations, stitch per article."""
+        seen urls, fetch + extract continuations, stitch per article.
+        Hash-exact vs a REFERENCE-derived golden (tools/
+        make_kg_multipage_gold.py: unmodified kernel under Node for
+        text/nextPage on base AND continuation pages, stdlib urljoin +
+        dict-fetch mirroring the round's structure; premise measured,
+        1500 rows / 308 two-page chains exact)."""
         from kgrecrun.corpus.synthgen import continuation_pages_dataset
         from kgrecrun.extract.crawl import crawl_multipage
 
@@ -4807,6 +4812,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": """
             SELECT url, surface, norm, etype
             FROM read_parquet('/root/repo/tests/goldens/kg_mentions_rows_gold_sf001.parquet')
+        """,
+        # Multipage-crawl golden: reference kernel output (text +
+        # nextPage) over base AND continuation pages under Node, round
+        # structure mirrored with stdlib urljoin + a dict fetch
+        # (tools/make_kg_multipage_gold.py; premise measured — 1500
+        # rows, 308 two-page chains exact).
+        "kg_multipage": """
+            SELECT url, n_pages, text_length_total
+            FROM read_parquet('/root/repo/tests/goldens/kg_multipage_gold_sf001.parquet')
         """,
         # Anchor-text golden: INDEPENDENT extractor+resolver stack
         # (regex + html.unescape + stdlib urljoin over the generator's
