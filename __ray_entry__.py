@@ -226,14 +226,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def kg_crawl_frontier(sf_dir: str):
-        from kgrecrun.extract.crawl import crawl_frontier
+        """Discovered-not-yet-fetched url set: kernel next-page picks
+        absolutized against their page url (raw links would make the
+        seen anti-join vacuous — seen urls are absolute), anti-joined
+        against the consumed corpus. Hash-exact vs a REFERENCE-derived
+        golden (tools/make_kg_crawl_text_gold.py: unmodified kernel's
+        nextPage + stdlib urljoin; premise measured)."""
+        from kgrecrun.extract.crawl import crawl_frontier, resolve_next_pages
         from kgrecrun.extract.stage import extract_articles
 
         arts = extract_articles(_synth_pages(sf_dir), emit_html=False)
+        links = resolve_next_pages(arts).map_batches(
+            lambda b: pa.table({"url": b["url"], "next_page": b["next_url"]}),
+            batch_format="pyarrow",
+        )
         seen = _synth_pages(sf_dir).map_batches(
             lambda b: b.select(["url"]), batch_format="pyarrow"
         )
-        return crawl_frontier(arts, seen)
+        return crawl_frontier(links, seen)
 
     def kg_triples(sf_dir: str):
         return _kg(sf_dir)["triples"]
@@ -4821,6 +4831,21 @@ def oracle_sql() -> dict[str, str]:
         "kg_multipage": """
             SELECT url, n_pages, text_length_total
             FROM read_parquet('/root/repo/tests/goldens/kg_multipage_gold_sf001.parquet')
+        """,
+        # Crawl frontier/rounds goldens: UNMODIFIED reference kernel's
+        # nextPage picks + stdlib urljoin + a dict as the fetch, walked
+        # for <=4 rounds over base AND continuation pages
+        # (tools/make_kg_crawl_text_gold.py; premises measured — 308
+        # frontier urls, 1500 round rows exact at sf0.01; n_pages
+        # cross-checked against the INDEPENDENT planted chain-depth
+        # golden before writing).
+        "kg_crawl_frontier": """
+            SELECT url
+            FROM read_parquet('/root/repo/tests/goldens/kg_crawl_frontier_gold_sf001.parquet')
+        """,
+        "kg_crawl_rounds": """
+            SELECT url, n_pages, text_length_total
+            FROM read_parquet('/root/repo/tests/goldens/kg_crawl_rounds_gold_sf001.parquet')
         """,
         # Anchor-text golden: INDEPENDENT extractor+resolver stack
         # (regex + html.unescape + stdlib urljoin over the generator's
