@@ -662,7 +662,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Checkpointed graph materialization: partitioned Parquet triple
         tables + per-partition manifests (lineage + metrics). A second
         invocation over the same sf_dir skips completed partitions —
-        the north rule's resumability surface."""
+        the north rule's resumability surface. Oracle: manifest counts
+        cross-derived from the planted mentions + provenance goldens
+        (urls carry doc ids; partitions are 500-doc shards)."""
         import glob
         import os
 
@@ -4822,6 +4824,29 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": """
             SELECT url, surface, norm, etype
             FROM read_parquet('/root/repo/tests/goldens/kg_mentions_rows_gold_sf001.parquet')
+        """,
+        # Checkpoint-manifest cross-derivation: per-partition counts
+        # recomputed from the two INDEPENDENT planted goldens — urls
+        # carry doc ids (art-<id>), partitions are 500-doc shards
+        # (planted generator layout), n_mentions = mention rows per
+        # shard, n_triples_linked = SUM(n_mentions) over the provenance
+        # golden (per-(url,triple) duplicate counts). Proves the
+        # resumability surface's manifests record real pipeline counts.
+        "kg_materialize": """
+            WITH m AS (
+                SELECT lpad(CAST(CAST(regexp_extract(url, 'art-(\\d+)$', 1) AS INT) // 500 AS VARCHAR), 5, '0') AS pid,
+                       COUNT(*) AS n_mentions
+                FROM read_parquet('/root/repo/tests/goldens/kg_mentions_rows_gold_sf001.parquet')
+                GROUP BY 1
+            ), t AS (
+                SELECT lpad(CAST(CAST(regexp_extract(url, 'art-(\\d+)$', 1) AS INT) // 500 AS VARCHAR), 5, '0') AS pid,
+                       CAST(SUM(n_mentions) AS BIGINT) AS n_triples_linked
+                FROM read_parquet('/root/repo/tests/goldens/kg_provenance_gold_sf001.parquet')
+                GROUP BY 1
+            )
+            SELECT m.pid AS partition_id, CAST(500 AS BIGINT) AS n_pages,
+                   t.n_triples_linked, m.n_mentions
+            FROM m JOIN t ON m.pid = t.pid
         """,
         # Multipage-crawl golden: reference kernel output (text +
         # nextPage) over base AND continuation pages under Node, round
