@@ -4,11 +4,12 @@ with typed metadata, processed by actor-pool ``map_batches`` stages.
 REAL codecs, stdlib/numpy-only: uncompressed 24-bit **BMP** images
 (struct header parse, bottom-up rows, 4-byte row padding), 8-bit
 grayscale **PNG** (zlib inflate + all five filter types), baseline
-**JPEG** (ops/jpeg.py: Huffman + dequant + vectorized IDCT; luma plane
-out — the dominant web image format) and PCM-16 mono **WAV** audio
-(``wave`` module) decode genuinely — no PIL/ffmpeg in this container.
-The legacy deterministic synthetic formats (``FAKEIMG``/``FAKEAUD``)
-still decode, and anything else (progressive JPEG, MP3, …) raises
+and progressive **JPEG** (ops/jpeg.py: Huffman + dequant + vectorized
+IDCT, SOF2 successive-approximation scans; luma plane out — the
+dominant web image format) and PCM-16 mono **WAV** audio (``wave``
+module) decode genuinely — no PIL/ffmpeg in this container. The legacy
+deterministic synthetic formats (``FAKEIMG``/``FAKEAUD``) still decode,
+and anything else (lossless/arithmetic JPEG, MP3, …) raises
 ``NotImplementedError`` into the per-row ``error`` column — the
 documented seam where a production deployment plugs PIL/ffmpeg.
 
@@ -321,9 +322,9 @@ def _decode_payload(payload: bytes):
         n = int.from_bytes(payload[12:16], "little")
         return "audio", np.frombuffer(payload[16:16 + 2 * n], dtype=np.int16)
     raise NotImplementedError(
-        "no codec for this container (BMP, 8-bit PNG, baseline JPEG and "
-        "PCM WAV decode natively; progressive JPEG / MP3 need PIL/ffmpeg "
-        "— plug them in here in production)"
+        "no codec for this container (BMP, 8-bit PNG, baseline/"
+        "progressive JPEG and PCM WAV decode natively; MP3 / exotic "
+        "JPEG modes need PIL/ffmpeg — plug them in here in production)"
     )
 
 
