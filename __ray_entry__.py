@@ -128,6 +128,41 @@ def _crawl_stitched_ds(sf_dir: str):
     return ray.data.read_parquet(out)
 
 
+def _warc_shards_dir(sf_dir: str) -> str:
+    """WARC.gz shard cache for the warc_* queries: the synthesized
+    pages serialized once per corpus fingerprint (generator + WARC
+    module source hashes + doc count + seed — the _materialize_out_dir
+    keying pattern) into per-record-gzip-member shards under /tmp.
+    This caches the engine's SINK output as the engine's SOURCE input;
+    the oracle (tools/make_warc_gold.py) never touches WARC bytes, so
+    the driver hash certifies the full container round-trip."""
+    import hashlib
+    import os
+    import pathlib
+    import shutil
+
+    import kgrecrun.corpus.synthgen as synthgen_mod
+    import kgrecrun.sources.warc as warc_mod
+
+    n = _n_docs(sf_dir)
+    src = (pathlib.Path(synthgen_mod.__file__).read_bytes()
+           + pathlib.Path(warc_mod.__file__).read_bytes())
+    fp = hashlib.md5(src + f":{n}:seed42:gz".encode()).hexdigest()[:12]
+    out = f"/tmp/kgrecrun_warc_{fp}"
+    if not os.path.isdir(out):
+        from kgrecrun.sources.warc import write_warc_shards
+
+        stage = out + ".stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        write_warc_shards(
+            _synth_pages(sf_dir).repartition(max(8, n // 256)), stage)
+        try:
+            os.rename(stage, out)
+        except OSError:  # concurrent writer won the rename
+            shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 def _round6(tbl: pa.Table, cols: list[str]) -> pa.Table:
     for c in cols:
         i = tbl.column_names.index(c)
@@ -222,6 +257,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "clean_html": pc.cast(b["clean_html"], pa.string()),
                 }
             ),
+            batch_format="pyarrow",
+        )
+
+    def warc_ingest(sf_dir: str):
+        """Archive-container ingest: the corpus serialized to WARC.gz
+        shards (per-record gzip members, embedded HTTP/1.1 responses —
+        the Common Crawl layout a real 100-TB crawl arrives in), then
+        read back through the streaming Ray datasource with block-
+        digest verification on. Projects container-derived facts (url,
+        µs-exact WARC-Date, parsed HTTP status/content-type/language,
+        payload length + md5); the oracle golden is computed straight
+        from the generator with no WARC code in the path, so the hash
+        match certifies the writer+parser round-trip byte-for-byte."""
+        import hashlib
+
+        from kgrecrun.sources.warc import read_warc
+
+        ds = read_warc(_warc_shards_dir(sf_dir), verify_digests=True)
+
+        def proj(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": b["url"],
+                "warc_ts_us": b["warc_ts"].cast(pa.int64()),
+                "http_status": b["http_status"],
+                "content_type": b["content_type"],
+                "lang": b["lang"],
+                "n_bytes": pc.cast(pc.binary_length(b["html"]), pa.int64()),
+                "html_md5": pa.array(
+                    [hashlib.md5(h).hexdigest()
+                     for h in b["html"].to_pylist()], pa.string()),
+            })
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
+    def warc_articles(sf_dir: str):
+        """The flagship extraction fed from archive bytes instead of
+        the generator: WARC.gz shards → streaming parse → the SAME
+        ExtractArticles actor stage — and the SAME reference-derived
+        kg_articles golden must hash-match, proving ingest composes
+        with extraction with zero fidelity loss (html bytes, urls and
+        per-doc lang all survive the container)."""
+        from kgrecrun.extract.stage import extract_articles
+        from kgrecrun.sources.warc import read_warc
+
+        arts = extract_articles(read_warc(_warc_shards_dir(sf_dir)),
+                                emit_html=False)
+        return arts.map_batches(
+            lambda b: b.select(["url", "title", "text_length", "score"]),
             batch_format="pyarrow",
         )
 
@@ -4076,6 +4159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": kg_mentions,
         "kg_triples": kg_triples,
         "kg_clean_html": kg_clean_html,
+        "warc_ingest": warc_ingest,
+        "warc_articles": warc_articles,
         "kg_crawl_frontier": kg_crawl_frontier,
         "kg_multipage": kg_multipage,
         "kg_crawl_rounds": kg_crawl_rounds,
@@ -4801,6 +4886,22 @@ def oracle_sql() -> dict[str, str]:
         # independent oracle for the flagship extraction surface; see
         # tools/make_kg_oracle.py. Valid at sf0.01 (1500 docs).
         "kg_articles": """
+            SELECT url, title, text_length, score
+            FROM read_parquet('/root/repo/tests/goldens/kg_articles_sf001.parquet')
+        """,
+        # WARC round-trip goldens: generator truth with NO WARC code in
+        # the oracle path (tools/make_warc_gold.py) — the engine reaches
+        # these rows only through serialize-to-WARC.gz + streaming parse,
+        # so a hash match certifies the container round-trip. Valid at
+        # sf0.01. warc_articles reuses the reference-derived kg_articles
+        # golden: extraction fed from archive bytes must be identical.
+        "warc_ingest": """
+            SELECT url, warc_ts_us, CAST(200 AS BIGINT) AS http_status,
+                   'text/html; charset=utf-8' AS content_type,
+                   lang, n_bytes, html_md5
+            FROM read_parquet('/root/repo/tests/goldens/warc_pages_gold_sf001.parquet')
+        """,
+        "warc_articles": """
             SELECT url, title, text_length, score
             FROM read_parquet('/root/repo/tests/goldens/kg_articles_sf001.parquet')
         """,

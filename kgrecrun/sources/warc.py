@@ -1,0 +1,325 @@
+"""WARC (ISO 28500) source/sink — the container a web-scale crawl
+actually arrives in. A 100-TB corpus lands as WARC.gz shards (the
+Common Crawl layout), not parquet; this module lets the engine ingest
+those shards directly into the ``pages`` table the extraction kernel
+consumes (url, warc_ts, html, lang), with no intermediate format.
+
+Reader (:func:`read_warc`): a Ray Data ``FileBasedDatasource`` — file-
+level parallelism comes from Ray's read planner (one read task per
+shard / size-based splits across shards), and within a task the parser
+is fully streaming: gzip members are inflated incrementally
+(``zlib.decompressobj`` chained across members) and records are emitted
+batch-by-batch, so per-task memory is bounded by one record + one
+output batch regardless of shard size. ``response`` records are parsed
+(WARC headers + embedded HTTP/1.1 status line and headers → url,
+warc_ts at exact microsecond fidelity, http_status, content_type, lang
+from Content-Language, html payload bytes); warcinfo / request /
+metadata records are skipped. ``verify_digests=True`` recomputes each
+record's WARC-Block-Digest (sha1, base32 per the spec) and raises on
+corruption — at ingest scale a torn shard must fail loudly, not flow
+silently into the KG.
+
+Writer (:func:`write_warc_shards`): one gzip **member per record**
+(the Common Crawl convention, so any record boundary is a valid split
+point for downstream random access) and one shard per input block,
+written inside a ``map_batches`` task that returns a manifest row —
+the resumable-output pattern: shard names are content-derived
+(md5 of the first record's url), so a retried task rewrites the same
+bytes to the same name, idempotently.
+
+100-TB notes: shards are independent (no cross-file state), the reader
+never materializes a whole file, and ingest composes with the
+extraction stage as ``read_warc(...) → extract_articles(...)`` — one
+streaming pipeline from archive bytes to articles. Digest verification
+is pure per-record CPU, no extra I/O.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import hashlib
+import struct  # noqa: F401  (kept with the codec family's imports)
+import zlib
+from datetime import datetime, timedelta, timezone
+from typing import Iterator
+
+import pyarrow as pa
+
+WARC_PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("http_status", pa.int64()),
+    ("content_type", pa.string()),
+    ("lang", pa.string()),
+    ("html", pa.large_binary()),
+])
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_US = timedelta(microseconds=1)
+
+
+def _ts_to_warc_date(ts_us: int) -> str:
+    """epoch-µs → WARC-Date with microsecond fraction; exact integer
+    datetime arithmetic (float seconds lose sub-µs precision at
+    2025-era epochs)."""
+    return (_EPOCH + int(ts_us) * _US).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+def _warc_date_to_ts(s: str) -> int:
+    s = s.strip()
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in s else "%Y-%m-%dT%H:%M:%SZ"
+    dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+    return (dt - _EPOCH) // _US
+
+
+def _block_digest(block: bytes) -> str:
+    return "sha1:" + base64.b32encode(
+        hashlib.sha1(block).digest()).decode("ascii")
+
+
+def _record_id(url: str, ts_us: int) -> str:
+    h = hashlib.md5(f"{url}|{ts_us}".encode()).hexdigest()
+    return (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-"
+            f"{h[20:32]}>")
+
+
+def _warc_record(headers: list[tuple[str, str]], block: bytes) -> bytes:
+    head = "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return (f"WARC/1.0\r\n{head}Content-Length: {len(block)}\r\n\r\n"
+            .encode("ascii") + block + b"\r\n\r\n")
+
+
+def _response_record(url: str, ts_us: int, html: bytes, lang: str,
+                     status: int = 200,
+                     content_type: str = "text/html; charset=utf-8") -> bytes:
+    http = (f"HTTP/1.1 {status} {'OK' if status == 200 else 'X'}\r\n"
+            f"Content-Type: {content_type}\r\n"
+            + (f"Content-Language: {lang}\r\n" if lang else "")
+            + f"Content-Length: {len(html)}\r\n\r\n").encode("ascii") + html
+    return _warc_record(
+        [("WARC-Type", "response"),
+         ("WARC-Record-ID", _record_id(url, ts_us)),
+         ("WARC-Date", _ts_to_warc_date(ts_us)),
+         ("WARC-Target-URI", url),
+         ("WARC-Block-Digest", _block_digest(http)),
+         ("Content-Type", "application/http; msgtype=response")],
+        http)
+
+
+def _warcinfo_record(shard_name: str) -> bytes:
+    body = (b"software: kgrecrun\r\n"
+            b"format: WARC File Format 1.0\r\n")
+    return _warc_record(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Record-ID", _record_id(shard_name, 0)),
+         ("WARC-Date", _ts_to_warc_date(0)),
+         ("WARC-Filename", shard_name),
+         ("Content-Type", "application/warc-fields")],
+        body)
+
+
+def encode_warc(batch: pa.Table, *, shard_name: str = "shard",
+                compress: bool = True) -> bytes:
+    """pages-schema batch → one WARC (or .warc.gz) shard's bytes:
+    a warcinfo record followed by one response record per row, each
+    record its own gzip member when ``compress``."""
+    ts = batch["warc_ts"].cast(pa.int64()).to_pylist()  # exact µs
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    langs = (batch["lang"].to_pylist() if "lang" in batch.column_names
+             else [""] * batch.num_rows)
+    records = [_warcinfo_record(shard_name)]
+    records += [_response_record(u, t, h, lg or "")
+                for u, t, h, lg in zip(urls, ts, htmls, langs)]
+    if compress:
+        return b"".join(gzip.compress(r, compresslevel=1) for r in records)
+    return b"".join(records)
+
+
+def write_warc_shards(pages, out_dir: str, *, compress: bool = True):
+    """pages Dataset → WARC shards under ``out_dir`` (one shard per
+    input block, name derived from the first record's url so retries
+    are idempotent). Returns the materialized manifest Dataset
+    (shard path, n_records, n_bytes) — consuming it IS the write."""
+    import os
+
+    ext = "warc.gz" if compress else "warc"
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        name = "shard-" + hashlib.md5(
+            batch["url"][0].as_py().encode()).hexdigest()[:12] + "." + ext
+        payload = encode_warc(batch, shard_name=name, compress=compress)
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out_dir, name))  # atomic per shard
+        return pa.table({"path": pa.array([name]),
+                         "n_records": pa.array([batch.num_rows], pa.int64()),
+                         "n_bytes": pa.array([len(payload)], pa.int64())})
+
+    return pages.map_batches(write_shard, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+
+# ---------------------------------------------------------------- parse
+
+def _inflate_members(chunks: Iterator[bytes]) -> Iterator[bytes]:
+    """Incrementally inflate a stream of concatenated gzip members
+    (or pass plain bytes through when the stream isn't gzip)."""
+    it = iter(chunks)
+    buf = b""
+    for c in it:
+        buf += c
+        if len(buf) >= 2:
+            break
+    if not buf:
+        return
+    if buf[:2] != b"\x1f\x8b":  # plain .warc
+        yield buf
+        for c in it:
+            yield c
+        return
+    d = zlib.decompressobj(47)
+    pending = buf
+    while True:
+        if pending:
+            out = d.decompress(pending)
+            if out:
+                yield out
+            if d.eof:  # next gzip member begins in unused_data
+                pending = d.unused_data
+                if pending:
+                    d = zlib.decompressobj(47)
+                    continue
+            pending = b""
+            continue
+        nxt = next(it, None)
+        if nxt is None:
+            if not d.eof:  # stream ended inside a member
+                raise ValueError("truncated gzip member in WARC stream")
+            return
+        pending = nxt
+
+
+def _iter_warc_records(chunks: Iterator[bytes]) -> Iterator[dict]:
+    """Decompressed-byte chunks → records as dicts of lower-cased WARC
+    headers plus ``block`` bytes. Streaming: buffer holds at most one
+    partial record."""
+    buf = bytearray()
+    for piece in _inflate_members(chunks):
+        buf += piece
+        while True:
+            head_end = buf.find(b"\r\n\r\n")
+            if head_end < 0:
+                break
+            head = bytes(buf[:head_end]).decode("utf-8", "replace")
+            lines = head.split("\r\n")
+            if not lines[0].startswith("WARC/"):
+                raise ValueError(f"bad WARC record header: {lines[0]!r}")
+            hdrs: dict[str, str] = {}
+            for line in lines[1:]:
+                k, _, v = line.partition(":")
+                hdrs[k.strip().lower()] = v.strip()
+            clen = int(hdrs["content-length"])
+            total = head_end + 4 + clen + 4  # block + trailing CRLFCRLF
+            if len(buf) < total:
+                break
+            block = bytes(buf[head_end + 4:head_end + 4 + clen])
+            del buf[:total]
+            hdrs["block"] = block
+            yield hdrs
+    if buf.strip(b"\r\n"):
+        raise ValueError("trailing partial WARC record (truncated shard)")
+
+
+def _parse_http_response(block: bytes) -> tuple[int, str, str, bytes]:
+    """HTTP/1.1 response bytes → (status, content_type, lang, body)."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("WARC response record missing HTTP header block")
+    head = block[:sep].decode("utf-8", "replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split(" ", 2)
+    status = int(parts[1])
+    ctype = lang = ""
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        k = k.strip().lower()
+        if k == "content-type":
+            ctype = v.strip()
+        elif k == "content-language":
+            lang = v.strip()
+    return status, ctype, lang, block[sep + 4:]
+
+
+def parse_warc(chunks: Iterator[bytes], *, verify_digests: bool = False,
+               batch_rows: int = 256) -> Iterator[pa.Table]:
+    """Byte-chunk stream → WARC_PAGES_SCHEMA tables (response records
+    only), ``batch_rows`` rows at a time."""
+    cols: dict[str, list] = {k: [] for k in
+                             ("url", "ts", "status", "ctype", "lang", "html")}
+
+    def flush() -> pa.Table:
+        t = pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "warc_ts": pa.array(cols["ts"], pa.int64()).cast(
+                pa.timestamp("us")),
+            "http_status": pa.array(cols["status"], pa.int64()),
+            "content_type": pa.array(cols["ctype"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+            "html": pa.array(cols["html"], pa.large_binary()),
+        })
+        for k in cols:
+            cols[k].clear()
+        return t
+
+    for rec in _iter_warc_records(chunks):
+        if rec.get("warc-type") != "response":
+            continue
+        if verify_digests:
+            want = rec.get("warc-block-digest")
+            if want and _block_digest(rec["block"]) != want:
+                raise ValueError(
+                    f"WARC block digest mismatch for "
+                    f"{rec.get('warc-target-uri')!r} (corrupt shard)")
+        status, ctype, lang, body = _parse_http_response(rec["block"])
+        cols["url"].append(rec.get("warc-target-uri", ""))
+        cols["ts"].append(_warc_date_to_ts(rec.get("warc-date", "")))
+        cols["status"].append(status)
+        cols["ctype"].append(ctype)
+        cols["lang"].append(lang)
+        cols["html"].append(body)
+        if len(cols["url"]) >= batch_rows:
+            yield flush()
+    if cols["url"]:
+        yield flush()
+
+
+def read_warc(paths, *, verify_digests: bool = False, batch_rows: int = 256,
+              **read_kwargs):
+    """WARC shard path(s) → pages Dataset (WARC_PAGES_SCHEMA). File-
+    level parallel via Ray's read planner; per-task streaming parse."""
+    import ray.data
+    from ray.data.datasource import FileBasedDatasource
+
+    class WarcDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["warc", "warc.gz", "gz"]
+
+        def _read_stream(self, f, path: str):
+            def chunks(chunk=1 << 20):
+                while True:
+                    b = f.read(chunk)
+                    if not b:
+                        return
+                    yield b if isinstance(b, bytes) else b.to_pybytes()
+
+            yield from parse_warc(chunks(), verify_digests=verify_digests,
+                                  batch_rows=batch_rows)
+
+    return ray.data.read_datasource(WarcDatasource(paths), **read_kwargs)

@@ -1,0 +1,174 @@
+"""WARC container source/sink tests (kgrecrun/sources/warc.py).
+
+The round-trip is exact by construction: pages → WARC shards →
+read_warc must reproduce url / warc_ts (microsecond fidelity) / html
+bytes / lang, with records parsed from per-member gzip streams in a
+fully streaming fashion (the 7-byte-chunk cases force every partial-
+record code path).
+"""
+
+import gzip
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kgrecrun.corpus.synthgen import PAGES_SCHEMA
+from kgrecrun.sources.warc import (WARC_PAGES_SCHEMA, encode_warc,
+                                   parse_warc, read_warc,
+                                   write_warc_shards)
+
+
+def _pages(n=9, ts0=1735689600_000000):
+    rows = [dict(url=f"https://ex.org/a{i}",
+                 warc_ts=ts0 + i * 1_000_000 + 7 * i + (i % 3),
+                 html=(f"<html><body><p>doc {i} body — ünïcode"
+                       f"</p></body></html>").encode(),
+                 text=f"doc {i}", lang=["en", "de", ""][i % 3])
+            for i in range(n)]
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def _parse_all(payload, chunk=None, **kw):
+    if chunk:
+        chunks = (payload[i:i + chunk] for i in range(0, len(payload), chunk))
+    else:
+        chunks = iter([payload])
+    tables = list(parse_warc(chunks, **kw))
+    return (pa.concat_tables(tables) if tables
+            else WARC_PAGES_SCHEMA.empty_table())
+
+
+@pytest.mark.parametrize("compress", [True, False])
+@pytest.mark.parametrize("chunk", [None, 7])
+def test_roundtrip_exact(compress, chunk):
+    t = _pages()
+    got = _parse_all(encode_warc(t, compress=compress), chunk=chunk,
+                     verify_digests=True, batch_rows=4)
+    assert got.schema.equals(WARC_PAGES_SCHEMA)
+    assert got["url"].to_pylist() == t["url"].to_pylist()
+    # microsecond-exact timestamps (integer datetime arithmetic, no
+    # float seconds anywhere)
+    assert (got["warc_ts"].cast(pa.int64()).to_pylist()
+            == t["warc_ts"].cast(pa.int64()).to_pylist())
+    assert got["html"].to_pylist() == t["html"].to_pylist()
+    assert got["lang"].to_pylist() == t["lang"].to_pylist()
+    assert got["http_status"].to_pylist() == [200] * t.num_rows
+    assert set(got["content_type"].to_pylist()) == {
+        "text/html; charset=utf-8"}
+
+
+def test_gzip_members_are_per_record():
+    """Common-Crawl layout: every record its own gzip member, so any
+    member boundary is a valid split point."""
+    t = _pages(5)
+    payload = encode_warc(t, compress=True)
+    members = 0
+    pos = 0
+    while pos < len(payload):
+        assert payload[pos:pos + 2] == b"\x1f\x8b"
+        import zlib
+
+        d = zlib.decompressobj(47)
+        d.decompress(payload[pos:])
+        members += 1
+        consumed = len(payload) - pos - len(d.unused_data)
+        pos += consumed
+    assert members == 6  # warcinfo + 5 responses
+
+
+def test_non_response_records_skipped():
+    t = _pages(3)
+    got = _parse_all(encode_warc(t, compress=False))
+    assert got.num_rows == 3  # warcinfo dropped silently
+
+
+def test_digest_verification_catches_corruption():
+    payload = bytearray(encode_warc(_pages(), compress=False))
+    idx = payload.find(b"doc 3 body")
+    payload[idx] ^= 1
+    # without verification the flipped byte flows through...
+    got = _parse_all(bytes(payload))
+    assert got.num_rows == 9
+    # ...with verification it raises loudly
+    with pytest.raises(ValueError, match="digest mismatch"):
+        _parse_all(bytes(payload), verify_digests=True)
+
+
+def test_truncated_shard_raises():
+    payload = encode_warc(_pages(), compress=True)
+    with pytest.raises(ValueError):
+        _parse_all(payload[: int(len(payload) * 0.6)])
+    plain = encode_warc(_pages(), compress=False)
+    with pytest.raises(ValueError):
+        _parse_all(plain[: int(len(plain) * 0.6)])
+
+
+def test_foreign_warc_parses():
+    """A record not written by this module (absolute minimum headers,
+    second-precision WARC-Date, one gzip stream for the whole file)
+    still parses — the reader accepts the format, not just our dialect."""
+    body = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone"
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Date: 2024-06-01T12:00:00Z\r\n"
+           b"WARC-Target-URI: https://other.example/x\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           + f"Content-Length: {len(body)}\r\n\r\n".encode()
+           + body + b"\r\n\r\n")
+    got = _parse_all(gzip.compress(rec * 2))  # one member, two records
+    assert got.num_rows == 2
+    assert got["http_status"].to_pylist() == [404, 404]
+    assert got["html"].to_pylist() == [b"gone", b"gone"]
+    assert got["lang"].to_pylist() == ["", ""]
+    ts = got["warc_ts"].cast(pa.int64()).to_pylist()[0]
+    assert ts == 1717243200_000000
+
+
+def test_ray_shard_roundtrip(ray_session, tmp_path):
+    """End-to-end through Ray: Dataset → shards on disk → read_warc
+    Dataset; set-equality on every carried column."""
+    import ray.data
+
+    t = _pages(60)
+    out = str(tmp_path / "warc")
+    pages = ray.data.from_arrow(t).repartition(4)
+    manifest = write_warc_shards(pages, out)
+    m = manifest.to_pandas()
+    assert m["n_records"].sum() == 60
+    assert len(m) == 4  # one shard per block
+
+    back = read_warc(out, verify_digests=True)
+    got = back.to_pandas().sort_values("url").reset_index(drop=True)
+    want = t.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["html"]) == list(want["html"])
+    assert list(got["lang"]) == list(want["lang"])
+    assert (got["warc_ts"].astype("int64").tolist()
+            == want["warc_ts"].astype("int64").tolist())
+    assert (got["http_status"] == 200).all()
+
+
+def test_warc_feeds_extraction(ray_session, tmp_path):
+    """The ingest composes with the flagship stage: WARC bytes →
+    extract_articles equals extraction straight off the generator."""
+    import ray.data
+
+    from kgrecrun.corpus.synthgen import pages_dataset
+    from kgrecrun.extract.stage import extract_articles
+
+    pages = pages_dataset(80, seed=42)
+    out = str(tmp_path / "warc")
+    write_warc_shards(pages, out)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select(["url", "title", "text_length", "score"])
+
+    via_warc = (extract_articles(read_warc(out), emit_html=False)
+                .map_batches(proj, batch_format="pyarrow").to_pandas()
+                .sort_values("url").reset_index(drop=True))
+    direct = (extract_articles(pages_dataset(80, seed=42), emit_html=False)
+              .map_batches(proj, batch_format="pyarrow").to_pandas()
+              .sort_values("url").reset_index(drop=True))
+    assert via_warc.equals(direct)
+    assert (via_warc["text_length"] > 0).any()

@@ -1,13 +1,16 @@
 """JPEG-decode phash-dedup at scale: the phash_stress harness with the
-corpus's duplicate variants carried as BASELINE JPEG (ops/jpeg.py) —
-proves the new codec inside the full decode -> ahash -> band -> verify
--> label path, at two parallelism levels, with exact planted truth.
+corpus's duplicate variants carried as JPEG (ops/jpeg.py) — proves the
+codec inside the full decode -> ahash -> band -> verify -> label path,
+at two parallelism levels, with exact planted truth.
 
 Groups of 4 sharing ``base = id - id%4``: 0 = base 32x32 image as BMP;
-1 = SAME pixels as JPEG q90 (lossy container swap); 2 = SAME pixels as
-JPEG q90 with restart_interval=2 (exercises the decoder's DRI/RST
+1 = SAME pixels as baseline JPEG q90 (lossy container swap); 2 = SAME
+pixels as PROGRESSIVE (SOF2) JPEG q90 with restart_interval=2
+(exercises the successive-approximation scans AND the per-scan DRI/RST
 resync path at corpus scale); 3 = an independent JPEG (negative
-control). Pixels are 4x4-constant cells whose values come from two
+control). Singleton ids alternate baseline/progressive by parity, so
+roughly half the corpus decodes through each entropy layout.
+Pixels are 4x4-constant cells whose values come from two
 bands ({10..80} | {176..246}) so every ahash cell sits >=40 grey levels
 from the image mean — JPEG's few-level reconstruction error then flips
 ZERO hash bits and the planted truth is exact, not statistical
@@ -45,7 +48,7 @@ def _coarse(rng: np.random.RandomState) -> np.ndarray:
 
 
 def synth_jpeg_corpus(media_ids, seed: int = 7) -> pa.Table:
-    from kgrecrun.ops.jpeg import encode_jpeg
+    from kgrecrun.ops.jpeg import encode_jpeg, encode_jpeg_progressive
     from kgrecrun.ops.media import MEDIA_SCHEMA, encode_bmp, is_dup_group
 
     rows = []
@@ -61,9 +64,11 @@ def synth_jpeg_corpus(media_ids, seed: int = 7) -> pa.Table:
             elif which == 1:
                 payload = encode_jpeg(gray, quality=90)
             else:
-                payload = encode_jpeg(gray, quality=90, restart_interval=2)
+                payload = encode_jpeg_progressive(gray, quality=90,
+                                                  restart_interval=2)
         else:
-            payload = encode_jpeg(_coarse(np.random.RandomState(
+            enc = encode_jpeg_progressive if mid % 2 else encode_jpeg
+            payload = enc(_coarse(np.random.RandomState(
                 (seed * 3_000_017 + mid) % (2**31))), quality=90)
         rows.append(dict(
             media_id=mid, kind="image", payload=payload, width=32,
