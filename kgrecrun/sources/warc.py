@@ -27,6 +27,12 @@ the resumable-output pattern: shard names are content-derived
 (md5 of the first record's url), so a retried task rewrites the same
 bytes to the same name, idempotently.
 
+WET sidecar (:func:`write_wet_shards` / :func:`read_wet`): the Common
+Crawl extracted-text companion — ``conversion`` records carrying the
+extraction stage's plain text, each WARC-Refers-To-linked to its source
+response record. Completes the archive story: WARC shards in →
+streaming parse → extraction → WET shards out, archive-to-archive.
+
 100-TB notes: shards are independent (no cross-file state), the reader
 never materializes a whole file, and ingest composes with the
 extraction stage as ``read_warc(...) → extract_articles(...)`` — one
@@ -323,3 +329,128 @@ def read_warc(paths, *, verify_digests: bool = False, batch_rows: int = 256,
                                   batch_rows=batch_rows)
 
     return ray.data.read_datasource(WarcDatasource(paths), **read_kwargs)
+
+
+# ------------------------------------------------------------------ WET
+
+def _conversion_record(url: str, ts_us: int, text: str) -> bytes:
+    """WET-style ``conversion`` record: the extracted plain text of one
+    page (the Common Crawl WET sidecar layout)."""
+    body = text.encode("utf-8")
+    return _warc_record(
+        [("WARC-Type", "conversion"),
+         ("WARC-Record-ID", _record_id("wet:" + url, ts_us)),
+         ("WARC-Date", _ts_to_warc_date(ts_us)),
+         ("WARC-Target-URI", url),
+         ("WARC-Refers-To", _record_id(url, ts_us)),
+         ("WARC-Block-Digest", _block_digest(body)),
+         ("Content-Type", "text/plain")],
+        body)
+
+
+def encode_wet(batch: pa.Table, *, shard_name: str = "shard",
+               compress: bool = True,
+               url_col: str = "url", text_col: str = "text",
+               ts_col: str = "warc_ts") -> bytes:
+    """articles-shaped batch → one WET shard's bytes (warcinfo +
+    one conversion record per row, per-record gzip members)."""
+    if ts_col in batch.column_names:
+        ts = batch[ts_col].cast(pa.int64()).to_pylist()
+    else:  # extraction output carries no timestamp; WET is still valid
+        ts = [0] * batch.num_rows
+    records = [_warcinfo_record(shard_name)]
+    records += [_conversion_record(u, t, x or "")
+                for u, t, x in zip(batch[url_col].to_pylist(), ts,
+                                   batch[text_col].to_pylist())]
+    if compress:
+        return b"".join(gzip.compress(r, compresslevel=1) for r in records)
+    return b"".join(records)
+
+
+def write_wet_shards(articles, out_dir: str, *, compress: bool = True,
+                     url_col: str = "url", text_col: str = "text",
+                     ts_col: str = "warc_ts"):
+    """articles Dataset → WET shards (same idempotent content-named
+    layout as :func:`write_warc_shards`); returns the manifest."""
+    import os
+
+    ext = "warc.wet.gz" if compress else "warc.wet"
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64()),
+                             "n_bytes": pa.array([], pa.int64())})
+        name = "shard-" + hashlib.md5(
+            batch[url_col][0].as_py().encode()).hexdigest()[:12] + "." + ext
+        payload = encode_wet(batch, shard_name=name, compress=compress,
+                             url_col=url_col, text_col=text_col,
+                             ts_col=ts_col)
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"path": pa.array([name]),
+                         "n_records": pa.array([batch.num_rows], pa.int64()),
+                         "n_bytes": pa.array([len(payload)], pa.int64())})
+
+    return articles.map_batches(write_shard, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+
+WET_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("text", pa.large_string()),
+])
+
+
+def read_wet(paths, *, verify_digests: bool = False, batch_rows: int = 256,
+             **read_kwargs):
+    """WET shard path(s) → (url, warc_ts, text) Dataset."""
+    import ray.data
+    from ray.data.datasource import FileBasedDatasource
+
+    class WetDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["wet", "wet.gz", "warc", "warc.gz", "gz"]
+
+        def _read_stream(self, f, path: str):
+            def chunks(chunk=1 << 20):
+                while True:
+                    b = f.read(chunk)
+                    if not b:
+                        return
+                    yield b if isinstance(b, bytes) else b.to_pybytes()
+
+            cols: dict[str, list] = {"url": [], "ts": [], "text": []}
+
+            def flush() -> pa.Table:
+                t = pa.table({
+                    "url": pa.array(cols["url"], pa.string()),
+                    "warc_ts": pa.array(cols["ts"], pa.int64()).cast(
+                        pa.timestamp("us")),
+                    "text": pa.array(cols["text"], pa.large_string()),
+                })
+                for k in cols:
+                    cols[k].clear()
+                return t
+
+            for rec in _iter_warc_records(chunks()):
+                if rec.get("warc-type") != "conversion":
+                    continue
+                if verify_digests:
+                    want = rec.get("warc-block-digest")
+                    if want and _block_digest(rec["block"]) != want:
+                        raise ValueError(
+                            f"WET block digest mismatch for "
+                            f"{rec.get('warc-target-uri')!r}")
+                cols["url"].append(rec.get("warc-target-uri", ""))
+                cols["ts"].append(_warc_date_to_ts(rec.get("warc-date", "")))
+                cols["text"].append(rec["block"].decode("utf-8"))
+                if len(cols["url"]) >= batch_rows:
+                    yield flush()
+            if cols["url"]:
+                yield flush()
+
+    return ray.data.read_datasource(WetDatasource(paths), **read_kwargs)

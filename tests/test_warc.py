@@ -172,3 +172,64 @@ def test_warc_feeds_extraction(ray_session, tmp_path):
               .sort_values("url").reset_index(drop=True))
     assert via_warc.equals(direct)
     assert (via_warc["text_length"] > 0).any()
+
+
+# ------------------------------------------------------------------ WET
+
+def test_wet_roundtrip_exact():
+    """articles → WET shard bytes → read back: url / warc_ts / text
+    survive exactly (conversion records, per-member gzip)."""
+    from kgrecrun.sources.warc import _iter_warc_records, encode_wet
+
+    t = pa.table({
+        "url": pa.array([f"https://ex.org/a{i}" for i in range(5)]),
+        "warc_ts": pa.array([1735689600_000000 + i * 11 for i in range(5)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "text": pa.array([f"extracted text {i} — ünïcode\nline two"
+                          for i in range(5)], pa.large_string()),
+    })
+    payload = encode_wet(t)
+    recs = [r for r in _iter_warc_records(iter([payload]))
+            if r.get("warc-type") == "conversion"]
+    assert len(recs) == 5
+    assert [r["warc-target-uri"] for r in recs] == t["url"].to_pylist()
+    assert ([r["block"].decode() for r in recs]
+            == t["text"].to_pylist())
+    # every conversion record refers back to its response record
+    assert all(r.get("warc-refers-to") for r in recs)
+
+
+def test_archive_in_archive_out(ray_session, tmp_path):
+    """The complete archive story: WARC shards in → streaming parse →
+    extraction → WET shards out → read_wet returns exactly the
+    extracted text (url-aligned, digest-verified both ways)."""
+    import ray.data
+
+    from kgrecrun.corpus.synthgen import pages_dataset
+    from kgrecrun.extract.stage import extract_articles
+    from kgrecrun.sources.warc import (read_warc, read_wet,
+                                       write_warc_shards, write_wet_shards)
+
+    pages = pages_dataset(60, seed=42)
+    warc_dir = str(tmp_path / "warc")
+    write_warc_shards(pages, warc_dir)
+
+    arts = extract_articles(read_warc(warc_dir, verify_digests=True),
+                            emit_html=False)
+    arts_tbl = pa.concat_tables(
+        list(arts.map_batches(
+            lambda b: b.select(["url", "text"]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
+
+    wet_dir = str(tmp_path / "wet")
+    manifest = write_wet_shards(
+        ray.data.from_arrow(arts_tbl).repartition(3), wet_dir)
+    assert int(manifest.to_pandas()["n_records"].sum()) == 60
+
+    back = (read_wet(wet_dir, verify_digests=True).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    want = (arts_tbl.to_pandas().sort_values("url")
+            .reset_index(drop=True))
+    assert list(back["url"]) == list(want["url"])
+    assert list(back["text"]) == list(want["text"])
+    assert (back["text"].str.len() > 0).any()
