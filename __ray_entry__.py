@@ -153,13 +153,18 @@ def _warc_shards_dir(sf_dir: str) -> str:
         from kgrecrun.sources.warc import write_warc_shards
 
         stage = out + ".stage"
+        cdx_stage = out + "_cdx.stage"
         shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(cdx_stage, ignore_errors=True)
         write_warc_shards(
-            _synth_pages(sf_dir).repartition(max(8, n // 256)), stage)
+            _synth_pages(sf_dir).repartition(max(8, n // 256)), stage,
+            cdx_dir=cdx_stage)
         try:
+            os.rename(cdx_stage, out + "_cdx")  # index first, data last
             os.rename(stage, out)
         except OSError:  # concurrent writer won the rename
             shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(cdx_stage, ignore_errors=True)
     return out
 
 
@@ -307,6 +312,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["url", "title", "text_length", "score"]),
             batch_format="pyarrow",
         )
+
+    def warc_cdx_lookup(sf_dir: str):
+        """Archive RANDOM ACCESS: the CDX index (url → shard / byte
+        offset / member length, written alongside the shards) filtered
+        to a deterministic probe set (doc id ≡ 0 mod 16), then each hit
+        fetched by seek+read of exactly its gzip member — no shard is
+        scanned. A 100-TB archive answers point lookups proportional to
+        the hit list; payload md5s must still match the generator-truth
+        golden, proving ranged access returns the exact bytes."""
+        import hashlib
+
+        import ray.data
+
+        from kgrecrun.sources.warc import cdx_fetch
+
+        shards = _warc_shards_dir(sf_dir)
+        cdx = ray.data.read_parquet(shards + "_cdx")
+
+        def probe(b: pa.Table) -> pa.Table:
+            did = pc.cast(pc.struct_field(pc.extract_regex(
+                b["url"].combine_chunks(), r"art-(?P<id>\d+)$"), "id"),
+                pa.int64())
+            return b.filter(pc.equal(pc.bit_wise_and(did, 15), 0))
+
+        hits = cdx.map_batches(probe, batch_format="pyarrow")
+        rows = cdx_fetch(hits, shards, verify_digests=True)
+
+        def proj(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": b["url"],
+                "warc_ts_us": b["warc_ts"].cast(pa.int64()),
+                "n_bytes": pc.cast(pc.binary_length(b["html"]), pa.int64()),
+                "html_md5": pa.array(
+                    [hashlib.md5(h).hexdigest()
+                     for h in b["html"].to_pylist()], pa.string()),
+            })
+
+        return rows.map_batches(proj, batch_format="pyarrow")
 
     def kg_crawl_frontier(sf_dir: str):
         """Discovered-not-yet-fetched url set: kernel next-page picks
@@ -4161,6 +4204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clean_html": kg_clean_html,
         "warc_ingest": warc_ingest,
         "warc_articles": warc_articles,
+        "warc_cdx_lookup": warc_cdx_lookup,
         "kg_crawl_frontier": kg_crawl_frontier,
         "kg_multipage": kg_multipage,
         "kg_crawl_rounds": kg_crawl_rounds,
@@ -4904,6 +4948,15 @@ def oracle_sql() -> dict[str, str]:
         "warc_articles": """
             SELECT url, title, text_length, score
             FROM read_parquet('/root/repo/tests/goldens/kg_articles_sf001.parquet')
+        """,
+        # CDX random access: engine fetches each probe url by byte range
+        # (seek + read of one gzip member) out of the shards; the oracle
+        # is the same generator-truth golden filtered to the probe set —
+        # matching md5s prove ranged access returns exact payloads.
+        "warc_cdx_lookup": """
+            SELECT url, warc_ts_us, n_bytes, html_md5
+            FROM read_parquet('/root/repo/tests/goldens/warc_pages_gold_sf001.parquet')
+            WHERE CAST(regexp_extract(url, 'art-(\\d+)$', 1) AS BIGINT) % 16 = 0
         """,
         "kg_text_nodes": """
             SELECT url, node_idx, node_text

@@ -126,10 +126,13 @@ def _warcinfo_record(shard_name: str) -> bytes:
 
 
 def encode_warc(batch: pa.Table, *, shard_name: str = "shard",
-                compress: bool = True) -> bytes:
+                compress: bool = True, return_cdx: bool = False):
     """pages-schema batch → one WARC (or .warc.gz) shard's bytes:
     a warcinfo record followed by one response record per row, each
-    record its own gzip member when ``compress``."""
+    record its own gzip member when ``compress``. With ``return_cdx``
+    also returns [(url, ts_us, offset, length)] — per-record byte
+    ranges in the shard (CDX rows), valid because each record is its
+    own gzip member and therefore independently decompressible."""
     ts = batch["warc_ts"].cast(pa.int64()).to_pylist()  # exact µs
     urls = batch["url"].to_pylist()
     htmls = batch["html"].to_pylist()
@@ -139,15 +142,37 @@ def encode_warc(batch: pa.Table, *, shard_name: str = "shard",
     records += [_response_record(u, t, h, lg or "")
                 for u, t, h, lg in zip(urls, ts, htmls, langs)]
     if compress:
-        return b"".join(gzip.compress(r, compresslevel=1) for r in records)
-    return b"".join(records)
+        records = [gzip.compress(r, compresslevel=1) for r in records]
+    payload = b"".join(records)
+    if not return_cdx:
+        return payload
+    cdx = []
+    off = len(records[0])
+    for u, t, r in zip(urls, ts, records[1:]):
+        cdx.append((u, t, off, len(r)))
+        off += len(r)
+    return payload, cdx
 
 
-def write_warc_shards(pages, out_dir: str, *, compress: bool = True):
+CDX_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts_us", pa.int64()),
+    ("shard", pa.string()),
+    ("offset", pa.int64()),
+    ("length", pa.int64()),
+])
+
+
+def write_warc_shards(pages, out_dir: str, *, compress: bool = True,
+                      cdx_dir: str | None = None):
     """pages Dataset → WARC shards under ``out_dir`` (one shard per
     input block, name derived from the first record's url so retries
     are idempotent). Returns the materialized manifest Dataset
-    (shard path, n_records, n_bytes) — consuming it IS the write."""
+    (shard path, n_records, n_bytes) — consuming it IS the write.
+    With ``cdx_dir`` each task also writes its shard's CDX index
+    (url → shard/offset/length, one parquet per shard, same idempotent
+    naming) — the Common Crawl companion that makes single-record
+    random access possible without scanning archives."""
     import os
 
     ext = "warc.gz" if compress else "warc"
@@ -157,20 +182,67 @@ def write_warc_shards(pages, out_dir: str, *, compress: bool = True):
             return pa.table({"path": pa.array([], pa.string()),
                              "n_records": pa.array([], pa.int64()),
                              "n_bytes": pa.array([], pa.int64())})
-        name = "shard-" + hashlib.md5(
-            batch["url"][0].as_py().encode()).hexdigest()[:12] + "." + ext
-        payload = encode_warc(batch, shard_name=name, compress=compress)
+        tag = hashlib.md5(batch["url"][0].as_py().encode()).hexdigest()[:12]
+        name = f"shard-{tag}.{ext}"
+        payload, cdx = encode_warc(batch, shard_name=name,
+                                   compress=compress, return_cdx=True)
         os.makedirs(out_dir, exist_ok=True)
         tmp = os.path.join(out_dir, "." + name + ".tmp")
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, os.path.join(out_dir, name))  # atomic per shard
+        if cdx_dir is not None:
+            import pyarrow.parquet as pq
+
+            os.makedirs(cdx_dir, exist_ok=True)
+            cdx_tbl = pa.table({
+                "url": pa.array([c[0] for c in cdx], pa.string()),
+                "warc_ts_us": pa.array([c[1] for c in cdx], pa.int64()),
+                "shard": pa.array([name] * len(cdx), pa.string()),
+                "offset": pa.array([c[2] for c in cdx], pa.int64()),
+                "length": pa.array([c[3] for c in cdx], pa.int64()),
+            })
+            ctmp = os.path.join(cdx_dir, f".cdx-{tag}.parquet.tmp")
+            pq.write_table(cdx_tbl, ctmp)
+            os.replace(ctmp, os.path.join(cdx_dir, f"cdx-{tag}.parquet"))
         return pa.table({"path": pa.array([name]),
                          "n_records": pa.array([batch.num_rows], pa.int64()),
                          "n_bytes": pa.array([len(payload)], pa.int64())})
 
     return pages.map_batches(write_shard, batch_format="pyarrow",
                              batch_size=None).materialize()
+
+
+def cdx_fetch(cdx, shards_dir: str, *, verify_digests: bool = False):
+    """CDX rows → the referenced records via RANGED reads: per batch,
+    hits are grouped by shard and read offset-sorted (seek + read of
+    exactly ``length`` bytes, one independent gzip member each) — no
+    shard is ever scanned. This is the archive random-access path: a
+    100-TB store answers point lookups proportional to the hit list,
+    not the corpus. For large fetch sets, pre-sort/partition the cdx
+    Dataset by (shard, offset) so each task touches few files."""
+    import os
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        by_shard: dict[str, list[int]] = {}
+        shards = batch["shard"].to_pylist()
+        offs = batch["offset"].to_pylist()
+        lens = batch["length"].to_pylist()
+        for i, s in enumerate(shards):
+            by_shard.setdefault(s, []).append(i)
+        tables = []
+        for shard, idxs in by_shard.items():
+            idxs.sort(key=lambda i: offs[i])
+            with open(os.path.join(shards_dir, shard), "rb") as f:
+                for i in idxs:
+                    f.seek(offs[i])
+                    raw = f.read(lens[i])
+                    tables.extend(parse_warc(
+                        iter([raw]), verify_digests=verify_digests))
+        return (pa.concat_tables(tables) if tables
+                else WARC_PAGES_SCHEMA.empty_table())
+
+    return cdx.map_batches(fetch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- parse

@@ -233,3 +233,36 @@ def test_archive_in_archive_out(ray_session, tmp_path):
     assert list(back["url"]) == list(want["url"])
     assert list(back["text"]) == list(want["text"])
     assert (back["text"].str.len() > 0).any()
+
+
+# ------------------------------------------------------------------ CDX
+
+def test_cdx_ranged_fetch(ray_session, tmp_path):
+    """CDX random access through Ray: write shards + index, fetch a url
+    subset by byte range only — records come back exact, digests
+    verified, and no record outside the probe set is returned."""
+    import ray.data
+
+    from kgrecrun.sources.warc import cdx_fetch, write_warc_shards
+
+    t = _pages(40)
+    shards = str(tmp_path / "warc")
+    cdx_dir = str(tmp_path / "cdx")
+    write_warc_shards(ray.data.from_arrow(t).repartition(5), shards,
+                      cdx_dir=cdx_dir)
+    cdx = ray.data.read_parquet(cdx_dir)
+    assert cdx.count() == 40
+
+    want_urls = {f"https://ex.org/a{i}" for i in range(0, 40, 7)}
+    hits = cdx.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b["url"],
+                             value_set=pa.array(sorted(want_urls)))),
+        batch_format="pyarrow")
+    got = (cdx_fetch(hits, shards, verify_digests=True).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    assert set(got["url"]) == want_urls
+    want = (t.to_pandas().set_index("url").loc[got["url"]])
+    assert list(got["html"]) == list(want["html"])
+    assert (got["warc_ts"].astype("int64").tolist()
+            == want["warc_ts"].astype("int64").tolist())
