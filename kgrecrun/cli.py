@@ -6,6 +6,13 @@ replacement for the reference's service-worker orchestration
         --entities /data/entities.parquet --out /data/kg \
         [--files-per-partition 4] [--synthetic-docs N]
 
+A crawl drop can be ingested directly — WARC.gz shards instead of
+parquet (streaming parse, digest-verified), same file-granular
+checkpoint partitions:
+
+    python -m kgrecrun.cli --pages '/data/crawl/*.warc.gz' \
+        --pages-format warc --entities /data/entities.parquet --out /data/kg
+
 With ``--synthetic-docs N`` (no --pages), a deterministic CC-style
 corpus is generated first — the hermetic equivalent of pointing at a
 crawl dump. Owns its Ray session (guarded init; the library never
@@ -29,6 +36,11 @@ import sys
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kgrecrun")
     p.add_argument("--pages", help="glob of input page parquet files")
+    p.add_argument("--pages-format", default="parquet",
+                   choices=["parquet", "warc"],
+                   help="--pages container: parquet page tables or "
+                        "WARC.gz crawl shards (streaming ingest, "
+                        "digest-verified)")
     p.add_argument("--entities", help="entity-catalog parquet (entity_id, etype, canonical, aliases)")
     p.add_argument("--out", required=True, help="output root (triples/, mentions/, _manifests/)")
     p.add_argument("--files-per-partition", type=int, default=4)
@@ -76,7 +88,9 @@ def main(argv=None) -> int:
         return 2
 
     summary = run_checkpointed(
-        files, entities, args.out, files_per_partition=args.files_per_partition
+        files, entities, args.out,
+        files_per_partition=args.files_per_partition,
+        input_format=args.pages_format,
     )
     print(json.dumps(summary))
     if args._own_ray:

@@ -49,8 +49,15 @@ def run_checkpointed(
     files_per_partition: int = 4,
     concurrency=(1, 8),
     config: dict | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Run (or resume) the flagship pipeline over the given page files.
+
+    ``input_format="warc"`` reads WARC.gz crawl shards directly
+    (sources/warc.py streaming datasource) instead of parquet — the
+    partition/checkpoint semantics are identical because both are
+    file-granular: a partition is a file group, its manifest
+    fingerprints the same bytes either way.
 
     Returns summary: partitions run/skipped and the final deduplicated
     triples output path.
@@ -59,6 +66,7 @@ def run_checkpointed(
 
     config = dict(config or {})
     config.setdefault("pipeline", "kg_v1")
+    config.setdefault("input_format", input_format)
     cfg_hash = mf.config_hash(config)
 
     resources = KGResources.from_entity_table(entities_table)
@@ -81,7 +89,12 @@ def run_checkpointed(
             skipped.append(pid)
             continue
         t0 = time.time()
-        pages = ray.data.read_parquet(files)
+        if input_format == "warc":
+            from kgrecrun.sources.warc import read_warc
+
+            pages = read_warc(files, verify_digests=True)
+        else:
+            pages = ray.data.read_parquet(files)
         articles = extract_articles(pages, emit_html=False)
         texts = english_texts(articles)
         canonical = texts.map_batches(

@@ -115,3 +115,43 @@ def test_compact_parquet_dir(tmp_path):
     assert not rep2["compacted"]
     assert not any(p.endswith((".compact-tmp", ".compact-old"))
                    for p in os.listdir(tmp_path))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_warc_input_flagship_identical(tmp_path):
+    """The checkpointed flagship over WARC.gz crawl shards produces the
+    SAME final triples as over parquet pages (file-granular partitions
+    and manifests work identically), and a re-run skips everything."""
+    import glob
+
+    import ray.data
+
+    from kgrecrun.sources.warc import write_warc_shards
+
+    corpus = tmp_path / "corpus"
+    synthgen.write_corpus(str(corpus), n_docs=80, seed=42, shard_size=20)
+    w = synthgen.get_world(42)
+    pq_files = sorted(glob.glob(str(corpus / "pages" / "*.parquet")))
+
+    warc_dir = tmp_path / "warc"
+    for f in pq_files:  # one WARC shard per parquet shard
+        write_warc_shards(ray.data.read_parquet(f).repartition(1),
+                          str(warc_dir))
+    warc_files = sorted(glob.glob(str(warc_dir / "*.warc.gz")))
+    assert len(warc_files) == len(pq_files)
+
+    out_pq = str(tmp_path / "out_pq")
+    out_wc = str(tmp_path / "out_wc")
+    run_checkpointed(pq_files, w.entity_table(), out_pq,
+                     files_per_partition=2)
+    res = run_checkpointed(warc_files, w.entity_table(), out_wc,
+                           files_per_partition=2, input_format="warc")
+    assert res["partitions_run"] == ["00000", "00001"]
+    assert _triples_set(out_wc + "/triples") == _triples_set(
+        out_pq + "/triples")
+
+    res2 = run_checkpointed(warc_files, w.entity_table(), out_wc,
+                            files_per_partition=2, input_format="warc")
+    assert res2["partitions_run"] == []
+    assert res2["partitions_skipped"] == ["00000", "00001"]
+    assert res2["final_reduce"] == "skipped"
