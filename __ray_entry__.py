@@ -838,6 +838,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return ds.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True)
 
+    def docs_url_canonical(sf_dir: str):
+        """URL canonicalization — the key function under crawl-level
+        dedup. Dirty variants (case, default ports, fragments, tracking
+        params, shuffled query order) are constructed deterministically
+        per doc_id and canonicalized by the engine kernel
+        (ops/urlnorm.py, stateless vectorized map, zero exchange); the
+        oracle states the expected canonical string per variant in
+        PLANTED closed form — no canonicalization logic on the SQL
+        side, so nothing is shared but the test vectors' intent."""
+        import ray.data
+
+        from kgrecrun.ops.urlnorm import canonical_urls
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id"])
+
+        def mk(b: pa.Table) -> pa.Table:
+            urls = []
+            for i in b["doc_id"].to_pylist():
+                v = i % 4
+                if v == 0:
+                    urls.append(
+                        f"https://docs.example/d/{i}?a=1&utm_source=feed{i}")
+                elif v == 1:
+                    urls.append(
+                        f"HTTPS://Docs.Example:443/d/{i}?b=2&a=1#sec-{i}")
+                elif v == 2:
+                    urls.append(
+                        f"https://docs.example/d/{i}?fbclid=X{i}&ref=tw")
+                else:
+                    urls.append(f"http://Docs.Example:80/d/{i}")
+            return pa.table({"doc_id": b["doc_id"],
+                             "url": pa.array(urls, pa.string())})
+
+        return canonical_urls(ds.map_batches(mk, batch_format="pyarrow"))
+
     def doc_quality(sf_dir: str):
         import ray.data
 
@@ -4236,6 +4272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (SQL-checkable) ---
         "docs_by_lang": R.docs_by_lang,
         "doc_token_counts": doc_token_counts,
+        "docs_url_canonical": docs_url_canonical,
         "doc_quality": doc_quality,
         "doc_fingerprints": doc_fingerprints,
         "doc_lang_pred": doc_lang_pred,
@@ -5493,6 +5530,29 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
         "docs_by_lang": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        # URL canonicalization: expected canonical per dirty variant in
+        # PLANTED closed form — the SQL side carries the test vectors'
+        # intent, no canonicalization logic shared with the engine.
+        "docs_url_canonical": """
+            SELECT doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN 'https://docs.example/d/' || doc_id
+                            || '?a=1&utm_source=feed' || doc_id
+                WHEN 1 THEN 'HTTPS://Docs.Example:443/d/' || doc_id
+                            || '?b=2&a=1#sec-' || doc_id
+                WHEN 2 THEN 'https://docs.example/d/' || doc_id
+                            || '?fbclid=X' || doc_id || '&ref=tw'
+                ELSE 'http://Docs.Example:80/d/' || doc_id
+              END AS url,
+              CASE doc_id % 4
+                WHEN 0 THEN 'https://docs.example/d/' || doc_id || '?a=1'
+                WHEN 1 THEN 'https://docs.example/d/' || doc_id
+                            || '?a=1&b=2'
+                WHEN 2 THEN 'https://docs.example/d/' || doc_id
+                ELSE 'http://docs.example/d/' || doc_id
+              END AS canonical_url
+            FROM documents
+        """,
         "doc_token_counts": f"SELECT doc_id, {_NTOK} AS n_tokens FROM documents",
         "doc_quality": f"""
             WITH base AS (

@@ -150,7 +150,7 @@ def bench_main() -> None:
         "kg_host_stats", "kg_pred_signatures", "kg_growth",
         "kg_fact_conflicts", "kg_mention_counts", "kg_snapshot_delta",
         "kg_crawl_depths", "kg_corpus_pack",
-        "warc_ingest", "warc_articles",
+        "warc_ingest", "warc_articles", "docs_url_canonical",
     ]
     times: dict[str, float] = {}
     total0 = time.time()

@@ -1,0 +1,62 @@
+"""URL canonicalization tests (kgrecrun/ops/urlnorm.py) — rule-by-rule
+vectors, idempotence, and never-lose-a-frontier-entry passthrough."""
+
+import pytest
+
+from kgrecrun.ops.urlnorm import canonicalize_url
+
+VECTORS = [
+    # scheme/host lowercase
+    ("HTTPS://Docs.Example/Path", "https://docs.example/Path"),
+    # default ports stripped, per scheme
+    ("http://a.example:80/x", "http://a.example/x"),
+    ("https://a.example:443/x", "https://a.example/x"),
+    ("https://a.example:80/x", "https://a.example:80/x"),  # NOT default
+    ("http://a.example:8080/x", "http://a.example:8080/x"),
+    # fragment dropped
+    ("https://a.example/x#sec-2", "https://a.example/x"),
+    # tracking params dropped (whole k=v token matched)
+    ("https://a.example/x?utm_source=f&q=1", "https://a.example/x?q=1"),
+    ("https://a.example/x?fbclid=Y", "https://a.example/x"),
+    ("https://a.example/x?ref=tw&gclid=1&a=2", "https://a.example/x?a=2"),
+    # a non-tracking param that merely CONTAINS a tracker name survives
+    ("https://a.example/x?xutm_source=1", "https://a.example/x?xutm_source=1"),
+    ("https://a.example/x?refx=1", "https://a.example/x?refx=1"),
+    # params sorted lexicographically by k=v
+    ("https://a.example/x?b=2&a=10&a=1", "https://a.example/x?a=1&a=10&b=2"),
+    # empty query / empty path normalized
+    ("https://a.example/x?", "https://a.example/x"),
+    ("https://a.example?a=1", "https://a.example/?a=1"),
+    ("https://a.example", "https://a.example/"),
+    # query kept when only some params are trackers
+    ("https://a.example/x?utm_campaign=c&z=9&utm_medium=m",
+     "https://a.example/x?z=9"),
+]
+
+
+@pytest.mark.parametrize("dirty,clean", VECTORS)
+def test_vectors(dirty, clean):
+    assert canonicalize_url(dirty) == clean
+
+
+@pytest.mark.parametrize("dirty,clean", VECTORS)
+def test_idempotent(dirty, clean):
+    assert canonicalize_url(clean) == clean
+
+
+def test_unparseable_passthrough():
+    for u in ("not a url", "", "mailto:x@y.example", "/relative/only",
+              "ftp//missing-colon"):
+        assert canonicalize_url(u) == u
+
+
+def test_canonical_collapses_variants():
+    """The dedup property: all dirty spellings of one resource map to
+    one key."""
+    variants = [
+        "https://a.example/page?id=7&utm_source=mail",
+        "HTTPS://A.Example:443/page?id=7#top",
+        "https://a.example/page?utm_medium=x&id=7",
+    ]
+    keys = {canonicalize_url(v) for v in variants}
+    assert keys == {"https://a.example/page?id=7"}
