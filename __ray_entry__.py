@@ -351,6 +351,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rows.map_batches(proj, batch_format="pyarrow")
 
+    def crawl_robots_filter(sf_dir: str):
+        """Crawl-politeness gate: per-host robots.txt TEXT is
+        synthesized deterministically (three host classes: an
+        agent-specific group with a longest-match Allow override, a
+        ``*`` group with wildcard+anchor patterns and an ignored
+        crawl-delay, and an allow-all group with comments), the REAL
+        RFC 9309 parser derives each verdict, and the oracle states the
+        intended allow/deny per url class in closed form — nothing
+        shared but the test vectors' intent. Broadcast is one row per
+        host (97 at this corpus), the canonical bounded small side."""
+
+        from kgrecrun.extract.robots import robots_filter
+
+        def robots_text(sid: int) -> str:
+            if sid % 3 == 0:
+                return ("User-agent: other-bot\nDisallow: /\n\n"
+                        "User-agent: kgrecrun\nDisallow: /politics/\n"
+                        "Allow: /politics/art-1*\n")
+            if sid % 3 == 1:
+                return ("# deny articles whose id ends in 7\n"
+                        "User-agent: *\nCrawl-delay: 2\n"
+                        "Disallow: /*/art-*7$\n")
+            return ("User-agent: kgrecrun\nAllow: /\n"
+                    "# everything welcome\n\n"
+                    "User-agent: other-bot\nDisallow:\n")
+
+        robots = pa.table({
+            "host": pa.array([f"site{i}.example" for i in range(200)]),
+            "robots_txt": pa.array([robots_text(i) for i in range(200)]),
+        })
+        pages = _synth_pages(sf_dir).map_batches(
+            lambda b: b.select(["url"]), batch_format="pyarrow")
+        return robots_filter(pages, robots)
+
     def kg_crawl_frontier(sf_dir: str):
         """Discovered-not-yet-fetched url set: kernel next-page picks
         absolutized against their page url (raw links would make the
@@ -4241,6 +4275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": warc_ingest,
         "warc_articles": warc_articles,
         "warc_cdx_lookup": warc_cdx_lookup,
+        "crawl_robots_filter": crawl_robots_filter,
         "kg_crawl_frontier": kg_crawl_frontier,
         "kg_multipage": kg_multipage,
         "kg_crawl_rounds": kg_crawl_rounds,
@@ -4994,6 +5029,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts_us, n_bytes, html_md5
             FROM read_parquet('/root/repo/tests/goldens/warc_pages_gold_sf001.parquet')
             WHERE CAST(regexp_extract(url, 'art-(\\d+)$', 1) AS BIGINT) % 16 = 0
+        """,
+        # robots politeness gate: the engine PARSES synthesized per-host
+        # robots.txt text (RFC 9309 groups, wildcards, $ anchors,
+        # longest-match, allow-tie); the oracle states the planted
+        # intent per host class in closed form. Urls from the warc
+        # golden (same corpus url set). Valid at sf0.01.
+        "crawl_robots_filter": """
+            WITH p AS (
+              SELECT url,
+                CAST(regexp_extract(url, '^https://site(\\d+)\\.example/', 1)
+                     AS BIGINT) AS sid,
+                regexp_extract(url, '^https://site\\d+\\.example/([a-z]+)/', 1)
+                     AS sec,
+                regexp_extract(url, 'art-(\\d+)$', 1) AS art
+              FROM read_parquet('/root/repo/tests/goldens/warc_pages_gold_sf001.parquet'))
+            SELECT url,
+              CAST(CASE sid % 3
+                WHEN 0 THEN (sec <> 'politics' OR art LIKE '1%')
+                WHEN 1 THEN (art NOT LIKE '%7')
+                ELSE TRUE
+              END AS BIGINT) AS allowed
+            FROM p
         """,
         "kg_text_nodes": """
             SELECT url, node_idx, node_text
