@@ -385,6 +385,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["url"]), batch_format="pyarrow")
         return robots_filter(pages, robots)
 
+    def crawl_sitemap_seed(sf_dir: str):
+        """Crawl-discovery seed: per-block sitemap XML documents are
+        rendered from the corpus (loc + fractional-second lastmod +
+        changefreq), the REAL sitemaps.org parser explodes them back
+        into frontier rows, and the result must reproduce generator
+        truth — the golden carries (url, warc_ts_us) with no XML code
+        in its path, so the hash certifies the render→parse round-trip
+        incl. µs-exact lastmod. changefreq is planted closed-form from
+        the doc id."""
+        import re as _re
+
+        from kgrecrun.extract.sitemaps import (render_sitemap,
+                                               sitemap_frontier)
+
+        def mk(b: pa.Table) -> pa.Table:
+            urls = b["url"].to_pylist()
+            ts = b["warc_ts"].cast(pa.int64()).to_pylist()
+            ids = [int(_re.search(r"art-(\d+)$", u).group(1))
+                   for u in urls]
+            cf = [("daily", "weekly", "monthly")[i % 3] for i in ids]
+            return pa.table({
+                "host": pa.array(["seed"], pa.string()),
+                "xml": pa.array([render_sitemap(urls, ts, cf)],
+                                pa.large_binary()),
+            })
+
+        rows = sitemap_frontier(
+            _synth_pages(sf_dir).map_batches(mk, batch_format="pyarrow"))
+        return rows.map_batches(
+            lambda b: b.select(["loc", "lastmod_us", "changefreq"]),
+            batch_format="pyarrow")
+
     def kg_crawl_frontier(sf_dir: str):
         """Discovered-not-yet-fetched url set: kernel next-page picks
         absolutized against their page url (raw links would make the
@@ -4276,6 +4308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_articles": warc_articles,
         "warc_cdx_lookup": warc_cdx_lookup,
         "crawl_robots_filter": crawl_robots_filter,
+        "crawl_sitemap_seed": crawl_sitemap_seed,
         "kg_crawl_frontier": kg_crawl_frontier,
         "kg_multipage": kg_multipage,
         "kg_crawl_rounds": kg_crawl_rounds,
@@ -5029,6 +5062,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts_us, n_bytes, html_md5
             FROM read_parquet('/root/repo/tests/goldens/warc_pages_gold_sf001.parquet')
             WHERE CAST(regexp_extract(url, 'art-(\\d+)$', 1) AS BIGINT) % 16 = 0
+        """,
+        # sitemap seed: engine renders sitemap XML from the corpus and
+        # parses it back with the real sitemaps.org parser; the golden
+        # carries generator truth with no XML in its path, so the hash
+        # certifies the render→parse round-trip (µs-exact lastmod).
+        "crawl_sitemap_seed": """
+            SELECT url AS loc, warc_ts_us AS lastmod_us,
+              CASE CAST(regexp_extract(url, 'art-(\\d+)$', 1) AS BIGINT) % 3
+                WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                ELSE 'monthly' END AS changefreq
+            FROM read_parquet('/root/repo/tests/goldens/warc_pages_gold_sf001.parquet')
         """,
         # robots politeness gate: the engine PARSES synthesized per-host
         # robots.txt text (RFC 9309 groups, wildcards, $ anchors,
