@@ -940,6 +940,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return canonical_urls(ds.map_batches(mk, batch_format="pyarrow"))
 
+    def doc_lm_quality(sf_dir: str):
+        """CCNet-style LM quality filter, integer-exact: a bigram model
+        trained on the corpus itself (one partial-counts pass + driver
+        reduce, loud broadcast bound), then every doc scored with the
+        scaled-integer inverse-probability surrogate for -ln P (the
+        BM25 fixed-point trade — float perplexity is not reproducible
+        across engines). keep = score below threshold, the filter
+        verdict. Oracle: the full train+score recomputed in SQL with
+        the shared \\s+ tokenizer — integer-exact end to end."""
+        import ray.data
+
+        from kgrecrun.ops.lmfilter import lm_quality_scores
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return lm_quality_scores(ds, threshold_fp=30_000_000)
+
     def doc_quality(sf_dir: str):
         import ray.data
 
@@ -4341,6 +4358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": R.docs_by_lang,
         "doc_token_counts": doc_token_counts,
         "docs_url_canonical": docs_url_canonical,
+        "doc_lm_quality": doc_lm_quality,
         "doc_quality": doc_quality,
         "doc_fingerprints": doc_fingerprints,
         "doc_lang_pred": doc_lang_pred,
@@ -5631,6 +5649,43 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_sql(),
         "embedding_dedup": _embedding_dedup_sql(),
         "docs_by_lang": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        # CCNet-style LM filter: the full train+score pipeline restated
+        # in SQL (shared \s+ tokenizer; c1 = bigram-context counts; V =
+        # corpus vocab; all arithmetic floor-int64) — integer-exact.
+        "doc_lm_quality": """
+            WITH toks AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(lower(text))) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                END AS l
+              FROM documents),
+            big AS (
+              SELECT t.doc_id, u.z.prev AS prev, u.z.w AS w
+              FROM toks t, unnest(
+                list_zip(t.l[:len(t.l) - 1], t.l[2:])
+                  ::STRUCT(prev VARCHAR, w VARCHAR)[]) u(z)),
+            c2 AS (SELECT prev, w, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+            c1 AS (SELECT prev, COUNT(*) AS c1 FROM big GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT tok) AS v
+                  FROM (SELECT unnest(l) AS tok FROM toks)),
+            sur AS (
+              SELECT b.doc_id,
+                     (1000000 * (c1.c1 + v.v)) // (c2.c2 + 1) AS s
+              FROM big b
+              JOIN c2 ON b.prev = c2.prev AND b.w = c2.w
+              JOIN c1 ON b.prev = c1.prev
+              CROSS JOIN v),
+            agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                           SUM(s) // COUNT(*) AS score_fp
+                    FROM sur GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(a.score_fp, 0) AS BIGINT) AS score_fp,
+                   CAST(COALESCE(a.score_fp, 0) <= 30000000 AS BIGINT)
+                       AS keep
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         # URL canonicalization: expected canonical per dirty variant in
         # PLANTED closed form — the SQL side carries the test vectors'
         # intent, no canonicalization logic shared with the engine.

@@ -1,0 +1,138 @@
+"""CCNet-style language-model quality filter, integer-exact.
+
+The CCNet pipeline scores every document with an n-gram LM trained on a
+reference corpus and drops the high-perplexity tail. This is that
+operator with the repo's determinism contract applied: true perplexity
+is ``exp(-mean ln P)`` — a transcendental whose last ulp differs across
+libm builds (the BM25 lesson, ops/rank.py) — so the score keeps the LM
+*shape* but replaces ``-ln P(w|prev)`` with the scaled-integer inverse
+probability under add-one smoothing:
+
+    c1(prev)          = Σ_w c2(prev, w)          [bigram-context count]
+    surprise_fp(p, w) = (S·(c1(p)+V)) // (c2(p,w)+1)        [S = 10^6]
+    score_fp(doc)     = (Σ_bigrams surprise_fp) // n_bigrams
+
+Monotone per-token in ``-ln P`` (rare continuations score high, like
+perplexity), floor-evaluated in int64, so the score is bit-equal
+across engines and any reduce order. Docs with <2 tokens score 0 and
+are kept (no evidence either way — never drop on no signal).
+
+Two phases, both streaming:
+
+1. **train**: map-side bigram/unigram Counter partials per block →
+   one reduce → the model table. The model must fit a broadcast — the
+   same bounded-small-side contract as the NER gazetteer and the
+   decontamination benchmark; ``max_model_rows`` is a LOUD bound
+   (raise, never silently truncate — a capped model would silently
+   change every downstream score).
+2. **score**: model dicts `ray.put` once; scoring is one stateless
+   vectorized map over the corpus (docs never shuffle).
+
+Tokenizer: ``ascii_words(lower(text))`` — shared verbatim with the SQL
+oracle's ``regexp_split_to_array(trim(lower(text)), '\\s+')``.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+from ..textnorm import ascii_words
+
+SCALE = 10**6
+
+
+def _doc_bigrams(text: str | None):
+    toks = ascii_words((text or "").lower())
+    return list(zip(toks, toks[1:])), toks
+
+
+def train_bigram_model(ds, *, text_col: str = "text",
+                       max_model_rows: int = 2_000_000):
+    """corpus → ({(prev, w): c2}, {prev: c1}, vocab_size). One pass of
+    block partials + a single driver reduce; raises if the model would
+    exceed ``max_model_rows`` distinct bigrams (broadcast bound)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c2: Counter = Counter()
+        vocab: set[str] = set()
+        for t in batch[text_col].to_pylist():
+            bigrams, toks = _doc_bigrams(t)
+            c2.update(bigrams)
+            vocab.update(toks)
+        # bigram rows (w non-null) + vocab rows (w null) in one table
+        prevs = [p for p, _ in c2] + sorted(vocab)
+        ws = [w for _, w in c2] + [None] * len(vocab)
+        cs = [c2[k] for k in c2] + [0] * len(vocab)
+        return pa.table({
+            "prev": pa.array(prevs, pa.string()),
+            "w": pa.array(ws, pa.string()),
+            "c": pa.array(cs, pa.int64()),
+        })
+
+    c2: Counter = Counter()
+    vocab: set[str] = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for p, w, c in zip(b["prev"].to_pylist(), b["w"].to_pylist(),
+                           b["c"].to_pylist()):
+            if w is None:
+                vocab.add(p)
+            else:
+                c2[(p, w)] += c
+        if len(c2) > max_model_rows:
+            raise ValueError(
+                f"bigram model exceeds max_model_rows={max_model_rows} "
+                "(a silently capped model would change every score); "
+                "raise the bound or train on a sample")
+    c1: Counter = Counter()
+    for (p, _w), c in c2.items():
+        c1[p] += c
+    return dict(c2), dict(c1), len(vocab)
+
+
+def lm_quality_scores(ds, *, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      threshold_fp: int | None = None,
+                      max_model_rows: int = 2_000_000):
+    """Train on the corpus, then score it: → Dataset (doc_id,
+    n_bigrams, score_fp[, keep]). ``keep`` (1/0, score ≤ threshold)
+    appears when a threshold is given — the CCNet filter verdict."""
+    import ray
+
+    c2, c1, v = train_bigram_model(ds, text_col=text_col,
+                                   max_model_rows=max_model_rows)
+    model_ref = ray.put((c2, c1, v))
+
+    class Score:
+        def __init__(self):
+            self.c2, self.c1, self.v = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col]
+            n_out, s_out = [], []
+            for t in batch[text_col].to_pylist():
+                bigrams, _ = _doc_bigrams(t)
+                if not bigrams:
+                    n_out.append(0)
+                    s_out.append(0)
+                    continue
+                total = 0
+                for pw in bigrams:
+                    c1v = self.c1.get(pw[0], 0)
+                    total += (SCALE * (c1v + self.v)) // (self.c2.get(pw, 0) + 1)
+                n_out.append(len(bigrams))
+                s_out.append(total // len(bigrams))
+            cols = {
+                id_col: ids,
+                "n_bigrams": pa.array(n_out, pa.int64()),
+                "score_fp": pa.array(s_out, pa.int64()),
+            }
+            if threshold_fp is not None:
+                cols["keep"] = pa.array(
+                    [int(s <= threshold_fp) for s in s_out], pa.int64())
+            return pa.table(cols)
+
+    return ds.map_batches(Score, batch_format="pyarrow",
+                          concurrency=(1, 8))
