@@ -71,21 +71,40 @@ def train_bigram_model(ds, *, text_col: str = "text",
             "c": pa.array(cs, pa.int64()),
         })
 
-    c2: Counter = Counter()
+    # Combiner partials per block, a SECOND distributed combine level
+    # (16-way repartition of the model-bounded partial rows, group_by
+    # within each), then a vectorized pyarrow group_by on the driver.
+    # Measured lessons baked in: a Python dict reduce on the driver is
+    # linear in blocks × model and got SLOWER at 32 cpus than 8; a full
+    # Dataset groupby pays a sort exchange for a model-sized result and
+    # lost to the driver reduce by 2×; without the second level the
+    # driver pull itself (blocks × model rows) was the scaling ceiling.
+    # Driver memory after the combine is 16 × model rows — the train
+    # phase is CCNet's bounded offline step (score is the scale path);
+    # for an unbounded corpus, train on a sample.
+    import ray
+
+    ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    parts = pa.concat_tables(list(
+        ds.repartition(ncpu)  # split-based coalesce, no exchange:
+        # one saturated partial per cpu instead of per input block, so
+        # the driver pulls ncpu × model rows, not blocks × model
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow")))
+    agg = parts.group_by(["prev", "w"]).aggregate([("c", "sum")])
+    if agg.num_rows > max_model_rows:
+        raise ValueError(
+            f"bigram model exceeds max_model_rows={max_model_rows} "
+            "(a silently capped model would change every score); "
+            "raise the bound or train on a sample")
+    c2: dict = {}
     vocab: set[str] = set()
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        for p, w, c in zip(b["prev"].to_pylist(), b["w"].to_pylist(),
-                           b["c"].to_pylist()):
-            if w is None:
-                vocab.add(p)
-            else:
-                c2[(p, w)] += c
-        if len(c2) > max_model_rows:
-            raise ValueError(
-                f"bigram model exceeds max_model_rows={max_model_rows} "
-                "(a silently capped model would change every score); "
-                "raise the bound or train on a sample")
+    for p, w, c in zip(agg["prev"].to_pylist(), agg["w"].to_pylist(),
+                       agg["c_sum"].to_pylist()):
+        if w is None:
+            vocab.add(p)
+        else:
+            c2[(p, w)] = c
     c1: Counter = Counter()
     for (p, _w), c in c2.items():
         c1[p] += c
@@ -95,7 +114,8 @@ def train_bigram_model(ds, *, text_col: str = "text",
 def lm_quality_scores(ds, *, text_col: str = "text",
                       id_col: str = "doc_id",
                       threshold_fp: int | None = None,
-                      max_model_rows: int = 2_000_000):
+                      max_model_rows: int = 2_000_000,
+                      concurrency=(1, 32)):
     """Train on the corpus, then score it: → Dataset (doc_id,
     n_bigrams, score_fp[, keep]). ``keep`` (1/0, score ≤ threshold)
     appears when a threshold is given — the CCNet filter verdict."""
@@ -135,4 +155,4 @@ def lm_quality_scores(ds, *, text_col: str = "text",
             return pa.table(cols)
 
     return ds.map_batches(Score, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=concurrency)
