@@ -57,9 +57,21 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    done = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Recycle the Ray session every 80 queries: one long session
+        # accumulates thousands of executed datasets and eventually
+        # trips a Ray-core task-manager race (task_manager.cc:930
+        # "Tried to complete task that was not pending" — observed at
+        # ~2,250 dataset executions, aborting the process). Query
+        # results are unaffected; a fresh session resets the counter.
+        if done and done % 80 == 0:
+            ray.shutdown()
+            ray.init(address="local", num_cpus=8, include_dashboard=False,
+                     ignore_reinit_error=True, log_to_driver=False)
+        done += 1
         t0 = time.time()
         try:
             got = canon(to_pandas(fn(sf_dir)))
