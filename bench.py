@@ -159,7 +159,17 @@ def bench_main() -> None:
     # _SF_DOCS — was hardcoded to the sf0.1 value, inflating docs/sec
     # 20x when bench ran at sf0.001)
     kg_docs = E._n_docs(SF_DIR)
-    for name in names:
+    for i, name in enumerate(names):
+        if i and i % 80 == 0:
+            # recycle the session: one long Ray session accumulates
+            # thousands of executed datasets and can trip a core
+            # task-manager race that aborts the process (see
+            # tools/check_oracles.py) — a dead bench run leaves the
+            # driver's BENCH record null
+            import ray
+
+            ray.shutdown()
+            _init(NUM_CPUS)
         t0 = time.time()
         n = _consume(qs[name](SF_DIR))
         times[name] = round(time.time() - t0, 3)
