@@ -957,6 +957,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["doc_id", "text"])
         return lm_quality_scores(ds, threshold_fp=30_000_000)
 
+    def corpus_curation(sf_dir: str):
+        """The standard LLM corpus-curation chain as ONE streaming
+        Dataset graph — lang gate → LM quality filter (trained on the
+        gated subset) → exact dedup (first copy by normalized-text md5)
+        → token-budget packing into 4096-token shards. Every stage is
+        an already-verified primitive (lmfilter / bucketed semi join /
+        groupby-min / distributed prefix sum); the oracle chains the
+        same verified SQL pieces into one CTE pipeline, so the hash
+        certifies the COMPOSITION, not just the parts."""
+        import hashlib
+
+        import ray.data
+
+        from kgrecrun.ops.joins import semi_join
+        from kgrecrun.ops.lmfilter import lm_quality_scores
+        from kgrecrun.ops.pack import pack_by_token_budget
+        from kgrecrun.textnorm import ascii_words, normalize_ws
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text", "lang"])
+        en = docs.map_batches(
+            lambda b: b.filter(pc.equal(b["lang"], "en")),
+            batch_format="pyarrow")
+
+        scored = lm_quality_scores(en, threshold_fp=30_000_000)
+        keep = scored.map_batches(
+            lambda b: b.filter(pc.equal(b["keep"], 1)).select(["doc_id"]),
+            batch_format="pyarrow")
+
+        def keyed(b: pa.Table) -> pa.Table:
+            keys, ntok = [], []
+            for t in b["text"].to_pylist():
+                keys.append(hashlib.md5(
+                    normalize_ws(t).encode()).hexdigest())
+                ntok.append(len(ascii_words(t)))
+            return pa.table({
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            })
+
+        kept = semi_join(en.map_batches(keyed, batch_format="pyarrow"),
+                         keep, "doc_id")
+        firsts = kept.groupby("key").min("doc_id").map_batches(
+            lambda b: pa.table({"doc_id": b["min(doc_id)"]}),
+            batch_format="pyarrow")
+        survivors = semi_join(kept, firsts, "doc_id").map_batches(
+            lambda b: b.select(["doc_id", "n_tokens"]),
+            batch_format="pyarrow")
+        return pack_by_token_budget(survivors, budget=4096)
+
     def doc_quality(sf_dir: str):
         import ray.data
 
@@ -4359,6 +4410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": doc_token_counts,
         "docs_url_canonical": docs_url_canonical,
         "doc_lm_quality": doc_lm_quality,
+        "corpus_curation": corpus_curation,
         "doc_quality": doc_quality,
         "doc_fingerprints": doc_fingerprints,
         "doc_lang_pred": doc_lang_pred,
@@ -5685,6 +5737,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.score_fp, 0) <= 30000000 AS BIGINT)
                        AS keep
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # Curation capstone: the verified lang-gate / LM-filter / exact-
+        # dedup / prefix-sum-pack SQL pieces chained into one CTE
+        # pipeline — certifies the composition, not just the parts.
+        "corpus_curation": """
+            WITH en AS (
+              SELECT doc_id, text FROM documents WHERE lang = 'en'),
+            toks AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(lower(text))) = 0
+                     THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                END AS l
+              FROM en),
+            big AS (
+              SELECT t.doc_id, u.z.prev AS prev, u.z.w AS w
+              FROM toks t, unnest(
+                list_zip(t.l[:len(t.l) - 1], t.l[2:])
+                  ::STRUCT(prev VARCHAR, w VARCHAR)[]) u(z)),
+            c2 AS (SELECT prev, w, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+            c1 AS (SELECT prev, COUNT(*) AS c1 FROM big GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT tok) AS v
+                  FROM (SELECT unnest(l) AS tok FROM toks)),
+            sur AS (
+              SELECT b.doc_id,
+                     (1000000 * (c1.c1 + v.v)) // (c2.c2 + 1) AS s
+              FROM big b
+              JOIN c2 ON b.prev = c2.prev AND b.w = c2.w
+              JOIN c1 ON b.prev = c1.prev
+              CROSS JOIN v),
+            lm AS (SELECT doc_id, SUM(s) // COUNT(*) AS score_fp
+                   FROM sur GROUP BY 1),
+            keepset AS (
+              SELECT e.doc_id,
+                     md5(trim(regexp_replace(lower(e.text), '\\s+', ' ',
+                                             'g'))) AS key,
+                     CASE WHEN length(trim(e.text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(e.text),
+                                                         '\\s+'))
+                     END AS n_tokens
+              FROM en e LEFT JOIN lm USING (doc_id)
+              WHERE COALESCE(lm.score_fp, 0) <= 30000000),
+            firsts AS (
+              SELECT key, MIN(doc_id) AS doc_id FROM keepset GROUP BY 1),
+            surv AS (
+              SELECT k.doc_id, k.n_tokens
+              FROM keepset k JOIN firsts f ON k.doc_id = f.doc_id),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING)
+                          - n_tokens AS BIGINT) AS prior
+              FROM surv)
+            SELECT doc_id, n_tokens, prior // 4096 AS shard_id FROM s
         """,
         # URL canonicalization: expected canonical per dirty variant in
         # PLANTED closed form — the SQL side carries the test vectors'

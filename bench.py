@@ -152,6 +152,7 @@ def bench_main() -> None:
         "kg_crawl_depths", "kg_corpus_pack",
         "warc_ingest", "warc_articles", "docs_url_canonical",
         "crawl_robots_filter", "crawl_sitemap_seed", "doc_lm_quality",
+        "corpus_curation",
     ]
     times: dict[str, float] = {}
     total0 = time.time()
