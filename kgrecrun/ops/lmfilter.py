@@ -126,32 +126,92 @@ def lm_quality_scores(ds, *, text_col: str = "text",
     model_ref = ray.put((c2, c1, v))
 
     class Score:
+        """Vectorized scorer: tokens map to ids by one searchsorted
+        over the model's token set (tokens outside it — including
+        vocab-only tokens that never open a bigram — hit the sentinel
+        id, whose c1 is 0: identical math to a dict miss); bigrams
+        encode as prev_id·(n+1)+w_id and look up precomputed surprise
+        values by a second searchsorted. All int64, so the scores are
+        bit-equal to the scalar formula for any input."""
+
         def __init__(self):
-            self.c2, self.c1, self.v = ray.get(model_ref)
+            import numpy as np
+
+            c2, c1, self.v = ray.get(model_ref)
+            toks = sorted({p for p, _ in c2} | {w for _, w in c2})
+            self.tok_arr = np.asarray(toks)
+            self.n = len(toks)
+            tid = {t: i for i, t in enumerate(toks)}
+            self.c1_arr = np.zeros(self.n + 1, dtype=np.int64)
+            for t, c in c1.items():
+                self.c1_arr[tid[t]] = c
+            enc = np.array(
+                [tid[p] * (self.n + 1) + tid[w] for p, w in c2],
+                dtype=np.int64)
+            sur = np.array(
+                [(SCALE * (c1[p] + self.v)) // (c + 1)
+                 for (p, w), c in c2.items()], dtype=np.int64)
+            order = np.argsort(enc)
+            self.keys = enc[order]
+            self.vals = sur[order]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col]
-            n_out, s_out = [], []
-            for t in batch[text_col].to_pylist():
-                bigrams, _ = _doc_bigrams(t)
-                if not bigrams:
-                    n_out.append(0)
-                    s_out.append(0)
-                    continue
-                total = 0
-                for pw in bigrams:
-                    c1v = self.c1.get(pw[0], 0)
-                    total += (SCALE * (c1v + self.v)) // (self.c2.get(pw, 0) + 1)
-                n_out.append(len(bigrams))
-                s_out.append(total // len(bigrams))
+            import numpy as np
+
+            texts = batch[text_col].to_pylist()
+            toks_per_doc = [ascii_words((t or "").lower()) for t in texts]
+            cnts = np.array([len(tk) for tk in toks_per_doc],
+                            dtype=np.int64)
+            big_cnt = np.maximum(cnts - 1, 0)
+            total_b = int(big_cnt.sum())
+            if total_b == 0:
+                sums = np.zeros(len(texts), dtype=np.int64)
+            else:
+                flat = np.asarray(
+                    [w for tk in toks_per_doc for w in tk])
+                if self.n:
+                    idx = np.searchsorted(self.tok_arr, flat)
+                    probe = np.minimum(idx, self.n - 1)
+                    ids = np.where(self.tok_arr[probe] == flat,
+                                   probe, self.n).astype(np.int64)
+                else:
+                    ids = np.full(flat.shape, 0, dtype=np.int64)
+                starts = np.concatenate(
+                    ([0], np.cumsum(cnts)[:-1]))
+                boffs = np.concatenate(
+                    ([0], np.cumsum(big_cnt)[:-1]))
+                within = np.arange(total_b) - np.repeat(boffs, big_cnt)
+                pi = np.repeat(starts, big_cnt) + within
+                prev_ids = ids[pi]
+                bkeys = prev_ids * (self.n + 1) + ids[pi + 1]
+                if self.keys.size:
+                    pos = np.searchsorted(self.keys, bkeys)
+                    probe = np.minimum(pos, self.keys.size - 1)
+                    known = self.keys[probe] == bkeys
+                    sur = np.where(known, self.vals[probe],
+                                   SCALE * (self.c1_arr[prev_ids]
+                                            + self.v))
+                else:
+                    sur = SCALE * (self.c1_arr[prev_ids] + self.v)
+                # reduceat only over docs WITH bigrams: an empty doc's
+                # offset can equal total_b, and clipping it would split
+                # the previous doc's segment (caught by the
+                # hand-computed test)
+                nz = big_cnt > 0
+                part = np.add.reduceat(sur, boffs[nz])
+                sums = np.zeros(len(cnts), dtype=np.int64)
+                sums[nz] = part
+            score = np.where(big_cnt > 0,
+                             sums // np.maximum(big_cnt, 1), 0)
             cols = {
-                id_col: ids,
-                "n_bigrams": pa.array(n_out, pa.int64()),
-                "score_fp": pa.array(s_out, pa.int64()),
+                id_col: batch[id_col],
+                "n_bigrams": pa.array(big_cnt, type=pa.int64()),
+                "score_fp": pa.array(score, type=pa.int64()),
             }
             if threshold_fp is not None:
                 cols["keep"] = pa.array(
-                    [int(s <= threshold_fp) for s in s_out], pa.int64())
+                    (score <= threshold_fp).astype(np.int64),
+                    type=pa.int64())
             return pa.table(cols)
 
     return ds.map_batches(Score, batch_format="pyarrow",
