@@ -3,9 +3,10 @@ two fetches of the "same" page differ by case, default ports,
 fragments, tracking params and query order long before their bodies
 differ. Canonicalize first and exact/near dedup collapses them.
 
-Rules (applied in order; each one is mirrored 1:1 in the DuckDB oracle
-— the TRACKING pattern string is shared VERBATIM with the SQL side,
-the repo's RE2-shared-kernel convention):
+Rules (applied in order; the driver oracle states the expected
+canonical string per planted variant in closed form, so none of this
+logic exists on the SQL side — the strongest independence the repo's
+oracle styles offer):
 
 1. scheme and host lowercase
 2. default port stripped (``:80`` for http, ``:443`` for https)
@@ -33,7 +34,7 @@ import re
 
 import pyarrow as pa
 
-# shared VERBATIM with the SQL oracle (DuckDB regexp_matches is RE2)
+# matched against the full "k=v" token (RE2-compatible for SQL reuse)
 TRACKING_PATTERN = (
     r"^(utm_[^=&]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref)(=|$)")
 _TRACKING_RE = re.compile(TRACKING_PATTERN)
