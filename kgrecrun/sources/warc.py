@@ -316,8 +316,30 @@ def _iter_warc_records(chunks: Iterator[bytes]) -> Iterator[dict]:
         raise ValueError("trailing partial WARC record (truncated shard)")
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked-transfer body (size lines in hex,
+    optional chunk extensions, terminating 0-chunk; trailers ignored)."""
+    out = bytearray()
+    i = 0
+    while True:
+        j = body.find(b"\r\n", i)
+        if j < 0:
+            raise ValueError("truncated chunked HTTP body in WARC record")
+        size = int(body[i:j].split(b";")[0], 16)
+        if size == 0:
+            return bytes(out)
+        start = j + 2
+        if start + size > len(body):
+            raise ValueError("truncated chunked HTTP body in WARC record")
+        out += body[start:start + size]
+        i = start + size + 2  # past the chunk's trailing CRLF
+
+
 def _parse_http_response(block: bytes) -> tuple[int, str, str, bytes]:
-    """HTTP/1.1 response bytes → (status, content_type, lang, body)."""
+    """HTTP/1.1 response bytes → (status, content_type, lang, body).
+    Real crawls archive responses verbatim, so chunked transfer
+    encoding (Common Crawl carries plenty) is decoded here — without
+    it the chunk framing would flow into the html payload."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("WARC response record missing HTTP header block")
@@ -326,6 +348,7 @@ def _parse_http_response(block: bytes) -> tuple[int, str, str, bytes]:
     parts = lines[0].split(" ", 2)
     status = int(parts[1])
     ctype = lang = ""
+    chunked = False
     for line in lines[1:]:
         k, _, v = line.partition(":")
         k = k.strip().lower()
@@ -333,7 +356,10 @@ def _parse_http_response(block: bytes) -> tuple[int, str, str, bytes]:
             ctype = v.strip()
         elif k == "content-language":
             lang = v.strip()
-    return status, ctype, lang, block[sep + 4:]
+        elif k == "transfer-encoding" and "chunked" in v.lower():
+            chunked = True
+    body = block[sep + 4:]
+    return status, ctype, lang, _dechunk(body) if chunked else body
 
 
 def parse_warc(chunks: Iterator[bytes], *, verify_digests: bool = False,

@@ -266,3 +266,30 @@ def test_cdx_ranged_fetch(ray_session, tmp_path):
     assert list(got["html"]) == list(want["html"])
     assert (got["warc_ts"].astype("int64").tolist()
             == want["warc_ts"].astype("int64").tolist())
+
+
+def test_chunked_transfer_encoding_decoded():
+    """Real crawls archive HTTP responses verbatim — a chunked body
+    must come back de-framed, with chunk extensions and trailers
+    ignored."""
+    body = (b"7;ext=1\r\n<html><\r\n"
+            b"10\r\nbody>chunked ok<\r\n"
+            b"D\r\n/body></html>\r\n"
+            b"0\r\nX-Trailer: t\r\n\r\n")
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Date: 2024-06-01T12:00:00Z\r\n"
+           b"WARC-Target-URI: https://chunky.example/x\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n")
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + body)
+    rec += f"Content-Length: {len(http)}\r\n\r\n".encode() + http + b"\r\n\r\n"
+    got = _parse_all(rec)
+    assert got.num_rows == 1
+    assert got["html"][0].as_py() == b"<html><body>chunked ok</body></html>"
+    # truncated chunked body raises loudly
+    bad = rec.replace(b"0\r\nX-Trailer: t\r\n\r\n", b"")
+    bad = bad.replace(f"Content-Length: {len(http)}".encode(),
+                      f"Content-Length: {len(http) - 22}".encode())
+    with pytest.raises(ValueError, match="chunked"):
+        _parse_all(bad)
