@@ -347,7 +347,7 @@ def _parse_http_response(block: bytes) -> tuple[int, str, str, bytes]:
     lines = head.split("\r\n")
     parts = lines[0].split(" ", 2)
     status = int(parts[1])
-    ctype = lang = ""
+    ctype = lang = cenc = ""
     chunked = False
     for line in lines[1:]:
         k, _, v = line.partition(":")
@@ -358,8 +358,19 @@ def _parse_http_response(block: bytes) -> tuple[int, str, str, bytes]:
             lang = v.strip()
         elif k == "transfer-encoding" and "chunked" in v.lower():
             chunked = True
+        elif k == "content-encoding":
+            cenc = v.strip().lower()
     body = block[sep + 4:]
-    return status, ctype, lang, _dechunk(body) if chunked else body
+    if chunked:  # transfer framing first, then content coding
+        body = _dechunk(body)
+    if cenc in ("gzip", "x-gzip"):
+        body = gzip.decompress(body)
+    elif cenc == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:  # raw-deflate servers omit the zlib header
+            body = zlib.decompress(body, -zlib.MAX_WBITS)
+    return status, ctype, lang, body
 
 
 def parse_warc(chunks: Iterator[bytes], *, verify_digests: bool = False,

@@ -293,3 +293,29 @@ def test_chunked_transfer_encoding_decoded():
                       f"Content-Length: {len(http) - 22}".encode())
     with pytest.raises(ValueError, match="chunked"):
         _parse_all(bad)
+
+
+def test_content_encoding_gzip_and_deflate_decoded():
+    """Archived responses may carry Content-Encoding — the payload must
+    come back as the decoded html, chunked framing stripped first."""
+    import zlib
+
+    html = b"<html><body>encoded payload</body></html>"
+    raw = zlib.compressobj(9, zlib.DEFLATED, -zlib.MAX_WBITS)
+    raw_deflate = raw.compress(html) + raw.flush()
+    for enc_name, enc in (("gzip", gzip.compress(html)),
+                          ("deflate", zlib.compress(html)),
+                          ("deflate", raw_deflate)):
+        # third case: raw deflate stream without the zlib header
+        chunked = (f"{len(enc):x}\r\n".encode() + enc + b"\r\n0\r\n\r\n")
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Encoding: {enc_name}\r\n".encode()
+                + b"Transfer-Encoding: chunked\r\n\r\n" + chunked)
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Date: 2024-06-01T12:00:00Z\r\n"
+               b"WARC-Target-URI: https://enc.example/x\r\n"
+               b"Content-Type: application/http; msgtype=response\r\n"
+               + f"Content-Length: {len(http)}\r\n\r\n".encode()
+               + http + b"\r\n\r\n")
+        got = _parse_all(rec)
+        assert got["html"][0].as_py() == html
