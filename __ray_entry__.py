@@ -2871,6 +2871,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return dup_spans(ds, w=8, stride=4)
 
+    def doc_dup_span_strip(sf_dir: str):
+        """Duplicate-substring REMOVAL (Lee et al. policy, stride-1
+        exact): strips every token covered by a corpus-duplicated
+        8-token window; one fingerprint shuffle + one doc cogroup, span
+        text never shuffles (ops/dedup.py dup_span_strip)."""
+        import ray.data
+
+        from kgrecrun.ops.dedup import dup_span_strip
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return dup_span_strip(ds, k=8)
+
+    def doc_template_strip(sf_dir: str):
+        """Within-source template removal: 10-token segments present in
+        >=2 distinct docs of the same source are stripped from every
+        occurrence; segment_dedup's two-exchange shape, text ships once
+        (ops/dedup.py source_template_strip)."""
+        import ray.data
+
+        from kgrecrun.ops.dedup import source_template_strip
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+        )
+        return source_template_strip(ds)
+
     def doc_sample(sf_dir: str):
         """Deterministic md5-hash 1/5 sample — stable across runs,
         resumes and re-sharding (no RNG; SQL-mirrorable)."""
@@ -4468,6 +4497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "view_purchase_attribution": view_purchase_attribution,
         "orders_above_cust_avg": orders_above_cust_avg,
         "doc_dup_spans": doc_dup_spans,
+        "doc_dup_span_strip": doc_dup_span_strip,
+        "doc_template_strip": doc_template_strip,
         "events_value_zscore": events_value_zscore,
         "customers_with_events": customers_with_events,
         "customers_without_events": customers_without_events,
@@ -8171,6 +8202,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT span_h, COUNT(*) AS n_occ,
                    COUNT(DISTINCT doc_id) AS n_docs
             FROM spans GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        # duplicate-substring STRIP: a token is removed iff some 8-token
+        # window covering it occurs >1 time anywhere (stride-1 exact);
+        # tokenization/windowing mirror dup_span_strip verbatim (raw
+        # case, RE2 \s split, full windows only)
+        "doc_dup_span_strip": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, unnest(range(1, len(ws) - 8 + 2)) AS p, ws
+                FROM toks WHERE len(ws) >= 8
+            ), gh AS (
+                SELECT doc_id, p,
+                       md5(array_to_string(ws[p : p + 7], ' ')) AS h
+                FROM grams
+            ), dup AS (
+                SELECT h FROM gh GROUP BY h HAVING COUNT(*) > 1
+            ), cov AS (
+                SELECT DISTINCT doc_id, p + t.i AS ti
+                FROM gh JOIN dup USING (h) CROSS JOIN range(8) t(i)
+            ), tokv AS (
+                SELECT doc_id, unnest(range(1, len(ws) + 1)) AS ti, ws
+                FROM toks
+            ), tw AS (
+                SELECT doc_id, ti, ws[ti] AS w FROM tokv
+            ), kept AS (
+                SELECT t.doc_id, t.ti, t.w
+                FROM tw t ANTI JOIN cov c
+                  ON t.doc_id = c.doc_id AND t.ti = c.ti
+            )
+            SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(d.n, 0) AS BIGINT) AS dup_tokens,
+                   COALESCE(k.txt, '') AS text_clean
+            FROM toks b
+            LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY 1) d
+                   USING (doc_id)
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(w, ' ' ORDER BY ti) AS txt
+                       FROM kept GROUP BY 1) k USING (doc_id)
+        """,
+        # within-source template strip: 10-token segment contents seen
+        # in >=2 DISTINCT docs of the same source are removed from every
+        # occurrence; segmentation mirrors source_template_strip
+        "doc_template_strip": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), idx AS (
+                SELECT doc_id, source, ws,
+                       unnest(range(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)
+                                       + 1)) AS seg_no
+                FROM toks
+            ), seg AS (
+                SELECT doc_id, source, seg_no,
+                       array_to_string(
+                           ws[(seg_no - 1) * 10 + 1 : seg_no * 10],
+                           ' ') AS seg
+                FROM idx
+            ), tmpl AS (
+                SELECT source, seg FROM seg
+                GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2
+            ), mark AS (
+                SELECT s.doc_id, s.seg_no, s.seg,
+                       (t.seg IS NOT NULL) AS is_t
+                FROM seg s LEFT JOIN tmpl t
+                  ON s.source = t.source AND s.seg = t.seg
+            )
+            SELECT doc_id, COUNT(*) AS n_segs,
+                   CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_template_segs,
+                   COALESCE(string_agg(CASE WHEN NOT is_t THEN seg END,
+                                       ' ' ORDER BY seg_no), '')
+                       AS text_clean
+            FROM mark GROUP BY 1
         """,
         "daily_activity_outer": """
             WITH e AS (

@@ -104,7 +104,8 @@ def bench_main() -> None:
         "user_event_pivot", "event_transitions", "daily_new_users",
         "promo_revenue", "large_orders", "doc_weighted_sample",
         "view_purchase_attribution", "orders_above_cust_avg",
-        "doc_dup_spans", "graph_bfs", "local_supplier_revenue",
+        "doc_dup_spans", "doc_dup_span_strip", "doc_template_strip",
+        "graph_bfs", "local_supplier_revenue",
         "returned_items_topk", "graph_link_prediction", "doc_tfidf_top_terms",
         "nation_trade_volume", "late_shipment_priority_counts",
         "brand_disjunctive_revenue", "idle_customer_balance",

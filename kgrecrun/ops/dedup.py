@@ -1137,3 +1137,301 @@ def neardup_ingest(docs_ds, *, threshold: float = 0.7, num_perm: int = 64,
             id_col: b["inc"],
             "dup_of": pc.fill_null(b["dup_of"], -1),
         }), batch_format="pyarrow")
+
+
+def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
+                   id_col: str = "doc_id", n_buckets: int = VERIFY_BUCKETS):
+    """APPLY the Lee-et-al duplicate-substring policy: a token is
+    *covered* when any ``k``-token window containing it occurs more than
+    once anywhere in the corpus (stride 1 — exact, unlike
+    :func:`dup_spans`' stride-4 statistics); emit per doc the coverage
+    count and the text with every covered token removed —
+    ``(doc_id, n_tokens, dup_tokens, text_clean)``, one row per input
+    doc (``text_clean=''`` when everything was duplicated).
+
+    Scale shape: the window flat-map emits only (md5, doc_id, pos) —
+    span text never leaves the map side. ONE bucketed shuffle on
+    hash(md5) both counts occurrences per fingerprint and filters the
+    position rows to duplicated windows (all occurrences of a
+    fingerprint land in one bucket, so the >1 test is local and exact);
+    a second bucketed cogroup on hash(doc_id) ships each doc's text
+    once next to its covered positions and rebuilds the stripped text
+    with a vectorized interval-union sweep. Exchange volume ≈ one
+    16-byte row per token plus one (doc_id, pos) row per duplicated
+    window — no all-pairs, no driver state.
+
+    Tokenization (RE2 ``\\s`` split, empties dropped, case preserved)
+    and windowing (full windows only) are mirrored exactly by the SQL
+    list-slice oracle; md5 collision-freedom is assumed as in
+    exact_dedup.
+    """
+    import hashlib
+
+    from ..kg.unionfind import hash_bucket
+    from ..textnorm import ascii_words
+
+    def to_windows(batch: pa.Table) -> pa.Table:
+        hs, dids, poss = [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            ws = ascii_words(t or "")
+            for p in range(0, len(ws) - k + 1):
+                hs.append(hashlib.md5(
+                    " ".join(ws[p:p + k]).encode("utf-8")).hexdigest())
+                dids.append(did)
+                poss.append(p)
+        t = pa.table({
+            "h": pa.array(hs, pa.string()),
+            id_col: pa.array(dids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+        })
+        return t.append_column(
+            "__bucket", hash_bucket(t["h"].combine_chunks(), n_buckets))
+
+    def covered_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("h", "ascending")])
+        g = group.take(order)
+        h = g["h"].combine_chunks()
+        n = g.num_rows
+        neq = pc.not_equal(h.slice(1), h.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False).astype(bool)
+        starts = np.flatnonzero(np.concatenate(([True], neq)))
+        counts = np.diff(np.append(starts, n))
+        dup_rows = np.repeat(counts > 1, counts)
+        flt = g.filter(pa.array(dup_rows))
+        return pa.table({id_col: flt[id_col], "pos": flt["pos"]})
+
+    covered = (ds.map_batches(to_windows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("__bucket")
+               .map_groups(covered_bucket, batch_format="pyarrow"))
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        return pa.table({
+            "__bucket": hash_bucket(ids, n_buckets),
+            "__side": pa.nulls(batch.num_rows, pa.int8()).fill_null(0),
+            id_col: ids,
+            text_col: batch[text_col],
+            "pos": pa.nulls(batch.num_rows, pa.int64()),
+        })
+
+    def tag_cov(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        return pa.table({
+            "__bucket": hash_bucket(ids, n_buckets),
+            "__side": pa.nulls(batch.num_rows, pa.int8()).fill_null(1),
+            id_col: ids,
+            text_col: pa.nulls(batch.num_rows, pa.string()),
+            "pos": batch["pos"],
+        })
+
+    def strip_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        docs = group.filter(pc.equal(side, 0))
+        cov = group.filter(pc.equal(side, 1))
+        cids = cov[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cpos = cov["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(cids, kind="stable")
+        cids, cpos = cids[order], cpos[order]
+        out_id, out_nt, out_dt, out_txt = [], [], [], []
+        for did, t in zip(docs[id_col].to_pylist(),
+                          docs[text_col].to_pylist()):
+            ws = ascii_words(t or "")
+            n = len(ws)
+            lo = np.searchsorted(cids, did, "left")
+            hi = np.searchsorted(cids, did, "right")
+            ps = cpos[lo:hi]
+            if n == 0 or ps.size == 0:
+                out_id.append(did); out_nt.append(n); out_dt.append(0)
+                out_txt.append(" ".join(ws))
+                continue
+            diff = np.zeros(n + 1, np.int64)
+            diff[ps] += 1          # positions are unique per doc
+            diff[ps + k] -= 1      # p + k <= n for full windows
+            covmask = np.cumsum(diff[:n]) > 0
+            out_id.append(did)
+            out_nt.append(n)
+            out_dt.append(int(covmask.sum()))
+            out_txt.append(" ".join(
+                w for w, c in zip(ws, covmask) if not c))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "n_tokens": pa.array(out_nt, pa.int64()),
+            "dup_tokens": pa.array(out_dt, pa.int64()),
+            "text_clean": pa.array(out_txt, pa.string()),
+        })
+
+    tagged = ds.map_batches(
+        tag_doc, batch_format="pyarrow", zero_copy_batch=True
+    ).union(covered.map_batches(tag_cov, batch_format="pyarrow"))
+    return tagged.groupby("__bucket").map_groups(
+        strip_bucket, batch_format="pyarrow")
+
+
+def source_template_strip(docs_ds, *, text_col: str = "text",
+                          id_col: str = "doc_id", group_col: str = "source",
+                          seg_words: int = 10, min_docs: int = 2,
+                          n_buckets: int = VERIFY_BUCKETS):
+    """WITHIN-source template removal — the site-level boilerplate pass
+    a crawl curator runs before global dedup: a ``seg_words``-token
+    segment whose content appears in ≥ ``min_docs`` DISTINCT documents
+    of the SAME source is a template, and every occurrence of it is
+    stripped (unlike :func:`segment_dedup_docs`, which keeps the first).
+    Output one row per doc with ≥1 segment:
+    ``(doc_id, n_segs, n_template_segs, text_clean)`` (``text_clean=''``
+    for all-template docs).
+
+    Scale shape (segment_dedup's two-exchange layout, text ships once):
+    1. template election ships only (md5, source, doc_id, ord) — one
+       bucketed shuffle on hash(md5); inside a bucket a vectorized sort
+       + boundary sweep counts distinct docs per (source, content) and
+       emits the ord of EVERY row in template groups (``ord`` packs
+       (doc_id, seg_no) as in segment_dedup: doc_id < 2⁴³,
+       segments/doc < 2²⁰);
+    2. since ord encodes doc_id, the loser list cogroups with the
+       segment table on the doc-bucket key — one cogroup filters
+       (vectorized is_in) and reassembles per doc via ListArray offsets
+       + binary_join, emitting empty text for fully-templated docs.
+    """
+    import hashlib
+
+    from ..kg.unionfind import hash_bucket
+    from ..textnorm import ascii_words
+
+    SEG_SHIFT = 20
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        doc_ids, seg_nos, segs, hs, srcs = [], [], [], [], []
+        for did, src, t in zip(batch[id_col].to_pylist(),
+                               batch[group_col].to_pylist(),
+                               batch[text_col].to_pylist()):
+            ws = ascii_words(t or "")
+            for i in range(0, len(ws), seg_words):
+                seg = " ".join(ws[i:i + seg_words])
+                doc_ids.append(did)
+                seg_nos.append(i // seg_words + 1)
+                segs.append(seg)
+                hs.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+                srcs.append(src)
+        return pa.table({
+            id_col: pa.array(doc_ids, pa.int64()),
+            "seg_no": pa.array(seg_nos, pa.int64()),
+            "seg": pa.array(segs, pa.string()),
+            "h": pa.array(hs, pa.string()),
+            "src": pa.array(srcs, pa.string()),
+            "ord": pa.array(
+                [d * (1 << SEG_SHIFT) + s for d, s in zip(doc_ids, seg_nos)],
+                pa.int64()),
+        })
+
+    segments = docs_ds.map_batches(
+        to_segments, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "__bucket": hash_bucket(batch["h"].combine_chunks(), n_buckets),
+            "h": batch["h"],
+            "src": batch["src"],
+            id_col: batch[id_col],
+            "ord": batch["ord"],
+        })
+
+    def losers_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("src", "ascending"), ("h", "ascending"),
+            (id_col, "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        src = g["src"].combine_chunks()
+        h = g["h"].combine_chunks()
+        did = g[id_col].combine_chunks()
+        src_neq = pc.not_equal(src.slice(1), src.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False).astype(bool)
+        h_neq = pc.not_equal(h.slice(1), h.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False).astype(bool)
+        new_grp = np.concatenate(([True], src_neq | h_neq))
+        did_neq = pc.not_equal(did.slice(1), did.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False).astype(bool)
+        new_doc = new_grp | np.concatenate(([True], did_neq))
+        gidx = np.cumsum(new_grp) - 1
+        ndistinct = np.bincount(gidx[new_doc],
+                                minlength=int(gidx[-1]) + 1 if n else 0)
+        is_template = ndistinct >= min_docs
+        mask = is_template[gidx]
+        return pa.table({"ord": g["ord"].combine_chunks().filter(
+            pa.array(mask))})
+
+    losers = (segments.map_batches(hash_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+              .groupby("__bucket")
+              .map_groups(losers_bucket, batch_format="pyarrow"))
+
+    def tag_seg(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "__bucket": hash_bucket(
+                batch[id_col].combine_chunks(), n_buckets),
+            "__side": pa.nulls(batch.num_rows, pa.int8()).fill_null(0),
+            id_col: batch[id_col],
+            "seg_no": batch["seg_no"],
+            "seg": batch["seg"],
+            "ord": batch["ord"],
+        })
+
+    def tag_loser(batch: pa.Table) -> pa.Table:
+        ords = batch["ord"].combine_chunks()
+        dids = pc.cast(pc.shift_right(ords, SEG_SHIFT), pa.int64())
+        return pa.table({
+            "__bucket": hash_bucket(dids, n_buckets),
+            "__side": pa.nulls(batch.num_rows, pa.int8()).fill_null(1),
+            id_col: dids,
+            "seg_no": pa.nulls(batch.num_rows, pa.int64()),
+            "seg": pa.nulls(batch.num_rows, pa.string()),
+            "ord": ords,
+        })
+
+    def rebuild_bucket(group: pa.Table) -> pa.Table:
+        side = group["__side"]
+        segs = group.filter(pc.equal(side, 0))
+        lose = group.filter(pc.equal(side, 1))
+        if segs.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_segs": pa.array([], pa.int64()),
+                "n_template_segs": pa.array([], pa.int64()),
+                "text_clean": pa.array([], pa.string()),
+            })
+        order = pc.sort_indices(
+            segs, sort_keys=[(id_col, "ascending"), ("seg_no", "ascending")])
+        g = segs.take(order)
+        n = g.num_rows
+        ids = g[id_col].combine_chunks()
+        is_loser = pc.is_in(
+            g["ord"].combine_chunks(),
+            value_set=lose["ord"].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(bool)
+        neq = pc.not_equal(ids.slice(1), ids.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False).astype(bool)
+        new_doc = np.concatenate(([True], neq))
+        starts = np.flatnonzero(new_doc)
+        seg_counts = np.diff(np.append(starts, n))
+        didx = np.cumsum(new_doc) - 1
+        n_templ = np.bincount(didx[is_loser], minlength=len(starts))
+        kept = g.filter(pa.array(~is_loser))
+        kept_counts = seg_counts - n_templ
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, kept["seg"].combine_chunks())
+        return pa.table({
+            id_col: ids.take(pa.array(starts, pa.int64())),
+            "n_segs": pa.array(seg_counts, pa.int64()),
+            "n_template_segs": pa.array(n_templ, pa.int64()),
+            "text_clean": pc.binary_join(lists, " "),
+        })
+
+    tagged = segments.map_batches(
+        tag_seg, batch_format="pyarrow", zero_copy_batch=True
+    ).union(losers.map_batches(tag_loser, batch_format="pyarrow"))
+    return tagged.groupby("__bucket").map_groups(
+        rebuild_bucket, batch_format="pyarrow")

@@ -3069,3 +3069,83 @@ def test_store_versions_immutable_timetravel(tmp_path):
     assert list(new["v"]) == ["a", "B", "c", "d"]
     with pytest.raises(ValueError):
         read_store_version(d, 9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_span_strip_exact_coverage_and_clean_text():
+    """A token is stripped iff some duplicated k-window covers it:
+    within-doc repeats count, overlapping coverage unions, docs shorter
+    than k pass through verbatim, fully-duplicated docs empty out;
+    partitioning-invariant."""
+    import ray.data
+
+    w = lambda a, b: " ".join(f"t{i}" for i in range(a, b))
+    dup8 = w(0, 8)                      # the duplicated window
+    docs = [
+        (1, dup8 + " " + w(100, 104)),           # dup at 0..7, tail kept
+        (2, w(200, 204) + " " + dup8),           # dup at 4..11, head kept
+        (3, dup8),                               # fully duplicated -> ''
+        (4, w(300, 305)),                        # < k tokens, untouched
+        (5, w(400, 409) + " " + w(400, 409)),    # within-doc repeat:
+        # tokens 0..8 and 9..17 are both covered (windows at 0 and 9
+        # repeat across the two halves); the k-1 bridging windows are
+        # unique but coverage unions to the whole doc
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs]),
+    })
+    outs = []
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (dedup.dup_span_strip(ds, k=8).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    assert df["doc_id"].tolist() == [1, 2, 3, 4, 5]
+    assert df["n_tokens"].tolist() == [12, 12, 8, 5, 18]
+    assert df["dup_tokens"].tolist() == [8, 8, 8, 0, 18]
+    assert df["text_clean"].tolist() == [
+        w(100, 104), w(200, 204), "", w(300, 305), ""]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_template_strip_within_source_min_docs():
+    """A segment is a template only when >= min_docs DISTINCT docs of
+    the SAME source contain it: every occurrence is stripped (no
+    first-survivor), cross-source repeats are untouched, a repeat
+    within one doc does not elect; per-doc counts and reassembly are
+    exact; partitioning-invariant."""
+    import ray.data
+
+    w = lambda a, b: " ".join(f"t{i}" for i in range(a, b))
+    boiler = w(0, 10)
+    docs = [
+        (1, "a", boiler + " " + w(100, 110)),   # template + own content
+        (2, "a", boiler + " " + w(200, 210)),   # template + own content
+        (3, "a", boiler),                        # all template -> ''
+        (4, "b", boiler + " " + w(300, 310)),   # same seg, other source:
+        # only one doc of b has it -> kept
+        (5, "b", w(400, 410) + " " + w(400, 410)),  # within-doc repeat,
+        # one distinct doc -> not a template
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+        "source": pa.array([s for _, s, _ in docs], pa.string()),
+        "text": pa.array([x for _, _, x in docs]),
+    })
+    outs = []
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (dedup.source_template_strip(ds).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    assert df["doc_id"].tolist() == [1, 2, 3, 4, 5]
+    assert df["n_segs"].tolist() == [2, 2, 1, 2, 2]
+    assert df["n_template_segs"].tolist() == [1, 1, 1, 0, 0]
+    assert df["text_clean"].tolist() == [
+        w(100, 110), w(200, 210), "",
+        boiler + " " + w(300, 310), w(400, 410) + " " + w(400, 410)]
