@@ -385,6 +385,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["url"]), batch_format="pyarrow")
         return robots_filter(pages, robots)
 
+    def crawl_frontier_schedule(sf_dir: str):
+        """Politeness scheduling: per-host url sequence numbers and the
+        earliest crawl round each url may fetch in under a max-8-per-
+        host-per-round budget; one host-bucket shuffle, vectorized
+        segment row-numbers (extract/robots.py frontier_schedule).
+        Oracle: ROW_NUMBER window over the warc golden's url set
+        (sf0.01-only, like the rest of the crawl family)."""
+        from kgrecrun.extract.robots import frontier_schedule
+
+        pages = _synth_pages(sf_dir).map_batches(
+            lambda b: b.select(["url"]), batch_format="pyarrow")
+        return frontier_schedule(pages, per_host=8)
+
     def crawl_sitemap_seed(sf_dir: str):
         """Crawl-discovery seed: per-block sitemap XML documents are
         rendered from the corpus (loc + fractional-second lastmod +
@@ -4409,6 +4422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_articles": warc_articles,
         "warc_cdx_lookup": warc_cdx_lookup,
         "crawl_robots_filter": crawl_robots_filter,
+        "crawl_frontier_schedule": crawl_frontier_schedule,
         "crawl_sitemap_seed": crawl_sitemap_seed,
         "kg_crawl_frontier": kg_crawl_frontier,
         "kg_multipage": kg_multipage,
@@ -5200,6 +5214,25 @@ def oracle_sql() -> dict[str, str]:
                 ELSE TRUE
               END AS BIGINT) AS allowed
             FROM p
+        """,
+        # politeness schedule: closed-form window over the golden's url
+        # set — host extraction mirrors frontier_schedule's RE2 verbatim
+        # (DuckDB regexp_extract no-match '' == the engine's fill_null)
+        "crawl_frontier_schedule": """
+            WITH p AS (
+              SELECT url,
+                     regexp_extract(url,
+                         '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
+              FROM read_parquet('/root/repo/tests/goldens/warc_pages_gold_sf001.parquet')
+            ), r AS (
+              SELECT url, host,
+                     ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)
+                         AS rn
+              FROM p
+            )
+            SELECT url, host, rn,
+                   CAST((rn - 1) // 8 + 1 AS BIGINT) AS fetch_round
+            FROM r
         """,
         "kg_text_nodes": """
             SELECT url, node_idx, node_text

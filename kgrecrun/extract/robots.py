@@ -143,3 +143,66 @@ def robots_filter(frontier, robots_table: pa.Table, *,
 
     return frontier.map_batches(Gate, batch_format="pyarrow",
                                 concurrency=(1, 8))
+
+
+def frontier_schedule(frontier, *, per_host: int = 8,
+                      url_col: str = "url", n_buckets: int = 64):
+    """Politeness SCHEDULING of an (already robots-gated) fetch
+    frontier: under the classic "at most ``per_host`` concurrent
+    fetches per host per crawl round" budget, assign every url its
+    per-host sequence number and the earliest round it may be fetched
+    in — ``(url, host, rn, fetch_round)`` with ``rn`` the 1-based rank
+    of the url within its host (ordered by url, deterministic) and
+    ``fetch_round = (rn-1)//per_host + 1``. Downstream a crawler
+    consumes rounds in order, which also yields the round-size
+    histogram (max rounds = ceil(largest host / per_host), the crawl's
+    politeness-bound makespan).
+
+    Scale shape: ONE bucketed shuffle on hash(host); inside a bucket a
+    single lexsort (host, url) + vectorized segment row-numbers rank
+    every host in the bucket (the group_rank_windows sweep). The host
+    key is coarser than doc-scale, so a bucket holds whole hosts —
+    the per-group bound is pages-per-host × hosts-per-bucket, fine at
+    web scale where a host is 10³–10⁷ pages but NOT for a synthetic
+    single-host corpus (that degenerate case needs the distributed
+    sort + range-prefix-offset path in ops/pack.py). Urls with no
+    parseable host group under host='' rather than being dropped —
+    the politeness scheduler, like the gate, never eats an entry.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..kg.unionfind import hash_bucket
+
+    def host_rows(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].combine_chunks()
+        host = pc.fill_null(pc.struct_field(pc.extract_regex(
+            urls, r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]*)"), "host"), "")
+        t = pa.table({"url": urls, "host": host})
+        return t.append_column(
+            "__bucket", hash_bucket(t["host"].combine_chunks(), n_buckets))
+
+    def schedule_bucket(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("host", "ascending"), ("url", "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        h = g["host"].combine_chunks()
+        new_host = np.ones(n, dtype=bool)
+        if n > 1:
+            new_host[1:] = ~pc.equal(h.slice(1), h.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_host, idx, 0))
+        rn = idx - seg_start + 1
+        return pa.table({
+            "url": g["url"],
+            "host": h,
+            "rn": pa.array(rn, pa.int64()),
+            "fetch_round": pa.array((rn - 1) // per_host + 1, pa.int64()),
+        })
+
+    return (frontier.map_batches(host_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(schedule_bucket, batch_format="pyarrow"))

@@ -86,3 +86,33 @@ def test_frontier_gate_through_ray(ray_session):
                    "https://a.example/ok/x": 1,
                    "https://B.Example/deny/x": 1,
                    "not a url": 1}
+
+
+def test_frontier_schedule_per_host_rounds(ray_session):
+    """Urls rank 1..n within their host ordered by url; rounds advance
+    every per_host entries; hostless entries group under '' instead of
+    vanishing; partitioning-invariant."""
+    import ray.data
+
+    from kgrecrun.extract.robots import frontier_schedule
+
+    urls = ([f"https://a.example/p{i:02d}" for i in range(5)]
+            + [f"https://b.example/q{i:02d}" for i in range(2)]
+            + ["not a url"])
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    outs = []
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (frontier_schedule(ds, per_host=2).to_pandas()
+              .sort_values(["host", "rn"]).reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    assert df["host"].tolist() == ([""] + ["a.example"] * 5
+                                   + ["b.example"] * 2)
+    a = df[df["host"] == "a.example"]
+    assert a["rn"].tolist() == [1, 2, 3, 4, 5]
+    assert a["fetch_round"].tolist() == [1, 1, 2, 2, 3]
+    b = df[df["host"] == "b.example"]
+    assert b["fetch_round"].tolist() == [1, 1]
+    assert df[df["host"] == ""]["rn"].tolist() == [1]
