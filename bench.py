@@ -152,7 +152,8 @@ def bench_main() -> None:
         "kg_fact_conflicts", "kg_mention_counts", "kg_snapshot_delta",
         "kg_crawl_depths", "kg_corpus_pack",
         "warc_ingest", "warc_articles", "docs_url_canonical",
-        "crawl_robots_filter", "crawl_sitemap_seed", "doc_lm_quality",
+        "crawl_robots_filter", "crawl_frontier_schedule",
+        "crawl_sitemap_seed", "doc_lm_quality",
         "corpus_curation",
     ]
     times: dict[str, float] = {}
