@@ -81,6 +81,11 @@ SUBSET = [
     "daily_top_spender",
     "docs_store_lookup",
     "docs_neardup_ingest",
+    # round-4 session-3 additions: repeated-content strip operators
+    # (crawl_frontier_schedule's oracle is golden-backed sf0.01-only →
+    # full sweep)
+    "doc_dup_span_strip",
+    "doc_template_strip",
 ]
 
 
