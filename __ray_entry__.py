@@ -761,6 +761,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pred_signatures(_kg(sf_dir)["triples"])
 
+    def kg_inverse_preds(sf_dir: str):
+        """Schema induction: inverse/symmetric predicate detection —
+        per unordered predicate pair, the count of entity pairs (s,o)
+        holding both (s,p,o) and (o,q,s); both triple directions
+        co-locate under an unordered-pair bucket key so the reversed
+        join is bucket-local (kg/analytics.py inverse_predicates).
+        Oracle: reversed self-join SQL over the planted golden."""
+        from kgrecrun.kg.analytics import inverse_predicates
+
+        return inverse_predicates(_kg(sf_dir)["triples"])
+
     def kg_growth(sf_dir: str):
         """KG growth curve: new distinct triples first seen per
         250-doc crawl window (does the crawl still discover facts?).
@@ -4449,6 +4460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_anchor_texts": kg_anchor_texts,
         "kg_host_stats": kg_host_stats,
         "kg_pred_signatures": kg_pred_signatures,
+        "kg_inverse_preds": kg_inverse_preds,
         "kg_growth": kg_growth,
         "kg_fact_conflicts": kg_fact_conflicts,
         "kg_materialize": kg_materialize,
@@ -5523,6 +5535,31 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet(
                 '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
             GROUP BY 1, 2, 3
+        """,
+        # inverse/symmetric predicate induction: reversed self-join over
+        # the planted golden; t1.subj < t1.obj picks exactly one of the
+        # two triples of each reversed instance as the join's left side
+        # (self-loops excluded — direction undefined)
+        "kg_inverse_preds": """
+            WITH d AS (
+                SELECT subj, pred, obj FROM read_parquet(
+                    '/root/repo/tests/goldens/kg_triples_gold_sf001.parquet')
+                WHERE subj <> obj
+            ), tot AS (
+                SELECT pred, COUNT(*) AS n FROM d GROUP BY 1
+            ), j AS (
+                SELECT least(t1.pred, t2.pred) AS pred_a,
+                       greatest(t1.pred, t2.pred) AS pred_b,
+                       COUNT(*) AS n_pairs
+                FROM d t1 JOIN d t2
+                  ON t1.subj = t2.obj AND t1.obj = t2.subj
+                 AND t1.subj < t1.obj
+                GROUP BY 1, 2
+            )
+            SELECT j.pred_a, j.pred_b, j.n_pairs,
+                   ta.n AS n_a, tb.n AS n_b
+            FROM j JOIN tot ta ON ta.pred = j.pred_a
+                   JOIN tot tb ON tb.pred = j.pred_b
         """,
         "kg_growth": """
             WITH p AS (SELECT subj, pred, obj,

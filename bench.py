@@ -148,7 +148,7 @@ def bench_main() -> None:
         "kg_verbalization", "kg_ego_networks", "kg_incremental_ingest",
         "kg_founders_birthplaces", "kg_acquisition_chains",
         "kg_fact_sources", "kg_temporal_facts", "kg_facts_asof",
-        "kg_host_stats", "kg_pred_signatures", "kg_growth",
+        "kg_host_stats", "kg_pred_signatures", "kg_inverse_preds", "kg_growth",
         "kg_fact_conflicts", "kg_mention_counts", "kg_snapshot_delta",
         "kg_crawl_depths", "kg_corpus_pack",
         "warc_ingest", "warc_articles", "docs_url_canonical",

@@ -175,3 +175,100 @@ def fact_conflicts(triples_ds, *, n_buckets: int = N_BUCKETS):
     return (triples_ds.map_batches(tag, batch_format="pyarrow",
                                    zero_copy_batch=True)
             .groupby("__bucket").map_groups(sweep, batch_format="pyarrow"))
+
+
+def inverse_predicates(triples_ds, *, n_buckets: int = 64):
+    """Schema induction: INVERSE / SYMMETRIC predicate detection — for
+    every unordered predicate pair (p, q), how many entity pairs (s, o)
+    have BOTH (s, p, o) and (o, q, s) in the canonical table. A high
+    ``n_pairs`` relative to the predicates' triple counts flags q as
+    p's inverse (``acquired``/``acquired_by``) or p as symmetric
+    (``partnered_with``); downstream canonicalization can then fold
+    the redundant direction. Self-loops (s == o) are excluded — their
+    direction is undefined. Output: (pred_a, pred_b, n_pairs, n_a,
+    n_b) with pred_a <= pred_b, n_a/n_b the predicates' non-self
+    triple counts.
+
+    Scale shape: triples bucket by hash of the UNORDERED entity pair
+    (min(s,o), max(s,o)) — both directions of a pair co-locate, so the
+    reversed-pair join is bucket-local: one acero join of the
+    forward-direction rows (subj < obj) against the backward rows per
+    bucket, then per-bucket (pred_a, pred_b) partial counts and one
+    tiny groupby-sum finish (≤ |preds|² rows). Predicate totals ride
+    the same narrow reduce. The PREDICATE domain is schema-order
+    (dozens, not corpus-order) — the stated contract, as in
+    pred_signatures.
+    """
+    from .unionfind import hash_bucket
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["subj"], b["obj"])
+        t = b.filter(keep)
+        s = t["subj"].combine_chunks()
+        o = t["obj"].combine_chunks()
+        lo = pc.min_element_wise(s, o)
+        hi = pc.max_element_wise(s, o)
+        key = pc.binary_join_element_wise(lo, hi, "\x1f")
+        return pa.table({
+            "__bucket": hash_bucket(key, n_buckets),
+            "key": key,
+            "fwd": pc.equal(s, lo),
+            "pred": t["pred"],
+        })
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        fwd = group.filter(group["fwd"]).select(["key", "pred"])
+        bwd = (group.filter(pc.invert(group["fwd"]))
+               .select(["key", "pred"]).rename_columns(["key", "pred_r"]))
+        j = fwd.join(bwd, keys=["key"], join_type="inner")
+        if j.num_rows == 0:
+            return pa.table({
+                "pred_a": pa.array([], pa.string()),
+                "pred_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        pa_col = pc.min_element_wise(j["pred"].combine_chunks(),
+                                     j["pred_r"].combine_chunks())
+        pb_col = pc.max_element_wise(j["pred"].combine_chunks(),
+                                     j["pred_r"].combine_chunks())
+        g = (pa.table({"pred_a": pa_col, "pred_b": pb_col})
+             .group_by(["pred_a", "pred_b"]).aggregate([([], "count_all")]))
+        return pa.table({
+            "pred_a": g["pred_a"],
+            "pred_b": g["pred_b"],
+            "n": pc.cast(g["count_all"], pa.int64()).combine_chunks(),
+        })
+
+    pairs = (triples_ds.map_batches(pair_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+             .groupby("__bucket").map_groups(join_bucket,
+                                             batch_format="pyarrow")
+             .groupby(["pred_a", "pred_b"]).sum("n"))
+
+    def tot_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["subj"], b["obj"]))
+        g = (pa.table({"pred": t["pred"]}).group_by("pred")
+             .aggregate([([], "count_all")]))
+        return pa.table({
+            "pred": g["pred"],
+            "c": pc.cast(g["count_all"], pa.int64()).combine_chunks(),
+        })
+
+    totals_ds = (triples_ds.map_batches(tot_rows, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+                 .groupby("pred").sum("c"))
+    totals = {r["pred"]: int(r["sum(c)"])
+              for r in totals_ds.take_all()}  # schema-order small
+
+    def finish(b: pa.Table) -> pa.Table:
+        na = [totals[p] for p in b["pred_a"].to_pylist()]
+        nb = [totals[p] for p in b["pred_b"].to_pylist()]
+        return pa.table({
+            "pred_a": b["pred_a"],
+            "pred_b": b["pred_b"],
+            "n_pairs": pc.cast(b["sum(n)"], pa.int64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+        })
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

@@ -86,3 +86,40 @@ def test_fact_conflicts_tiebreak_and_singletons():
     assert got == [{"subj": "S", "pred": "p", "n_objs": 3,
                     "total_sources": 11, "top_support": 5,
                     "second_support": 5}]
+
+@pytest.mark.usefixtures("ray_session")
+def test_inverse_predicates_symmetric_inverse_and_selfloop():
+    """A reversed pair counts once per (fwd triple, bwd triple) combo,
+    symmetric predicates pair with themselves, self-loops are excluded,
+    totals count non-self triples per predicate; partition-invariant."""
+    from kgrecrun.kg.analytics import inverse_predicates
+
+    rows = [
+        ("a", "acq", "b"), ("b", "acq_by", "a"),   # inverse pair
+        ("c", "acq", "d"), ("d", "acq_by", "c"),   # second instance
+        ("e", "partner", "f"), ("f", "partner", "e"),  # symmetric
+        ("g", "acq", "h"),                          # unreciprocated
+        ("i", "partner", "i"),                      # self-loop: excluded
+        ("b", "acq", "a"),   # reverses (a,acq,b) -> an (acq,acq) pair
+    ]
+    t = pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "pred": pa.array([r[1] for r in rows]),
+        "obj": pa.array([r[2] for r in rows]),
+        "n_sources": pa.array([1] * len(rows), pa.int64()),
+    })
+    outs = []
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = (inverse_predicates(ds).to_pandas()
+              .sort_values(["pred_a", "pred_b"]).reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    got = {(r.pred_a, r.pred_b): (r.n_pairs, r.n_a, r.n_b)
+           for r in outs[0].itertuples()}
+    # acq non-self triples: a->b, c->d, g->h, b->a = 4; acq_by: 2;
+    # partner non-self: e->f, f->e = 2
+    assert got[("acq", "acq")] == (1, 4, 4)            # (a,acq,b)+(b,acq,a)
+    assert got[("acq", "acq_by")] == (2, 4, 2)         # a|b and c|d
+    assert got[("partner", "partner")] == (1, 2, 2)
+    assert ("acq", "partner") not in got
