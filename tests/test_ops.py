@@ -3149,3 +3149,123 @@ def test_source_template_strip_within_source_min_docs():
     assert df["text_clean"].tolist() == [
         w(100, 110), w(200, 210), "",
         boiler + " " + w(300, 310), w(400, 410) + " " + w(400, 410)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_span_strip_randomized_matches_duckdb():
+    """Randomized cross-check on a tiny-vocab corpus (heavy accidental
+    k-gram collisions, within- and cross-doc): engine output equals an
+    independently-written DuckDB formulation value-exactly."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(1234)
+    vocab = [f"w{i}" for i in range(6)]
+    texts = [" ".join(rng.choice(vocab, size=int(n)))
+             for n in rng.integers(0, 30, size=120)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    K = 3
+    got = (dedup.dup_span_strip(
+        ray.data.from_arrow(t).repartition(5), k=K).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), gh AS (
+          SELECT doc_id, unnest(range(1, len(ws) - {K} + 2)) AS p,
+                 ws FROM toks WHERE len(ws) >= {K}
+        ), g2 AS (
+          SELECT doc_id, p,
+                 array_to_string(ws[p : p + {K} - 1], ' ') AS g FROM gh
+        ), dup AS (SELECT g FROM g2 GROUP BY g HAVING COUNT(*) > 1),
+        cov AS (
+          SELECT DISTINCT doc_id, p + t.i AS ti
+          FROM g2 JOIN dup USING (g) CROSS JOIN range({K}) t(i)
+        ), tw AS (
+          SELECT doc_id, unnest(range(1, len(ws) + 1)) AS ti, ws
+          FROM toks
+        ), tv AS (SELECT doc_id, ti, ws[ti] AS w FROM tw),
+        kept AS (
+          SELECT v.doc_id, v.ti, v.w FROM tv v
+          ANTI JOIN cov c ON v.doc_id = c.doc_id AND v.ti = c.ti
+        )
+        SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS dup_tokens,
+               COALESCE(k.txt, '') AS text_clean
+        FROM toks b
+        LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY 1) d
+               USING (doc_id)
+        LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY ti) AS txt
+                   FROM kept GROUP BY 1) k USING (doc_id)
+        ORDER BY doc_id
+    """).df()
+    assert got.equals(want.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_template_strip_randomized_matches_duckdb():
+    """Randomized cross-check: few sources, tiny vocab (so 4-token
+    segments repeat across docs of a source by chance), engine equals
+    DuckDB value-exactly."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(4)]
+    texts = [" ".join(rng.choice(vocab, size=int(n)))
+             for n in rng.integers(1, 18, size=90)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(len(texts))]),
+        "text": pa.array(texts, pa.string()),
+    })
+    W = 4
+    got = (dedup.source_template_strip(
+        ray.data.from_arrow(t).repartition(4), seg_words=W).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(rf"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, source, ws,
+                 unnest(range(1, CAST(ceil(len(ws) / {W}.0) AS BIGINT)
+                                 + 1)) AS seg_no
+          FROM toks
+        ), seg AS (
+          SELECT doc_id, source, seg_no,
+                 array_to_string(ws[(seg_no - 1) * {W} + 1 : seg_no * {W}],
+                                 ' ') AS seg
+          FROM idx
+        ), tmpl AS (
+          SELECT source, seg FROM seg
+          GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2
+        ), mark AS (
+          SELECT s.doc_id, s.seg_no, s.seg, (t.seg IS NOT NULL) AS is_t
+          FROM seg s LEFT JOIN tmpl t
+            ON s.source = t.source AND s.seg = t.seg
+        )
+        SELECT doc_id, COUNT(*) AS n_segs,
+               CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_template_segs,
+               COALESCE(string_agg(CASE WHEN NOT is_t THEN seg END,
+                                   ' ' ORDER BY seg_no), '') AS text_clean
+        FROM mark GROUP BY 1 ORDER BY doc_id
+    """).df()
+    assert got.equals(want.reset_index(drop=True))
