@@ -70,6 +70,20 @@ DEDUP_EDGE_THRESHOLD = 2_000_000
 VERIFY_BUCKETS = 256
 
 
+def _md5_bucket(harr: pa.Array, n_buckets: int) -> pa.Array:
+    """Bucket id for a fixed_size_binary(16) md5 column: mask the
+    digest's first 8 bytes (md5 is uniform — no mixing finalizer, and
+    the bytes are identical in every process by construction, so the
+    cross-process-consistency concern hash_bucket documents for its
+    string path does not arise). n_buckets must be a power of two."""
+    b = b"".join(harr.to_pylist())
+    if not b:
+        return pa.array([], pa.int32())
+    u = np.frombuffer(b, dtype="<u8")[::2]
+    return pa.array((u & np.uint64(n_buckets - 1)).astype(np.int32),
+                    pa.int32())
+
+
 def _edges_to_mapping(edges_ds) -> dict:
     """Collect verified edges (small relative to corpus) → union-find →
     {doc_id: root}."""
@@ -625,7 +639,7 @@ def segment_dedup_docs(docs_ds, *, text_col: str = "text",
     whose every segment lost vanish, like the SQL mirror.
 
     Two bucketed shuffles, text ships once:
-    1. winner election ships only (md5-hex, ord) — ord = doc_id·2²⁰ +
+    1. winner election ships only (16-byte md5, ord) — ord = doc_id·2²⁰ +
        seg_no packs the keep-order into one int64 (contract: doc_id <
        2⁴³, segments/doc < 2²⁰); one sort per hash bucket, the segment
        sweep's FIRST row per hash is the winner (exact_dedup's sweep,
@@ -653,12 +667,12 @@ def segment_dedup_docs(docs_ds, *, text_col: str = "text",
                 doc_ids.append(did)
                 seg_nos.append(i // seg_words + 1)
                 segs.append(seg)
-                hs.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+                hs.append(hashlib.md5(seg.encode("utf-8")).digest())
         return pa.table({
             id_col: pa.array(doc_ids, pa.int64()),
             "seg_no": pa.array(seg_nos, pa.int64()),
             "seg": pa.array(segs, pa.string()),
-            "h": pa.array(hs, pa.string()),
+            "h": pa.array(hs, pa.binary(16)),
             "ord": pa.array(
                 [d * (1 << SEG_SHIFT) + s for d, s in zip(doc_ids, seg_nos)],
                 pa.int64()),
@@ -670,7 +684,7 @@ def segment_dedup_docs(docs_ds, *, text_col: str = "text",
 
     def hash_rows(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "__bucket": hash_bucket(batch["h"].combine_chunks(), n_buckets),
+            "__bucket": _md5_bucket(batch["h"].combine_chunks(), n_buckets),
             "h": batch["h"],
             "ord": batch["ord"],
         })
@@ -1289,7 +1303,7 @@ def source_template_strip(docs_ds, *, text_col: str = "text",
     for all-template docs).
 
     Scale shape (segment_dedup's two-exchange layout, text ships once):
-    1. template election ships only (md5, source, doc_id, ord) — one
+    1. template election ships only (16-byte md5, source, doc_id, ord) — one
        bucketed shuffle on hash(md5); inside a bucket a vectorized sort
        + boundary sweep counts distinct docs per (source, content) and
        emits the ord of EVERY row in template groups (``ord`` packs
@@ -1318,13 +1332,13 @@ def source_template_strip(docs_ds, *, text_col: str = "text",
                 doc_ids.append(did)
                 seg_nos.append(i // seg_words + 1)
                 segs.append(seg)
-                hs.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+                hs.append(hashlib.md5(seg.encode("utf-8")).digest())
                 srcs.append(src)
         return pa.table({
             id_col: pa.array(doc_ids, pa.int64()),
             "seg_no": pa.array(seg_nos, pa.int64()),
             "seg": pa.array(segs, pa.string()),
-            "h": pa.array(hs, pa.string()),
+            "h": pa.array(hs, pa.binary(16)),
             "src": pa.array(srcs, pa.string()),
             "ord": pa.array(
                 [d * (1 << SEG_SHIFT) + s for d, s in zip(doc_ids, seg_nos)],
@@ -1337,7 +1351,7 @@ def source_template_strip(docs_ds, *, text_col: str = "text",
 
     def hash_rows(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "__bucket": hash_bucket(batch["h"].combine_chunks(), n_buckets),
+            "__bucket": _md5_bucket(batch["h"].combine_chunks(), n_buckets),
             "h": batch["h"],
             "src": batch["src"],
             id_col: batch[id_col],
