@@ -8279,8 +8279,12 @@ def oracle_sql() -> dict[str, str]:
         # case, RE2 \s split, full windows only)
         "doc_dup_span_strip": r"""
             WITH toks AS (
+                -- COALESCE: NULL text tokenizes to 0 tokens on the
+                -- engine side; without it regexp_split_to_array(NULL)
+                -- is NULL and len(ws) would go NULL (round-4 ADVICE)
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\s+'),
+                       list_filter(regexp_split_to_array(
+                                       COALESCE(text, ''), '\s+'),
                                    x -> x <> '') AS ws
                 FROM documents
             ), grams AS (
@@ -8320,8 +8324,11 @@ def oracle_sql() -> dict[str, str]:
         # occurrence; segmentation mirrors source_template_strip
         "doc_template_strip": r"""
             WITH toks AS (
+                -- COALESCE mirrors the engine's null-text contract
+                -- (0 tokens), round-4 ADVICE
                 SELECT doc_id, source,
-                       list_filter(regexp_split_to_array(text, '\s+'),
+                       list_filter(regexp_split_to_array(
+                                       COALESCE(text, ''), '\s+'),
                                    x -> x <> '') AS ws
                 FROM documents
             ), idx AS (

