@@ -1488,6 +1488,13 @@ def sssp_distances(edges_ds, *, source: int | None = None, rounds: int = 12,
     milliseconds of numpy). Map-side each block emits its per-target
     min candidate only — the merge is O(reached), never O(E).
 
+    Above the cap (a web-graph-order reached set), use
+    ``ops/graphstore.py sssp_prepartitioned`` — the identical
+    recurrence with the distance table living as per-bucket
+    object-store vectors over a once-written weighted edge store; the
+    driver holds O(n_buckets) flags, never a node-order array
+    (bit-identity asserted in tests/test_graph.py).
+
     ``source=None`` uses the smallest node id. Output: (node, dist)
     for every node reached within ``rounds`` relaxations.
     """
