@@ -118,7 +118,8 @@ def hash_split(ds, *, splits: dict[str, int] | None = None, id_col: str = "doc_i
 
 
 def rebalance_to_mix(ds, *, key: str, weights: dict | None = None,
-                     id_col: str = "doc_id", denom_bits: int = 20):
+                     id_col: str = "doc_id", denom_bits: int = 20,
+                     max_keys: int = 1_000_000):
     """Deterministic stratified DOWNSAMPLING to a target mix — the
     data-mixing step of a training pipeline (e.g. balance languages /
     domains without upsampling anything).
@@ -139,9 +140,15 @@ def rebalance_to_mix(ds, *, key: str, weights: dict | None = None,
     shuffle, stable across runs/resumes/resharding). Magnitude
     contract: c_min · D < 2^63 (c_min < 8.8e12 at D=2^20).
 
+    ``max_keys`` is a LOUD bound on that assumption (lmfilter's
+    max_model_rows pattern, round-4 VERDICT item 3): the counts table
+    is materialized in the OBJECT STORE and its row count checked
+    BEFORE anything is pulled to the driver heap — an open-domain key
+    (urls, doc ids) raises instead of OOMing the driver.
+
     Output: (id_col, key) kept rows.
     """
-    counts = (
+    counts_ds = (
         ds.map_batches(
             lambda b: (
                 b.select([key]).group_by(key).aggregate([([], "count_all")])
@@ -151,7 +158,16 @@ def rebalance_to_mix(ds, *, key: str, weights: dict | None = None,
         )
         .groupby(key)
         .sum("n_local")
-    ).to_pandas()
+    ).materialize()
+    n_keys = counts_ds.count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"rebalance_to_mix: key domain has {n_keys} distinct values "
+            f"> max_keys={max_keys} — the per-key counts table would "
+            "not fit the driver (this op's contract is a bounded key "
+            "domain: languages / sources / domains, not open-domain "
+            "keys); raise max_keys only if the driver can hold it")
+    counts = counts_ds.to_pandas()
     counts.columns = [key, "n"]
     c = dict(zip(counts[key], counts["n"]))
     w = {k: 1 for k in c} if weights is None else weights

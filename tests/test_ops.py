@@ -1295,6 +1295,28 @@ def test_rebalance_to_mix_weighted_and_deterministic():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_rebalance_to_mix_open_domain_key_raises():
+    """max_keys is a LOUD bound: an open-domain key (here: unique per
+    row) raises before any per-key counts reach the driver heap; at or
+    under the bound the op still works."""
+    import ray.data
+
+    from kgrecrun.ops.sample import rebalance_to_mix
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(500), pa.int64()),
+        "url": pa.array([f"https://x.test/{i}" for i in range(500)]),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    with pytest.raises(ValueError, match="max_keys"):
+        rebalance_to_mix(ds, key="url", max_keys=100).to_pandas()
+    # exactly at the bound: fine (uniform targets, everything kept)
+    kept = rebalance_to_mix(ds, key="url", id_col="doc_id",
+                            max_keys=500).to_pandas()
+    assert len(kept) == 500
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_group_zscore_matches_numpy_and_null_variance():
     """group_zscore equals numpy population z-scores to 6 dp; constant
     groups yield null; identical at any partitioning."""
