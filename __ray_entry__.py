@@ -931,12 +931,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def docs_url_canonical(sf_dir: str):
         """URL canonicalization — the key function under crawl-level
         dedup. Dirty variants (case, default ports, fragments, tracking
-        params, shuffled query order) are constructed deterministically
-        per doc_id and canonicalized by the engine kernel
-        (ops/urlnorm.py, stateless vectorized map, zero exchange); the
-        oracle states the expected canonical string per variant in
-        PLANTED closed form — no canonicalization logic on the SQL
-        side, so nothing is shared but the test vectors' intent."""
+        params, shuffled query order, percent-encoded unreserved chars,
+        ./.. dot segments) are constructed deterministically per doc_id
+        and canonicalized by the engine kernel (ops/urlnorm.py,
+        stateless vectorized map, zero exchange); the oracle states the
+        expected canonical string per variant in PLANTED closed form —
+        no canonicalization logic on the SQL side, so nothing is shared
+        but the test vectors' intent."""
         import ray.data
 
         from kgrecrun.ops.urlnorm import canonical_urls
@@ -947,7 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def mk(b: pa.Table) -> pa.Table:
             urls = []
             for i in b["doc_id"].to_pylist():
-                v = i % 4
+                v = i % 6
                 if v == 0:
                     urls.append(
                         f"https://docs.example/d/{i}?a=1&utm_source=feed{i}")
@@ -957,8 +958,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 elif v == 2:
                     urls.append(
                         f"https://docs.example/d/{i}?fbclid=X{i}&ref=tw")
-                else:
+                elif v == 3:
                     urls.append(f"http://Docs.Example:80/d/{i}")
+                elif v == 4:
+                    # %41->A, %3a->%3A (reserved: hex uppercased),
+                    # %2E->. (decodes, but "{i}." is not a dot segment),
+                    # /a/./b/../d collapses to /a/d
+                    urls.append(
+                        f"https://docs.example/a/./b/../d/{i}%2E"
+                        f"?x=%41%3a{i}")
+                else:
+                    # %7E->~ then /x/y/z/../../~user/ -> /x/~user/ ;
+                    # %2F stays escaped (reserved)
+                    urls.append(
+                        f"HTTP://docs.example:80/x/y/z/../../%7Euser/"
+                        f"?utm_campaign=c{i}&q=%2f{i}")
             return pa.table({"doc_id": b["doc_id"],
                              "url": pa.array(urls, pa.string())})
 
@@ -5923,21 +5937,28 @@ def oracle_sql() -> dict[str, str]:
         # intent, no canonicalization logic shared with the engine.
         "docs_url_canonical": """
             SELECT doc_id,
-              CASE doc_id % 4
+              CASE doc_id % 6
                 WHEN 0 THEN 'https://docs.example/d/' || doc_id
                             || '?a=1&utm_source=feed' || doc_id
                 WHEN 1 THEN 'HTTPS://Docs.Example:443/d/' || doc_id
                             || '?b=2&a=1#sec-' || doc_id
                 WHEN 2 THEN 'https://docs.example/d/' || doc_id
                             || '?fbclid=X' || doc_id || '&ref=tw'
-                ELSE 'http://Docs.Example:80/d/' || doc_id
+                WHEN 3 THEN 'http://Docs.Example:80/d/' || doc_id
+                WHEN 4 THEN 'https://docs.example/a/./b/../d/' || doc_id
+                            || '%2E?x=%41%3a' || doc_id
+                ELSE 'HTTP://docs.example:80/x/y/z/../../%7Euser/'
+                     || '?utm_campaign=c' || doc_id || '&q=%2f' || doc_id
               END AS url,
-              CASE doc_id % 4
+              CASE doc_id % 6
                 WHEN 0 THEN 'https://docs.example/d/' || doc_id || '?a=1'
                 WHEN 1 THEN 'https://docs.example/d/' || doc_id
                             || '?a=1&b=2'
                 WHEN 2 THEN 'https://docs.example/d/' || doc_id
-                ELSE 'http://docs.example/d/' || doc_id
+                WHEN 3 THEN 'http://docs.example/d/' || doc_id
+                WHEN 4 THEN 'https://docs.example/a/d/' || doc_id
+                            || '.?x=A%3A' || doc_id
+                ELSE 'http://docs.example/x/~user/?q=%2F' || doc_id
               END AS canonical_url
             FROM documents
         """,

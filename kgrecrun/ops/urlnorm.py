@@ -11,17 +11,25 @@ oracle styles offer):
 1. scheme and host lowercase
 2. default port stripped (``:80`` for http, ``:443`` for https)
 3. fragment dropped
-4. tracking params dropped (utm_*, gclid, fbclid, msclkid, mc_cid,
+4. percent-encoding normalized in path and query (RFC 3986 §6.2.2.2:
+   escapes of UNRESERVED characters decode — ``%41``→``A``,
+   ``%7E``→``~``, ``%2E``→``.`` — every other valid escape uppercases
+   its hex; malformed escapes pass through). Decoding only unreserved
+   characters can never produce a delimiter, so the url's structure is
+   fixed before this rule runs and the rule is idempotent.
+5. dot segments resolved in the path (RFC 3986 §5.2.4
+   remove-dot-segments: ``/a/./b/../c`` → ``/a/c``, leading ``..``
+   dropped, trailing ``.``/``..`` leaves a trailing slash) — the
+   reference's nextPage resolver collapses ``..``/``.`` the same way
+   (rsax.js:244-308); runs AFTER rule 4 so a decoded ``%2E`` segment
+   collapses in the same pass (idempotence).
+6. tracking params dropped (utm_*, gclid, fbclid, msclkid, mc_cid,
    mc_eid, igshid, ref — matched against the full ``k=v`` token)
-5. surviving params sorted lexicographically by their ``k=v`` string
-6. empty query / empty path normalized away (path falls back to ``/``)
+7. surviving params sorted lexicographically by their ``k=v`` string
+8. empty query / empty path normalized away (path falls back to ``/``)
 
-Deliberately NOT done (documented scope): percent-encoding
-normalization and dot-segment resolution — both are rare in crawl
-frontiers that absolutized with a real resolver (sanitize/stage.py's
-resolve_url already emits dot-free paths), and neither is cleanly
-expressible in the SQL oracle. A url that doesn't parse is passed
-through unchanged — canonicalization must never lose a frontier entry.
+A url that doesn't parse is passed through unchanged —
+canonicalization must never lose a frontier entry.
 
 Scale shape: a stateless vectorized map stage (compiled regexes, no
 state, no shuffle) — composes in front of any dedup / frontier
@@ -42,6 +50,47 @@ _TRACKING_RE = re.compile(TRACKING_PATTERN)
 _URL_RE = re.compile(
     r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$")
 
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+
+
+def _norm_pct(s: str) -> str:
+    """RFC 3986 §6.2.2.2: decode escapes of unreserved characters,
+    uppercase the hex of every other valid escape. Unreserved output
+    can never be a delimiter, so structure is preserved; idempotent."""
+    def repl(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 over an absolute path: ``.`` segments vanish,
+    ``..`` pops (leading ``..`` drops), a trailing ``.``/``..`` leaves
+    the directory's trailing slash. Relative paths (never produced
+    after host extraction) pass through."""
+    if not path.startswith("/") or ("/." not in path and path != "/.."):
+        return path
+    segs = path[1:].split("/")
+    stack: list[str] = []
+    trailing = False
+    for i, seg in enumerate(segs):
+        if seg == ".":
+            trailing = i == len(segs) - 1
+            continue
+        if seg == "..":
+            if stack:
+                stack.pop()
+            trailing = i == len(segs) - 1
+            continue
+        stack.append(seg)
+    out = "/" + "/".join(stack)
+    if trailing and not out.endswith("/"):
+        out += "/"
+    return out
+
 
 def canonicalize_url(url: str) -> str:
     m = _URL_RE.match(url or "")
@@ -53,11 +102,11 @@ def canonicalize_url(url: str) -> str:
         host = host[:-3]
     elif scheme == "https" and host.endswith(":443"):
         host = host[:-4]
-    path = m.group(3) or "/"
+    path = _remove_dot_segments(_norm_pct(m.group(3) or "/"))
     out = f"{scheme}://{host}{path}"
     query = m.group(4)
     if query:
-        kept = sorted(p for p in query.split("&")
+        kept = sorted(p for p in _norm_pct(query).split("&")
                       if p and not _TRACKING_RE.match(p))
         if kept:
             out += "?" + "&".join(kept)

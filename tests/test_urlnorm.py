@@ -31,6 +31,33 @@ VECTORS = [
     # query kept when only some params are trackers
     ("https://a.example/x?utm_campaign=c&z=9&utm_medium=m",
      "https://a.example/x?z=9"),
+    # --- percent-encoding normalization (RFC 3986 6.2.2.2) ---
+    # unreserved escapes decode: alpha, digit, tilde, dot, dash, under
+    ("https://a.example/%41%62%30%7E%2D%5F", "https://a.example/Ab0~-_"),
+    # reserved escapes stay escaped, hex uppercased
+    ("https://a.example/p%2fq?x=%3a%2F", "https://a.example/p%2Fq?x=%3A%2F"),
+    # malformed escapes pass through untouched
+    ("https://a.example/%zz%4", "https://a.example/%zz%4"),
+    # decoding applies inside query tokens before sorting
+    ("https://a.example/x?%62=1&a=2", "https://a.example/x?a=2&b=1"),
+    # --- dot-segment resolution (RFC 3986 5.2.4) ---
+    ("https://a.example/a/./b/../c", "https://a.example/a/c"),
+    ("https://a.example/a/b/c/./../../g", "https://a.example/a/g"),
+    # leading .. drops (can't climb above root)
+    ("https://a.example/../a", "https://a.example/a"),
+    ("https://a.example/../../x/y", "https://a.example/x/y"),
+    # trailing . / .. leave the directory slash
+    ("https://a.example/a/b/.", "https://a.example/a/b/"),
+    ("https://a.example/a/b/..", "https://a.example/a/"),
+    ("https://a.example/a/..", "https://a.example/"),
+    # a segment that merely contains dots is NOT a dot segment
+    ("https://a.example/a.b/c./.d/..e", "https://a.example/a.b/c./.d/..e"),
+    # decoded %2E takes part in the SAME pass (order: pct then dots)
+    ("https://a.example/a/%2E%2E/b", "https://a.example/b"),
+    ("https://a.example/a/%2E/b", "https://a.example/a/b"),
+    # combined: everything at once
+    ("HTTP://A.Example:80/x/./y/../%7Eu?utm_source=s&b=%41&a=1#f",
+     "http://a.example/x/~u?a=1&b=A"),
 ]
 
 
