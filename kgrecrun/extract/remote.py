@@ -102,9 +102,13 @@ class RemoteExtract:
 
 
 def remote_extract(pages_ds, *, token: str = "", transport=None,
-                   concurrency=(1, 4), batch_size: int = 32):
+                   concurrency=(1, 4), batch_size: int = 32,
+                   **ray_remote_args):
     """Small batch size + bounded pool: the remote API, not the cluster,
-    is the throughput limit; concurrency ≈ allowed parallel requests."""
+    is the throughput limit; concurrency ≈ allowed parallel requests.
+    Extra kwargs pass through to map_batches (e.g. ``num_cpus`` — API
+    clients block on the wire, not the core, so fractional cpus let a
+    wide pool share a node)."""
     return pages_ds.map_batches(
         RemoteExtract,
         fn_constructor_kwargs={"token": token, "transport": transport},
@@ -112,4 +116,5 @@ def remote_extract(pages_ds, *, token: str = "", transport=None,
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+        **ray_remote_args,
     )

@@ -136,6 +136,91 @@ def test_remote_extract_default_transport_is_stubbed():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_remote_extract_pool_scale_errors_and_cache():
+    """Actor-pool run at concurrency 8 with injected timeouts and
+    rate-limit rejections (the §2.3 remote-client failure modes):
+    every row keeps its verdict in the error column — no failure
+    poisons a batch or the run — and the per-actor response cache
+    bounds transport traffic at one call per (url, actor) for
+    successful urls, observed through a global counter actor."""
+    import json
+
+    import ray
+    import ray.data
+
+    from kgrecrun.extract.remote import remote_extract
+
+    @ray.remote
+    class CallCounter:
+        def __init__(self):
+            self.calls: dict[str, int] = {}
+
+        def hit(self, url: str) -> None:
+            self.calls[url] = self.calls.get(url, 0) + 1
+
+        def snapshot(self) -> dict:
+            return dict(self.calls)
+
+    counter = CallCounter.remote()
+
+    class FlakyTransport:
+        """Deterministic per-url behavior; counts every wire call."""
+
+        def __init__(self, counter_handle):
+            self.counter = counter_handle
+
+        def __call__(self, url: str, html: bytes, token: str) -> str:
+            ray.get(self.counter.hit.remote(url))
+            if "timeout" in url:
+                raise TimeoutError("simulated 40s timeout")
+            if "limited" in url:
+                raise RuntimeError("429 Too Many Requests (rate limit)")
+            if "noart" in url:
+                return json.dumps({"objects": [{"type": "image"}]})
+            return json.dumps({"objects": [
+                {"type": "article", "title": f"T:{url}", "text": "p"},
+            ]})
+
+    N_POOL, REPS = 8, 64
+    good = [f"https://ok.example/{i}" for i in range(5)]
+    urls, htmls = [], []
+    for r in range(REPS):
+        for u in good:
+            urls.append(u)
+            htmls.append(b"<p>x</p>")
+        urls += [f"https://bad.example/timeout/{r}",
+                 f"https://bad.example/limited/{r}",
+                 f"https://bad.example/noart/{r}"]
+        htmls += [b"", b"", b""]
+    pages = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls), "html": pa.array(htmls)})
+    ).repartition(16)
+
+    out = remote_extract(
+        pages, transport=FlakyTransport(counter),
+        concurrency=N_POOL, batch_size=8, num_cpus=0.25,
+    ).to_pandas()
+
+    assert len(out) == len(urls)                       # no row lost
+    ok = out[out.url.str.startswith("https://ok.")]
+    assert (ok.error.isna()).all()
+    assert (ok.title == "T:" + ok.url).all()
+    assert (ok.html == "<p>p</p>").all()
+    t = out[out.url.str.contains("/timeout/")]
+    assert len(t) == REPS and t.error.str.contains("TimeoutError").all()
+    rl = out[out.url.str.contains("/limited/")]
+    assert len(rl) == REPS and rl.error.str.contains("429").all()
+    na = out[out.url.str.contains("/noart/")]
+    assert len(na) == REPS and na.error.str.contains(
+        "no article object").all()
+
+    calls = ray.get(counter.snapshot.remote())
+    for u in good:
+        # cached: at most one wire call per actor, never one per row
+        assert 1 <= calls[u] <= N_POOL < REPS, (u, calls[u])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_multipage_crawl_stitches_continuations():
     from kgrecrun.corpus.synthgen import continuation_pages_dataset, pages_dataset
     from kgrecrun.extract.crawl import crawl_multipage
