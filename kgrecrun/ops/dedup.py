@@ -163,6 +163,44 @@ def _pack_bin16(w1: np.ndarray, w2: np.ndarray) -> pa.Array:
         pa.binary(16), w1.size, [None, pa.py_buffer(packed.tobytes())])
 
 
+def _segments_vectorized(ids: np.ndarray, texts, *, seg_words: int,
+                         seg_shift: int, fingerprint: str):
+    """Shared vectorized segmenter for the seg_words-window family
+    (segment_dedup_docs / source_template_strip): non-overlapping
+    segments tile each doc's token run exactly, so one ListArray view
+    over the flat token column (``_flat_tokens`` — a single RE2 split
+    per batch) materializes every segment string through one
+    binary_join; no per-doc Python. → (seg_doc index array, 1-based
+    seg_no, segment strings, fixed_size_binary(16) fingerprints,
+    ord = doc_id·2^seg_shift + seg_no).
+
+    The fingerprint is a grouping key only in every caller (outputs
+    never expose it), so ``"xxh128"`` (vectorized two-seed polars
+    hash) and ``"md5"`` (the SQL oracles' digest, kept for parity
+    tests) yield identical operator output under the module's
+    collision-freedom assumption."""
+    import hashlib
+
+    flat, lens = _flat_tokens(texts)
+    nseg = -(-lens // seg_words)            # ceil; 0-token docs → 0
+    total = int(nseg.sum())
+    seg_doc = np.repeat(np.arange(lens.size), nseg)
+    seg_no = (np.arange(total, dtype=np.int64)
+              - (np.cumsum(nseg) - nseg)[seg_doc] + 1)
+    starts = (np.cumsum(lens) - lens)[seg_doc] + (seg_no - 1) * seg_words
+    offsets = np.concatenate((starts, [int(lens.sum())]))
+    segs = pc.cast(pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat),
+        " "), pa.string())
+    if fingerprint == "md5":
+        harr = pa.array([hashlib.md5(s.encode("utf-8")).digest()
+                         for s in segs.to_pylist()], pa.binary(16))
+    else:
+        harr = _pack_bin16(*_xxh_pair(segs))
+    return seg_doc, seg_no, segs, harr, ids[seg_doc] * (
+        1 << seg_shift) + seg_no
+
+
 def _edges_to_mapping(edges_ds) -> dict:
     """Collect verified edges (small relative to corpus) → union-find →
     {doc_id: root}."""
@@ -708,7 +746,8 @@ def embedding_dedup(embeds_ds, *, threshold: float = 0.95, n_planes: int = 12,
 
 def segment_dedup_docs(docs_ds, *, text_col: str = "text",
                        id_col: str = "doc_id", seg_words: int = 10,
-                       n_buckets: int = VERIFY_BUCKETS):
+                       n_buckets: int = VERIFY_BUCKETS,
+                       fingerprint: str = "xxh128"):
     """SUB-document (segment-level) exact dedup with document
     reassembly — the CCNet/RefinedWeb line-dedup primitive, adapted to
     newline-free corpora: documents split into fixed ``seg_words``-token
@@ -729,32 +768,30 @@ def segment_dedup_docs(docs_ds, *, text_col: str = "text",
        ListArray offsets → binary_join), so no separate semi-join
        exchange.
 
-    md5 collision-freedom is assumed, as in exact_dedup.
+    Fingerprint collision-freedom is assumed, as in exact_dedup; the
+    hash is a grouping key only (winner = min ord per equal CONTENT
+    group), so the vectorized two-seed xxh128 default and the legacy
+    ``"md5"`` mode emit identical output (parity-tested) — the
+    segmenter itself is the shared :func:`_segments_vectorized` (one
+    RE2 split + one binary_join per batch, no per-doc Python).
     """
     from ..kg.unionfind import hash_bucket
-    from ..textnorm import ascii_words
 
+    if fingerprint not in ("xxh128", "md5"):
+        raise ValueError(f"unknown fingerprint mode: {fingerprint!r}")
     SEG_SHIFT = 20
 
     def to_segments(batch: pa.Table) -> pa.Table:
-        doc_ids, seg_nos, segs, hs = [], [], [], []
-        for did, t in zip(batch[id_col].to_pylist(),
-                          batch[text_col].to_pylist()):
-            ws = ascii_words(t or "")
-            for i in range(0, len(ws), seg_words):
-                seg = " ".join(ws[i:i + seg_words])
-                doc_ids.append(did)
-                seg_nos.append(i // seg_words + 1)
-                segs.append(seg)
-                hs.append(hashlib.md5(seg.encode("utf-8")).digest())
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        seg_doc, seg_no, segs, harr, ords = _segments_vectorized(
+            ids, batch[text_col], seg_words=seg_words,
+            seg_shift=SEG_SHIFT, fingerprint=fingerprint)
         return pa.table({
-            id_col: pa.array(doc_ids, pa.int64()),
-            "seg_no": pa.array(seg_nos, pa.int64()),
-            "seg": pa.array(segs, pa.string()),
-            "h": pa.array(hs, pa.binary(16)),
-            "ord": pa.array(
-                [d * (1 << SEG_SHIFT) + s for d, s in zip(doc_ids, seg_nos)],
-                pa.int64()),
+            id_col: pa.array(ids[seg_doc], pa.int64()),
+            "seg_no": pa.array(seg_no, pa.int64()),
+            "seg": segs,
+            "h": harr,
+            "ord": pa.array(ords, pa.int64()),
         })
 
     segments = docs_ds.map_batches(
@@ -1468,8 +1505,6 @@ def source_template_strip(docs_ds, *, text_col: str = "text",
     a null-source crawl degrades to sane grouping instead of silently
     mis-sweeping group boundaries (round-4 ADVICE).
     """
-    import hashlib
-
     from ..kg.unionfind import hash_bucket
 
     if fingerprint not in ("xxh128", "md5"):
@@ -1488,34 +1523,16 @@ def source_template_strip(docs_ds, *, text_col: str = "text",
             })
         ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         srcs = pc.fill_null(batch[group_col].combine_chunks(), "")
-        flat, lens = _flat_tokens(batch[text_col])
-        nseg = -(-lens // seg_words)            # ceil; 0-token docs → 0
-        total = int(nseg.sum())
-        seg_doc = np.repeat(np.arange(lens.size), nseg)
-        seg_no = (np.arange(total, dtype=np.int64)
-                  - (np.cumsum(nseg) - nseg)[seg_doc] + 1)
-        starts = ((np.cumsum(lens) - lens)[seg_doc]
-                  + (seg_no - 1) * seg_words)
-        # segments tile the flat token array exactly and in order, so
-        # their start positions (plus the final token count) ARE the
-        # list offsets — one view, no copies
-        offsets = np.concatenate((starts, [int(lens.sum())]))
-        segs = pc.cast(pc.binary_join(
-            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
-                                          flat), " "), pa.string())
-        if fingerprint == "md5":
-            harr = pa.array([hashlib.md5(s.encode("utf-8")).digest()
-                             for s in segs.to_pylist()], pa.binary(16))
-        else:
-            harr = _pack_bin16(*_xxh_pair(segs))
+        seg_doc, seg_no, segs, harr, ords = _segments_vectorized(
+            ids, batch[text_col], seg_words=seg_words,
+            seg_shift=SEG_SHIFT, fingerprint=fingerprint)
         return pa.table({
             id_col: pa.array(ids[seg_doc], pa.int64()),
             "seg_no": pa.array(seg_no, pa.int64()),
             "seg": segs,
             "h": harr,
             "src": srcs.take(pa.array(seg_doc)),
-            "ord": pa.array(ids[seg_doc] * (1 << SEG_SHIFT) + seg_no,
-                            pa.int64()),
+            "ord": pa.array(ords, pa.int64()),
         })
 
     segments = docs_ds.map_batches(

@@ -96,6 +96,22 @@ def test_template_strip_fingerprint_modes_identical():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_segment_dedup_fingerprint_modes_identical():
+    import ray.data
+
+    t = _corpus()
+    outs = []
+    for mode in ("md5", "xxh128"):
+        ds = ray.data.from_arrow(t).repartition(4)
+        outs.append(dedup.segment_dedup_docs(
+            ds, seg_words=4, fingerprint=mode)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    with pytest.raises(ValueError):
+        dedup.segment_dedup_docs(None, fingerprint="sha1")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_template_strip_null_source_sentinel():
     """Null sources fill to the '' sentinel: two null-source docs
     sharing a segment template against each other, and the boundary
