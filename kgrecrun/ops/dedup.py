@@ -906,21 +906,34 @@ def dup_spans(ds, *, w: int = 8, stride: int = 4, text_col: str = "text",
     import hashlib
 
     from ..kg.unionfind import hash_bucket
-    from ..textnorm import ascii_words
 
     def spans_partial(batch: pa.Table) -> pa.Table:
-        hs, dids = [], []
-        for did, t in zip(batch[id_col].to_pylist(),
-                          batch[text_col].to_pylist()):
-            ws = ascii_words((t or "").lower())
-            for start in range(0, len(ws) - w + 1, stride):
-                hs.append(hashlib.md5(
-                    " ".join(ws[start:start + w]).encode()).hexdigest())
-                dids.append(did)
+        # window STRINGS are built vectorized (lowercase per doc, one
+        # RE2 split per batch, strided gather + one binary_join); the
+        # md5 hex stays a per-window hashlib call because span_h is the
+        # op's OUTPUT column, mirrored by the SQL oracle's md5()
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        lowered = pa.array([(t or "").lower()
+                            for t in batch[text_col].to_pylist()],
+                           pa.string())
+        flat, lens = _flat_tokens(lowered)
+        nw = np.where(lens >= w, (lens - w) // stride + 1, 0)
+        total = int(nw.sum())
+        win_doc = np.repeat(np.arange(lens.size), nw)
+        pos = (np.arange(total, dtype=np.int64)
+               - (np.cumsum(nw) - nw)[win_doc]) * stride
+        gstart = (np.cumsum(lens) - lens)[win_doc] + pos
+        idx = (gstart[:, None] + np.arange(w, dtype=np.int64)).ravel()
+        words = flat.take(pa.array(idx, pa.int64()))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(total + 1, dtype=np.int64) * w), words)
+        spans = pc.cast(pc.binary_join(lists, " "), pa.string())
+        hs = [hashlib.md5(s.encode()).hexdigest()
+              for s in spans.to_pylist()]
         t = pa.table({
             "h": pa.array(hs, pa.string()),
-            id_col: pa.array(dids, pa.int64()),
-            "c": pa.array([1] * len(hs), pa.int64()),
+            id_col: pa.array(ids[win_doc], pa.int64()),
+            "c": pa.array(np.ones(total, np.int64), pa.int64()),
         })
         part = (t.group_by(["h", id_col]).aggregate([("c", "sum")])
                 .rename_columns(["h", id_col, "c"]))
