@@ -63,8 +63,14 @@ def hash_bucket(arr, n_buckets: int):
             "matches; install polars on every node")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    h = _pl.Series(arr.cast(pa.string())).hash(seed=0).to_numpy() \
-        .astype(np.uint64)
+    if (pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type)
+            or pa.types.is_fixed_size_binary(arr.type)):
+        # binary keys (e.g. 16-byte content fingerprints) hash as-is —
+        # casting digests to string would fail UTF-8 validation
+        s = _pl.Series(arr.cast(pa.binary()))
+    else:
+        s = _pl.Series(arr.cast(pa.string()))
+    h = s.hash(seed=0).to_numpy().astype(np.uint64)
     return pa.array((h & np.uint64(n_buckets - 1)).astype(np.int32),
                     pa.int32())
 

@@ -966,34 +966,33 @@ def source_segment_overlap(docs_ds, *, text_col: str = "text",
     dedup pass).
 
     Scale shape: segments never ship — each block emits its distinct
-    (md5, source) pairs (combiner); ONE bucketed cogroup on
-    hash(md5) sorts (h, source), drops duplicate (h, source) rows and
-    emits the within-segment source pairs via the shared vectorized
-    segment-pair sweep; per-(s1, s2) partial counts fold map-side and
-    one tiny native groupby-sum finishes. Pair fanout per segment
-    content is C(k, 2) with k ≤ |sources| — the SOURCE DOMAIN must be
-    catalog-order (crawl-source scale, not doc scale), which is the
-    operator's stated contract. Output: (s1, s2, n_shared) with
-    s1 < s2.
+    (fingerprint, source) pairs (combiner); ONE bucketed cogroup on
+    hash(fingerprint) sorts (h, source), drops duplicate (h, source)
+    rows and emits the within-segment source pairs via the shared
+    vectorized segment-pair sweep; per-(s1, s2) partial counts fold
+    map-side and one tiny native groupby-sum finishes. Pair fanout per
+    segment content is C(k, 2) with k ≤ |sources| — the SOURCE DOMAIN
+    must be catalog-order (crawl-source scale, not doc scale), which is
+    the operator's stated contract. Output: (s1, s2, n_shared) with
+    s1 < s2. The fingerprint is purely internal (content-equality key;
+    the SQL oracle groups on the segment STRING), so it is the
+    vectorized 16-byte xxh128 of :func:`_segments_vectorized` under
+    the module's collision-freedom assumption — no per-doc Python.
     """
-    from ..kg.unionfind import hash_bucket
-    from ..textnorm import ascii_words
     from .graph import _pairs_within_segments
 
     def to_pairs(batch: pa.Table) -> pa.Table:
-        hs, gs = [], []
-        for g, t in zip(batch[group_col].to_pylist(),
-                        batch[text_col].to_pylist()):
-            ws = ascii_words(t or "")
-            for i in range(0, len(ws), seg_words):
-                seg = " ".join(ws[i:i + seg_words])
-                hs.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
-                gs.append(g)
-        t = pa.table({"h": pa.array(hs, pa.string()),
-                      "g": pa.array(gs, pa.string())})
+        seg_doc, _, _, harr, _ = _segments_vectorized(
+            np.zeros(batch.num_rows, np.int64), batch[text_col],
+            seg_words=seg_words, seg_shift=20, fingerprint="xxh128")
+        t = pa.table({
+            "h": harr,
+            "g": batch[group_col].combine_chunks().take(
+                pa.array(seg_doc)),
+        })
         t = t.group_by(["h", "g"]).aggregate([])  # per-block distinct
         return t.append_column(
-            "__bucket", hash_bucket(t["h"].combine_chunks(), n_buckets))
+            "__bucket", _md5_bucket(t["h"].combine_chunks(), n_buckets))
 
     def pairs_bucket(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(
@@ -1053,34 +1052,31 @@ def incremental_segment_dedup(docs_ds, *, text_col: str = "text",
     already exist in the base — the decision signal an ingestion
     pipeline uses to drop, trim, or keep a new document.
 
-    Scale shape: segments ship as md5 only; the base side applies a
-    per-block distinct combiner; ONE bucketed left-outer cogroup on the
-    segment hash flags incoming segments (``bucket_join`` with
-    ``right_distinct``), and per-doc (n_segs, n_dup) partials fold
-    map-side into a native groupby-sum. The base hash set is
-    corpus-order and is never broadcast or collected. Output:
+    Scale shape: segments ship as 16-byte fingerprints only; the base
+    side applies a per-block distinct combiner; ONE bucketed left-outer
+    cogroup on the segment fingerprint flags incoming segments
+    (``bucket_join`` with ``right_distinct``), and per-doc
+    (n_segs, n_dup) partials fold map-side into a native groupby-sum.
+    The base fingerprint set is corpus-order and is never broadcast or
+    collected. The fingerprint is purely internal (the oracle matches
+    segment STRINGS), so it is the vectorized xxh128 of
+    :func:`_segments_vectorized` — the base/incoming id-hash split
+    stays the md5-of-str(id) the SQL mirrors. Output:
     (doc_id, n_segs, n_dup).
     """
-    from ..textnorm import ascii_words
     from .cogroup import bucket_join
     from .sample import _hash64
 
     def to_segments(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        is_base = (_hash64(ids) % base_denom) < base_numer
-        doc_ids, hs, base_flags = [], [], []
-        for did, flag, t in zip(ids, is_base.tolist(),
-                                batch[text_col].to_pylist()):
-            ws = ascii_words(t or "")
-            for i in range(0, len(ws), seg_words):
-                seg = " ".join(ws[i:i + seg_words])
-                doc_ids.append(did)
-                hs.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
-                base_flags.append(flag)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        is_base = (_hash64(ids.tolist()) % base_denom) < base_numer
+        seg_doc, _, _, harr, _ = _segments_vectorized(
+            ids, batch[text_col], seg_words=seg_words, seg_shift=20,
+            fingerprint="xxh128")
         return pa.table({
-            id_col: pa.array(doc_ids, pa.int64()),
-            "h": pa.array(hs, pa.string()),
-            "is_base": pa.array(base_flags, pa.bool_()),
+            id_col: pa.array(ids[seg_doc], pa.int64()),
+            "h": harr,
+            "is_base": pa.array(is_base[seg_doc]),
         })
 
     segs = docs_ds.map_batches(to_segments, batch_format="pyarrow",
@@ -1104,8 +1100,8 @@ def incremental_segment_dedup(docs_ds, *, text_col: str = "text",
                            zero_copy_batch=True)
     flagged = bucket_join(
         inc, base, key="h", join_type="left outer", right_distinct=True,
-        left_schema=pa.schema([(id_col, pa.int64()), ("h", pa.string())]),
-        right_schema=pa.schema([("h", pa.string()), ("hit", pa.int64())]),
+        left_schema=pa.schema([(id_col, pa.int64()), ("h", pa.binary(16))]),
+        right_schema=pa.schema([("h", pa.binary(16)), ("hit", pa.int64())]),
     )
 
     def doc_partial(batch: pa.Table) -> pa.Table:
