@@ -71,25 +71,23 @@ def _remove_dot_segments(path: str) -> str:
     ``..`` pops (leading ``..`` drops), a trailing ``.``/``..`` leaves
     the directory's trailing slash. Relative paths (never produced
     after host extraction) pass through."""
-    if not path.startswith("/") or ("/." not in path and path != "/.."):
+    if not path.startswith("/") or "/." not in path:
         return path
     segs = path[1:].split("/")
     stack: list[str] = []
-    trailing = False
     for i, seg in enumerate(segs):
         if seg == ".":
-            trailing = i == len(segs) - 1
+            if i == len(segs) - 1:      # trailing "." keeps the slash
+                stack.append("")
             continue
         if seg == "..":
             if stack:
                 stack.pop()
-            trailing = i == len(segs) - 1
+            if i == len(segs) - 1:      # trailing ".." keeps the slash
+                stack.append("")
             continue
         stack.append(seg)
-    out = "/" + "/".join(stack)
-    if trailing and not out.endswith("/"):
-        out += "/"
-    return out
+    return "/" + "/".join(stack)
 
 
 def canonicalize_url(url: str) -> str:

@@ -87,3 +87,49 @@ def test_canonical_collapses_variants():
     ]
     keys = {canonicalize_url(v) for v in variants}
     assert keys == {"https://a.example/page?id=7"}
+
+
+def test_remove_dot_segments_matches_rfc_algorithm():
+    """_remove_dot_segments equals the LITERAL RFC 3986 §5.2.4 buffer
+    algorithm on 20k random dot/empty-segment paths. (Python's
+    urllib.parse.urljoin is NOT a valid reference here — it drops
+    empty segments adjacent to '..', deviating from the RFC on paths
+    like '/..//a'; the buffer implementation below is the spec.)"""
+    import random
+
+    from kgrecrun.ops.urlnorm import _remove_dot_segments
+
+    def rfc(path: str) -> str:
+        inp, out = path, ""
+        while inp:
+            if inp.startswith("../"):
+                inp = inp[3:]
+            elif inp.startswith("./"):
+                inp = inp[2:]
+            elif inp.startswith("/./"):
+                inp = "/" + inp[3:]
+            elif inp == "/.":
+                inp = "/"
+            elif inp.startswith("/../"):
+                inp = "/" + inp[4:]
+                out = out[:out.rfind("/")] if "/" in out else ""
+            elif inp == "/..":
+                inp = "/"
+                out = out[:out.rfind("/")] if "/" in out else ""
+            elif inp in (".", ".."):
+                inp = ""
+            else:
+                i = inp.find("/", 1)
+                seg, inp = (inp, "") if i < 0 else (inp[:i], inp[i:])
+                out += seg
+        return out
+
+    rng = random.Random(99)
+    pool = ["a", "b", "c2", ".", "..", "x.y", ".d", "..e", ""]
+    for _ in range(20000):
+        path = "/" + "/".join(
+            rng.choice(pool) for _ in range(rng.randint(0, 8)))
+        want = rfc(path)
+        got = _remove_dot_segments(path)
+        assert got == want, (path, want, got)
+        assert _remove_dot_segments(got) == got, ("idempotence", path)
