@@ -1289,16 +1289,17 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
     ``(doc_id, n_tokens, dup_tokens, text_clean)``, one row per input
     doc (``text_clean=''`` when everything was duplicated).
 
-    Scale shape: the window flat-map emits only (md5, doc_id, pos) —
-    span text never leaves the map side. ONE bucketed shuffle on
-    hash(md5) both counts occurrences per fingerprint and filters the
-    position rows to duplicated windows (all occurrences of a
-    fingerprint land in one bucket, so the >1 test is local and exact);
-    a second bucketed cogroup on hash(doc_id) ships each doc's text
-    once next to its covered positions and rebuilds the stripped text
-    with a vectorized interval-union sweep. Exchange volume ≈ one
-    16-byte row per token plus one (doc_id, pos) row per duplicated
-    window — no all-pairs, no driver state.
+    Scale shape: the window flat-map emits only (fingerprint, ord)
+    where ord packs (doc_id, pos) into one int64 (doc_id < 2⁴²,
+    pos < 2²¹ — loud ValueError beyond) — span text never leaves the
+    map side and the widest exchange is 28 B/token. ONE bucketed
+    shuffle on hash(fingerprint) both counts occurrences per
+    fingerprint and filters the position rows to duplicated windows
+    (all occurrences of a fingerprint land in one bucket, so the >1
+    test is local and exact); a second bucketed cogroup on
+    hash(doc_id) ships each doc's text once next to its covered
+    positions and rebuilds the stripped text with a vectorized
+    interval-union sweep. No all-pairs, no driver state.
 
     Tokenization (RE2 ``\\s`` split, empties dropped, case preserved)
     and windowing (full windows only) are mirrored exactly by the SQL
@@ -1332,11 +1333,27 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
     B1 = np.uint64(0x100000001B3)          # FNV-1a prime
     B2 = np.uint64(0xC6A4A7935BD1E995)     # Murmur2 multiplier
 
+    # (doc_id, pos) packs into one int64 on the per-token exchange —
+    # a 22% byte cut on the operator's widest shuffle (36 → 28 B/row).
+    # Loud contract: pos < 2^21 (≤ 2M tokens/doc) and doc_id < 2^42.
+    POS_SHIFT = 21
+    POS_MASK = (1 << POS_SHIFT) - 1
+
+    def _pack_ord(dids: np.ndarray, poss: np.ndarray) -> np.ndarray:
+        if poss.size and int(poss.max()) > POS_MASK:
+            raise ValueError(
+                f"dup_span_strip: a document exceeds {POS_MASK + 1} "
+                "tokens — the packed (doc_id, pos) exchange contract "
+                "does not hold; split the document upstream")
+        if dids.size and int(dids.max()) >= (1 << 42):
+            raise ValueError("dup_span_strip: doc_id >= 2^42 breaks the "
+                             "packed (doc_id, pos) exchange contract")
+        return (dids << np.int64(POS_SHIFT)) | poss
+
     def _windows_empty() -> pa.Table:
         return pa.table({
             "h": pa.array([], pa.binary(16)),
-            id_col: pa.array([], pa.int64()),
-            "pos": pa.array([], pa.int64()),
+            "ord": pa.array([], pa.int64()),
             "__bucket": pa.array([], pa.int32()),
         })
 
@@ -1354,8 +1371,8 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
                     dids.append(did)
                     poss.append(p)
             harr = pa.array(hs, pa.binary(16))
-            didarr = pa.array(dids, pa.int64())
-            posarr = pa.array(poss, pa.int64())
+            ords = _pack_ord(np.array(dids, np.int64),
+                             np.array(poss, np.int64))
         else:
             ids = batch[id_col].combine_chunks().to_numpy(
                 zero_copy_only=False)
@@ -1375,12 +1392,10 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
                 w1 = w1 * B1 + h1[gi]
                 w2 = w2 * B2 + h2[gi]
             harr = _pack_bin16(w1, w2)
-            didarr = pa.array(ids[win_doc], pa.int64())
-            posarr = pa.array(pos, pa.int64())
+            ords = _pack_ord(ids[win_doc].astype(np.int64), pos)
         return pa.table({
             "h": harr,
-            id_col: didarr,
-            "pos": posarr,
+            "ord": pa.array(ords, pa.int64()),
             "__bucket": _md5_bucket(harr, n_buckets),
         })
 
@@ -1395,7 +1410,7 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
         counts = np.diff(np.append(starts, n))
         dup_rows = np.repeat(counts > 1, counts)
         flt = g.filter(pa.array(dup_rows))
-        return pa.table({id_col: flt[id_col], "pos": flt["pos"]})
+        return pa.table({"ord": flt["ord"]})
 
     covered = (ds.map_batches(to_windows, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -1409,17 +1424,18 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
             "__side": pa.nulls(batch.num_rows, pa.int8()).fill_null(0),
             id_col: ids,
             text_col: batch[text_col],
-            "pos": pa.nulls(batch.num_rows, pa.int64()),
+            "ord": pa.nulls(batch.num_rows, pa.int64()),
         })
 
     def tag_cov(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].combine_chunks()
+        ords = batch["ord"].combine_chunks()
+        dids = pc.cast(pc.shift_right(ords, POS_SHIFT), pa.int64())
         return pa.table({
-            "__bucket": hash_bucket(ids, n_buckets),
+            "__bucket": hash_bucket(dids, n_buckets),
             "__side": pa.nulls(batch.num_rows, pa.int8()).fill_null(1),
-            id_col: ids,
+            id_col: dids,
             text_col: pa.nulls(batch.num_rows, pa.string()),
-            "pos": batch["pos"],
+            "ord": ords,
         })
 
     def strip_bucket(group: pa.Table) -> pa.Table:
@@ -1438,10 +1454,10 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
         doc_off = np.cumsum(lens) - lens
         covmask = np.zeros(total, bool)
         if cov.num_rows and total:
-            cids = cov[id_col].combine_chunks().to_numpy(
+            cord = cov["ord"].combine_chunks().to_numpy(
                 zero_copy_only=False)
-            cpos = cov["pos"].combine_chunks().to_numpy(
-                zero_copy_only=False)
+            cids = cord >> np.int64(POS_SHIFT)
+            cpos = cord & np.int64(POS_MASK)
             order = np.argsort(ids, kind="stable")
             di = order[np.searchsorted(ids[order], cids)]
             gs = doc_off[di] + cpos
