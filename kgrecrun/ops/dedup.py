@@ -56,7 +56,7 @@ import pyarrow.compute as pc
 
 from ..kg.minhash import MinHasher, word_shingles
 from ..kg.unionfind import UnionFind
-from ..textnorm import normalize_ws
+from ..textnorm import WS_PATTERN, normalize_ws
 
 # ---------- shared helpers ----------
 
@@ -86,7 +86,10 @@ def _md5_bucket(harr: pa.Array, n_buckets: int) -> pa.Array:
     n = len(harr)
     if n == 0:
         return pa.array([], pa.int32())
-    assert harr.type.byte_width == 16, harr.type
+    if harr.type.byte_width != 16:
+        raise ValueError(f"_md5_bucket expects fixed_size_binary(16), "
+                         f"got {harr.type} — a wrong-width digest would "
+                         "be silently mis-bucketed")
     u = np.frombuffer(harr.buffers()[1], dtype="<u8", count=2 * n,
                       offset=harr.offset * 16)[::2]
     return pa.array((u & np.uint64(n_buckets - 1)).astype(np.int32),
@@ -94,8 +97,9 @@ def _md5_bucket(harr: pa.Array, n_buckets: int) -> pa.Array:
 
 
 # RE2 \s class (ASCII-only), the tokenizer contract every oracle-facing
-# text op shares with the SQL side — see kgrecrun.textnorm
-_WS_PATTERN = r"[ \t\n\r\f]+"
+# text op shares with the SQL side — aliased from kgrecrun.textnorm so
+# ascii_words (per-doc) and _flat_tokens (per-column) can never diverge
+_WS_PATTERN = WS_PATTERN
 
 # pinned seeds for the two independent xxhash channels of the 128-bit
 # content fingerprints (any fixed distinct values work; what matters is
@@ -197,6 +201,17 @@ def _segments_vectorized(ids: np.ndarray, texts, *, seg_words: int,
                          for s in segs.to_pylist()], pa.binary(16))
     else:
         harr = _pack_bin16(*_xxh_pair(segs))
+    # loud packing contract (the old Python-int path raised
+    # OverflowError at pa.array; int64 numpy would wrap silently)
+    if seg_no.size and int(seg_no.max()) >= (1 << seg_shift):
+        raise ValueError(
+            f"_segments_vectorized: a document has >= 2^{seg_shift} "
+            "segments — the packed (doc_id, seg_no) ord contract does "
+            "not hold; split the document upstream")
+    if ids.size and int(ids.max()) >= (1 << (63 - seg_shift)):
+        raise ValueError(
+            f"_segments_vectorized: doc_id >= 2^{63 - seg_shift} "
+            "breaks the packed (doc_id, seg_no) ord contract")
     return seg_doc, seg_no, segs, harr, ids[seg_doc] * (
         1 << seg_shift) + seg_no
 
@@ -1307,11 +1322,12 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
     output depends on it solely through which windows collide, so any
     collision-free 128-bit content hash yields the identical result.
     ``fingerprint="xxh128"`` (default) is fully vectorized: tokens are
-    split once per column (``_flat_tokens``), each token is hashed once
-    per unique string (``_xxh_pair``: two-seed polars xxhash over the
-    dictionary), and the k token hashes of every window combine through
-    two independent uint64 Horner chains — no per-window Python, no
-    per-window string join. ``fingerprint="md5"`` keeps the original
+    split once per column (``_flat_tokens``), every token occurrence is
+    hashed in one vectorized pass (``_xxh_pair``: two-seed polars
+    xxhash — per-occurrence, which measured faster than
+    dictionary-encoding to uniques first), and the k token hashes of
+    every window combine through two independent uint64 Horner chains —
+    no per-window Python, no per-window string join. ``fingerprint="md5"`` keeps the original
     per-window ``md5(" ".join(window))`` digest (the SQL oracle's
     formulation verbatim) for cross-checking — the parity test asserts
     both modes emit identical output. Collision-freedom of either

@@ -230,14 +230,15 @@ def _remote_fns(n_buckets: int, weighted: bool = False):
                 np.minimum.at(new, idx, mins)
         return new, bool((new != labels).any())
 
-    @ray.remote
+    @ray.remote(num_returns=2)
     def sssp_init(state, source: int):
         node, _ = state
         dist = np.full(len(node), np.iinfo(np.int64).max, np.int64)
         i = np.searchsorted(node, source)
-        if i < len(node) and node[i] == source:
+        found = bool(i < len(node) and node[i] == source)
+        if found:
             dist[i] = 0
-        return dist
+        return dist, found
 
     @ray.remote(num_returns=n_buckets)
     def sssp_cand(edges: pa.Table, state, dist):
@@ -473,8 +474,16 @@ def sssp_prepartitioned(store_dir: str, *, source: int | None = None,
                                     for s in state_refs]) if m is not None]
         source = min(mins)
 
-    dist_refs = [fns["sssp_init"].remote(state_refs[b], source)
-                 for b in range(n_buckets)]
+    inits = [fns["sssp_init"].remote(state_refs[b], source)
+             for b in range(n_buckets)]
+    dist_refs = [d for d, _ in inits]
+    if not any(ray.get([f for _, f in inits])):
+        # a source that is no graph endpoint still has distance 0 to
+        # itself — match sssp_distances' [(source, 0)] exactly instead
+        # of silently returning an empty table
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([source], pa.int64()),
+            "dist": pa.array([0], pa.int64())}))
     done = 0
     while done < rounds:
         chunk = min(check_every, rounds - done)

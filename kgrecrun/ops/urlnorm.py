@@ -57,13 +57,25 @@ _UNRESERVED = frozenset(
 
 def _norm_pct(s: str) -> str:
     """RFC 3986 §6.2.2.2: decode escapes of unreserved characters,
-    uppercase the hex of every other valid escape. Unreserved output
-    can never be a delimiter, so structure is preserved; idempotent."""
+    uppercase the hex of every other valid escape; truly malformed
+    escapes pass through. Unreserved output can never be a delimiter,
+    so structure is preserved.
+
+    Runs the substitution to a FIXPOINT: on malformed input a decode
+    can synthesize a new valid escape out of an adjacent literal '%'
+    (``%%341`` → ``%41`` → ``A``), so a single pass would break the
+    canonicalizer's idempotence contract. Each iteration that changes
+    anything removes at least one '%' (case-only rewrites are stable),
+    so the loop terminates in ≤ count('%') rounds."""
     def repl(m: re.Match) -> str:
         ch = chr(int(m.group(1), 16))
         return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
 
-    return _PCT_RE.sub(repl, s)
+    while True:
+        out = _PCT_RE.sub(repl, s)
+        if out == s:
+            return out
+        s = out
 
 
 def _remove_dot_segments(path: str) -> str:

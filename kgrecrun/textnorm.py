@@ -12,8 +12,12 @@ from __future__ import annotations
 
 import re
 
-# RE2 \s character class (DuckDB regexp_* and pyarrow.compute use RE2)
-_RE2_WS = re.compile(r"[ \t\n\r\f]+")
+# RE2 \s character class (DuckDB regexp_* and pyarrow.compute use RE2).
+# WS_PATTERN is the single source of truth — the vectorized tokenizer
+# (ops/dedup._flat_tokens, via pc.split_pattern_regex) imports it so the
+# per-doc and per-column paths can never desynchronize.
+WS_PATTERN = r"[ \t\n\r\f]+"
+_RE2_WS = re.compile(WS_PATTERN)
 
 
 def ascii_words(text: str | None) -> list[str]:

@@ -732,3 +732,23 @@ def test_hits_broadcast_bound_enforced(ray_session):
     with pytest.raises(ValueError, match="broadcast bound"):
         hits_fixedpoint(_directed_ds(ray_session, DIRECTED_PAIRS),
                         iters=1, broadcast_nodes=3).take_all()
+
+
+def test_sssp_prepartitioned_absent_source(ray_session, tmp_path):
+    """A source that is no graph endpoint still gets [(source, 0)] —
+    the same contract as sssp_distances (round-5 review finding: the
+    store path silently returned an empty table)."""
+    import numpy as np
+
+    from kgrecrun.ops.graphstore import sssp_prepartitioned, write_edge_store
+
+    sym = ray_session.data.from_arrow(pa.table({
+        "src": pa.array([1, 2], pa.int64()),
+        "dst": pa.array([2, 1], pa.int64()),
+        "w": pa.array([3, 3], pa.int64()),
+    }))
+    store = str(tmp_path / "tiny_w_store")
+    write_edge_store(sym, store, n_buckets=2, symmetric=True,
+                     weighted=True)
+    out = sssp_prepartitioned(store, source=99, rounds=4).take_all()
+    assert out == [{"node": 99, "dist": 0}]

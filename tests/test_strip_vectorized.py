@@ -141,3 +141,27 @@ def test_fingerprint_mode_validation():
         dedup.dup_span_strip(None, fingerprint="sha1")
     with pytest.raises(ValueError):
         dedup.source_template_strip(None, fingerprint="sha1")
+
+
+def test_segments_vectorized_overflow_is_loud():
+    """The packed (doc_id, seg_no) ord raises instead of wrapping
+    (round-5 review finding: numpy int64 would wrap silently where the
+    old Python-int path raised OverflowError)."""
+    from kgrecrun.ops.dedup import _segments_vectorized
+
+    big_id = np.array([1 << 43], np.int64)
+    with pytest.raises(ValueError, match="doc_id"):
+        _segments_vectorized(big_id, pa.array(["a b c"]), seg_words=2,
+                             seg_shift=20, fingerprint="xxh128")
+    many_segs = pa.array([" ".join("t" for _ in range(8))])
+    with pytest.raises(ValueError, match="segments"):
+        _segments_vectorized(np.array([1], np.int64), many_segs,
+                             seg_words=1, seg_shift=2,
+                             fingerprint="xxh128")
+
+
+def test_md5_bucket_rejects_wrong_width():
+    from kgrecrun.ops.dedup import _md5_bucket
+
+    with pytest.raises(ValueError, match="fixed_size_binary"):
+        _md5_bucket(pa.array([b"12345678"], pa.binary(8)), 16)

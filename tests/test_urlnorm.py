@@ -133,3 +133,21 @@ def test_remove_dot_segments_matches_rfc_algorithm():
         got = _remove_dot_segments(path)
         assert got == want, (path, want, got)
         assert _remove_dot_segments(got) == got, ("idempotence", path)
+
+
+def test_pct_norm_idempotent_on_malformed_cascades():
+    """Decoding can synthesize a new escape out of an adjacent literal
+    '%' ('%%341' -> '%41' -> 'A'); _norm_pct runs to a fixpoint so
+    canonicalize_url is idempotent even on malformed input (round-5
+    review finding)."""
+    cases = [
+        "https://a.example/%%341",          # cascades two levels
+        "https://a.example/%%2541",         # '%' + '%25' + '41'
+        "https://a.example/p?q=%%7E%7E",
+        "https://a.example/%%%341",
+    ]
+    for u in cases:
+        once = canonicalize_url(u)
+        assert canonicalize_url(once) == once, (u, once)
+    assert canonicalize_url("https://a.example/%%341") == \
+        "https://a.example/A"
