@@ -208,10 +208,12 @@ def _segments_vectorized(ids: np.ndarray, texts, *, seg_words: int,
             f"_segments_vectorized: a document has >= 2^{seg_shift} "
             "segments — the packed (doc_id, seg_no) ord contract does "
             "not hold; split the document upstream")
-    if ids.size and int(ids.max()) >= (1 << (63 - seg_shift)):
+    if ids.size and (int(ids.max()) >= (1 << (63 - seg_shift))
+                     or int(ids.min()) < 0):
         raise ValueError(
-            f"_segments_vectorized: doc_id >= 2^{63 - seg_shift} "
-            "breaks the packed (doc_id, seg_no) ord contract")
+            f"_segments_vectorized: doc_id outside [0, "
+            f"2^{63 - seg_shift}) breaks the packed (doc_id, seg_no) "
+            "ord contract")
     return seg_doc, seg_no, segs, harr, ids[seg_doc] * (
         1 << seg_shift) + seg_no
 
@@ -1361,9 +1363,11 @@ def dup_span_strip(ds, *, k: int = 8, text_col: str = "text",
                 f"dup_span_strip: a document exceeds {POS_MASK + 1} "
                 "tokens — the packed (doc_id, pos) exchange contract "
                 "does not hold; split the document upstream")
-        if dids.size and int(dids.max()) >= (1 << 42):
-            raise ValueError("dup_span_strip: doc_id >= 2^42 breaks the "
-                             "packed (doc_id, pos) exchange contract")
+        if dids.size and (int(dids.max()) >= (1 << 42)
+                          or int(dids.min()) < 0):
+            raise ValueError("dup_span_strip: doc_id outside [0, 2^42) "
+                             "breaks the packed (doc_id, pos) exchange "
+                             "contract")
         return (dids << np.int64(POS_SHIFT)) | poss
 
     def _windows_empty() -> pa.Table:

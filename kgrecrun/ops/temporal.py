@@ -342,7 +342,11 @@ def hopping_window_agg(
     sum_value_cents)."""
     from .relational import cents as to_cents
 
-    assert width_us % hop_us == 0, "width must be a multiple of hop"
+    if width_us % hop_us != 0:
+        raise ValueError("hopping_window: width_us must be a multiple "
+                         "of hop_us (a strippable assert would let a "
+                         "ragged grid emit wrong window assignments "
+                         "under python -O)")
     n_copies = width_us // hop_us
 
     def pre(batch: pa.Table) -> pa.Table:
